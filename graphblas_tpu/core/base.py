@@ -1,0 +1,474 @@
+"""BaseType + update protocol + delayed expressions.
+
+Reference: /root/reference/graphblas/core/base.py.  The architectural
+invariant is preserved: every mutating operation funnels through one sink,
+``BaseType._update`` (reference :338-514) — which here resolves the mask to
+device bits, evaluates the delayed expression via the JAX engine, and applies
+the single fused mask/accum/replace merge (ops/densemasked.masked_merge)
+instead of issuing a cffi call.
+"""
+
+import numpy as np
+
+from .. import exceptions as _exc
+from . import dtypes as _dt
+from . import recorder as _recorder
+from .mask import Mask, StructuralMask, ValueMask
+from .operator import find_opclass, get_typed_op
+
+
+def _get_config():
+    import graphblas_tpu
+
+    return graphblas_tpu.config
+
+
+def record_call(opname, *args):
+    def describe(a):
+        if isinstance(a, BaseType):
+            return a.name or type(a).__name__
+        # never repr expressions here: that would trigger autocompute
+        name = getattr(a, "opname", None)
+        return name if isinstance(name, str) else type(a).__name__
+
+    _recorder.record(opname, ", ".join(describe(a) for a in args))
+
+
+class BaseType:
+    __slots__ = "_values", "_struct", "_dtype", "name", "__weakref__"
+    _is_scalar = False
+
+    # ------------------------------------------------------------------
+    # updater protocol: C(mask, accum, replace) << expr
+    # ------------------------------------------------------------------
+
+    def __call__(self, *optional_mask_accum_replace, mask=None, accum=None, replace=False, input_mask=None, **opts):
+        """Parse positional (mask, accum, replace) flexibly
+        (reference: core/base.py:192-263)."""
+        from .. import replace as replace_singleton
+
+        for arg in optional_mask_accum_replace:
+            if arg is replace_singleton or isinstance(arg, bool):
+                replace = arg if isinstance(arg, bool) else True
+            elif isinstance(arg, Mask) or isinstance(arg, BaseType):
+                if mask is not None:
+                    raise TypeError("Got multiple masks")
+                mask = arg
+            else:
+                _, opclass = find_opclass(arg)
+                if opclass in {"BinaryOp", "Monoid"} or isinstance(arg, str):
+                    if accum is not None:
+                        raise TypeError("Got multiple accumulators")
+                    accum = arg
+                else:
+                    raise TypeError(f"Invalid item found in output params: {type(arg)}")
+        mask = _check_mask(mask, self) if mask is not None else None
+        if input_mask is not None:
+            input_mask = _check_mask(input_mask, None)
+        if accum is not None:
+            accum = get_typed_op(accum, self.dtype, kind="binary")
+        return Updater(self, mask=mask, accum=accum, replace=replace, input_mask=input_mask, opts=opts)
+
+    def __lshift__(self, expr):
+        self._update(expr)
+        return self  # allow chaining in scripts; discarded in statements
+
+    def update(self, expr, **opts):
+        """``C << expr`` is sugar for this (reference: core/base.py:331-336)."""
+        self._update(expr, opts=opts)
+
+    def _update(self, expr, mask=None, accum=None, replace=False, input_mask=None, opts=None):
+        from .infix import InfixExprBase
+        from .expr import AmbiguousAssignOrExtract
+
+        if replace and mask is None:
+            raise ValueError("replace=True requires a mask")
+
+        # -- normalize RHS to a BaseExpression or plain collection ---------
+        if isinstance(expr, AmbiguousAssignOrExtract):
+            if input_mask is not None:
+                expr = expr._with_input_mask(input_mask)
+                input_mask = None
+            expr = expr._extract_delayed()
+        elif input_mask is not None:
+            raise TypeError("input_mask is only allowed for extract (C[idx]) expressions")
+        if isinstance(expr, InfixExprBase):
+            expr = expr._to_expr()
+
+        from .matrix import TransposedMatrix
+
+        if isinstance(expr, TransposedMatrix):
+            expr = expr._as_expression()
+
+        if isinstance(expr, BaseType):
+            if expr.ndim != self.ndim:
+                raise TypeError(f"Bad value for update; got {type(expr).__name__}, expected {type(self).__name__}")
+            expr = expr._as_expression()
+
+        if not isinstance(expr, BaseExpression):
+            if self._is_scalar:
+                return self._update_scalar_value(expr, accum)
+            from .scalar import _is_scalar_like
+
+            if _is_scalar_like(expr):
+                raise TypeError(
+                    "Bad type for update; a bare scalar cannot update a Matrix/Vector. "
+                    "Use C[...] = scalar for assignment."
+                )
+            raise TypeError(f"Bad type for argument to update: {type(expr)}")
+
+        # -- aggregator branch (reference: core/base.py:449-451) -----------
+        op, opclass = find_opclass(expr.op) if expr.op is not None else (None, None)
+        if opclass == "Aggregator":
+            updater = Updater(self, mask=mask, accum=accum, replace=replace, opts=opts or {})
+            return op._new(updater, expr)
+
+        if expr.output_type is not type(self):
+            raise TypeError(
+                f"Expression of type {expr.output_type.__name__} cannot update {type(self).__name__}"
+            )
+        if expr.shape != self.shape:
+            raise _exc.DimensionMismatch(f"shapes do not match: {expr.shape} != {self.shape}")
+
+        record_call(expr.opname, self, expr)
+
+        if self._is_scalar:
+            return self._update_from_expr(expr, accum)
+
+        zv, zs = expr._compute()
+        from ..ops import densemasked as _dm
+
+        mask_bits = mask._bits() if mask is not None else None
+        if mask is not None and mask.parent.shape != self.shape:
+            raise _exc.DimensionMismatch("mask shape does not match output shape")
+        cv, cs = _dm.masked_merge(
+            self._values,
+            self._struct,
+            zv,
+            zs,
+            mask_bits,
+            accum,
+            bool(replace),
+            mask_bits is not None,
+        )
+        self._set_arrays(cv, cs)
+
+    # ------------------------------------------------------------------
+    # plumbing shared by Matrix/Vector (Scalar overrides)
+    # ------------------------------------------------------------------
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    def _set_arrays(self, values, struct):
+        self._values = values
+        self._struct = struct
+
+    def _as_expression(self):
+        """Wrap a plain collection as an identity expression."""
+        return BaseExpression(
+            "identity",
+            type(self),
+            lambda: (self._values, self._struct),
+            op=None,
+            dtype=self.dtype,
+            shape=self.shape,
+            args=(self,),
+        )
+
+    @property
+    def nvals(self):
+        """Number of stored values (reference: e.g. core/matrix.py:489)."""
+        import jax.numpy as jnp
+
+        return int(jnp.sum(self._struct))
+
+    def clear(self):
+        """Remove all stored values (reference: core/matrix.py:505)."""
+        import jax.numpy as jnp
+
+        self._set_arrays(jnp.zeros_like(self._values), jnp.zeros_like(self._struct))
+
+    def wait(self, how="materialize"):
+        """Block until pending device computation completes.  Non-blocking
+        JAX dispatch is the analogue of GraphBLAS non-blocking mode
+        (reference: Matrix.wait core/matrix.py:764)."""
+        import jax
+
+        jax.block_until_ready((self._values, self._struct))
+        return self
+
+    # -- comparison helpers ------------------------------------------------
+
+    def isequal(self, other, *, check_dtype=False):
+        """Pattern and values exactly equal (reference: core/matrix.py:373-417)."""
+        import jax.numpy as jnp
+
+        other = self._expect_type(other, type(self), within="isequal", argname="other")
+        if check_dtype and self.dtype != other.dtype:
+            return False
+        if self.shape != other.shape:
+            return False
+        same_struct = bool(jnp.all(self._struct == other._struct))
+        if not same_struct:
+            return False
+        a = self._values
+        b = other._values.astype(a.dtype) if other._values.dtype != a.dtype else other._values
+        return bool(jnp.all(jnp.where(self._struct, a == b, True)))
+
+    def isclose(self, other, *, rel_tol=1e-7, abs_tol=0.0, check_dtype=False):
+        """Pattern equal and values close (reference: core/matrix.py:419-463)."""
+        import jax.numpy as jnp
+
+        other = self._expect_type(other, type(self), within="isclose", argname="other")
+        if check_dtype and self.dtype != other.dtype:
+            return False
+        if self.shape != other.shape:
+            return False
+        if not bool(jnp.all(self._struct == other._struct)):
+            return False
+        a = self._values.astype(np.float64)
+        b = other._values.astype(np.float64)
+        close = jnp.abs(a - b) <= jnp.maximum(rel_tol * jnp.maximum(jnp.abs(a), jnp.abs(b)), abs_tol)
+        return bool(jnp.all(jnp.where(self._struct, close, True)))
+
+    # -- error machinery (reference: core/base.py:57-163) -------------------
+
+    def _expect_type(self, x, types, *, within="", argname="", extra_message=""):
+        if not isinstance(types, tuple):
+            types = (types,)
+        from .utils import output_type
+
+        if isinstance(x, types) or output_type(x) in types:
+            if hasattr(x, "_get_value") and not isinstance(x, BaseType):
+                # auto-compute expressions when used as plain arguments
+                if _get_config().get("autocompute"):
+                    return x._get_value()
+                raise TypeError(
+                    f"{type(x).__name__} is not computed automatically (autocompute is off); "
+                    "call .new() to compute it"
+                )
+            return x
+        expected = ", ".join(t.__name__ for t in types)
+        raise TypeError(
+            f"Bad type {within}, argument {argname}: expected ({expected}), got {type(x).__name__}."
+            + (f" {extra_message}" if extra_message else "")
+        )
+
+    # -- masks ---------------------------------------------------------------
+
+    @property
+    def S(self):
+        return StructuralMask(self)
+
+    @property
+    def V(self):
+        return ValueMask(self)
+
+    def __array__(self, *args, **kwargs):
+        raise TypeError(
+            f"{type(self).__name__} can't be directly converted to a numpy array; "
+            "perhaps use `.to_coo()` or `.to_dense()`"
+        )
+
+    def __bool__(self):
+        raise TypeError(
+            f"__bool__ not defined for objects of type {type(self).__name__}; "
+            "perhaps use .nvals attribute instead"
+        )
+
+    # infix operators are attached by infixmethods (matching the generated
+    # reference modules core/infix.py / core/infixmethods.py)
+
+
+def _check_mask(mask, output=None):
+    """Normalize mask argument (reference: core/base.py:169-183 — bool
+    collections auto-lift to ValueMask)."""
+    if isinstance(mask, Mask):
+        pass
+    elif isinstance(mask, BaseType):
+        if mask.dtype != _dt.BOOL:
+            raise TypeError("Mask must be boolean (or use .S/.V to indicate structure/value)")
+        mask = ValueMask(mask)
+    elif hasattr(mask, "_get_value"):
+        mask = ValueMask(mask._get_value())
+    else:
+        raise TypeError(f"Invalid mask: {type(mask)}")
+    if output is not None and mask.parent.shape != output.shape:
+        raise _exc.DimensionMismatch(
+            f"mask shape {mask.parent.shape} does not match output shape {output.shape}"
+        )
+    return mask
+
+
+class Updater:
+    """Carries (mask, accum, replace) until `<<`/`[...]=` fires
+    (reference: core/base.py:192-263 + core/expr.py:404-481)."""
+
+    __slots__ = "parent", "mask", "accum", "replace", "input_mask", "opts", "_is_sub"
+
+    def __init__(self, parent, *, mask=None, accum=None, replace=False, input_mask=None, opts=None, sub=False):
+        self.parent = parent
+        self.mask = mask
+        self.accum = accum
+        self.replace = replace
+        self.input_mask = input_mask
+        self.opts = opts or {}
+        self._is_sub = sub
+
+    def __lshift__(self, expr):
+        self.update(expr)
+
+    def update(self, expr):
+        self.parent._update(
+            expr,
+            mask=self.mask,
+            accum=self.accum,
+            replace=self.replace,
+            input_mask=self.input_mask,
+            opts=self.opts,
+        )
+
+    def __getitem__(self, keys):
+        from .expr import AmbiguousAssignOrExtract, IndexerResolver
+
+        resolved = IndexerResolver(self.parent, keys)
+        return AmbiguousAssignOrExtract(self.parent, resolved, updater=self)
+
+    def __setitem__(self, keys, value):
+        from .expr import IndexerResolver
+
+        resolved = IndexerResolver(self.parent, keys)
+        self.parent._assign(
+            resolved,
+            value,
+            mask=self.mask,
+            accum=self.accum,
+            replace=self.replace,
+            is_submask=self._is_sub,
+        )
+
+    def __delitem__(self, keys):
+        from .expr import IndexerResolver
+
+        resolved = IndexerResolver(self.parent, keys)
+        self.parent._delete_region(resolved, mask=self.mask)
+
+
+from .infixmethods import InfixMixin as _InfixMixin
+
+
+class BaseExpression(_InfixMixin):
+    """A delayed operation: carries the method name, operands, typed op, and a
+    compute closure (replaces the reference's (cfunc_name, args) bundle,
+    core/base.py:535-657)."""
+
+    output_type = None  # set per-instance
+
+    def __init__(self, method_name, output_cls, compute, *, op=None, dtype=None, shape=None, args=(), opname=None):
+        self.method_name = method_name
+        self.output_type = output_cls
+        self._compute_fn = compute
+        self.op = op
+        self._dtype = _dt.lookup_dtype(dtype) if dtype is not None else None
+        self._shape = shape
+        self.args = args
+        self.opname = opname or method_name
+        self._value = None  # autocompute cache (reference: core/base.py:586-601)
+
+    # -- introspection -------------------------------------------------------
+
+    @property
+    def dtype(self):
+        return self._dtype
+
+    @property
+    def shape(self):
+        return self._shape
+
+    @property
+    def ndim(self):
+        return len(self._shape)
+
+    @property
+    def nrows(self):
+        return self._shape[0]
+
+    @property
+    def ncols(self):
+        return self._shape[1]
+
+    @property
+    def size(self):
+        return self._shape[0]
+
+    @property
+    def _output_type(self):
+        return self.output_type
+
+    def _compute(self):
+        return self._compute_fn()
+
+    # -- materialization -----------------------------------------------------
+
+    def new(self, dtype=None, *, mask=None, name=None, **opts):
+        """Compute the expression into a new collection
+        (reference: core/base.py:583-616, with output-mask fusion)."""
+        out_dtype = _dt.lookup_dtype(dtype) if dtype is not None else self.dtype
+        if self.op is not None and find_opclass(self.op)[1] == "Aggregator":
+            out = self.output_type(out_dtype, *self._shape_args(), name=name)
+            upd = Updater(out, mask=_check_mask(mask, out) if mask is not None else None)
+            self.op._new(upd, self)
+            return out
+        out = self.output_type(out_dtype, *self._shape_args(), name=name)
+        out._update(self, mask=_check_mask(mask, out) if mask is not None else None)
+        return out
+
+    dup = new
+
+    def _shape_args(self):
+        if self._shape is None:
+            return ()
+        return tuple(self._shape)
+
+    def _get_value(self):
+        """Autocompute hook."""
+        if self._value is None:
+            self._value = self.new()
+        return self._value
+
+    # -- autocompute delegation (replaces generated core/automethods.py) -----
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        if self.output_type is not None and hasattr(self.output_type, name):
+            if not _get_config().get("autocompute"):
+                raise TypeError(
+                    f"{type(self).__name__} is not computed automatically (autocompute is "
+                    f"off). Call .new() first to access .{name}."
+                )
+            return getattr(self._get_value(), name)
+        raise AttributeError(name)
+
+    def __repr__(self):
+        op_str = f", op={self.op!r}" if self.op is not None else ""
+        header = f"{type(self).__name__} (delayed {self.method_name}{op_str}, dtype={self.dtype}, shape={self._shape})"
+        if _get_config().get("autocompute") and self._shape is not None and all(
+            d <= 64 for d in self._shape
+        ):
+            try:
+                return header + "\n" + repr(self._get_value())
+            except Exception:
+                return header
+        return header
+
+    def isequal(self, other, **kwargs):
+        return self._get_value().isequal(other, **kwargs)
+
+    def isclose(self, other, **kwargs):
+        return self._get_value().isclose(other, **kwargs)
+
+    def __lshift__(self, other):
+        raise TypeError(f"Cannot use << on an expression; did you mean to call .new()?")

@@ -1,0 +1,521 @@
+"""Shared expression builders for Matrix and Vector.
+
+Each builder returns a BaseExpression whose compute closure calls the engine
+(ops/densemasked).  This is the layer where the reference picks a
+``cfunc_name`` (e.g. "GrB_Matrix_eWiseMult_BinaryOp",
+/root/reference/graphblas/core/matrix.py:1952-2042); here it binds typed JAX
+ops into engine closures.
+"""
+
+import numpy as np
+
+from .. import exceptions as _exc
+from ..ops import densemasked as _dm
+from . import dtypes as _dt
+from .base import BaseExpression
+from .operator import find_opclass, get_typed_op
+from .scalar import Scalar, _as_scalar, _is_scalar_like
+
+
+def _arrays_of(obj):
+    return obj._values, obj._struct
+
+
+def _check_same_shape(a, b, within):
+    if a.shape != b.shape:
+        raise _exc.DimensionMismatch(
+            f"Dimensions not compatible in {within}: {a.shape} != {b.shape}"
+        )
+
+
+def ewise_expr(self, other, op, how, *, left_default=None, right_default=None):
+    """eWiseAdd / eWiseMult / eWiseUnion (reference: core/matrix.py:1861-2202)."""
+    from .matrix import Matrix, TransposedMatrix
+    from .vector import Vector
+
+    other = self._expect_type(
+        other,
+        (Matrix, TransposedMatrix, Vector),
+        within=f"ewise_{how}",
+        argname="other",
+    )
+    if other.ndim != self.ndim:
+        raise TypeError(f"ewise_{how} requires matching ranks; got {self.ndim}D and {other.ndim}D")
+    _check_same_shape(self, other, f"ewise_{how}")
+    op_t = get_typed_op(op, self.dtype, other.dtype, kind="binary")
+    _, opclass = find_opclass(op_t)
+    if opclass == "Semiring":
+        # reference allows semirings in ewise by taking the multiply op for
+        # mult and the add monoid for add
+        op_t = op_t.binaryop if how == "mult" else op_t.monoid
+    out_cls = Matrix if self.ndim == 2 else Vector
+
+    if how == "union":
+        ld = _as_scalar(left_default)
+        rd = _as_scalar(right_default)
+
+        def compute():
+            av, as_ = _arrays_of(self)
+            bv, bs = _arrays_of(other)
+            av = av.astype(op_t.type_.np_type)
+            bv = bv.astype(op_t.type2.np_type)
+            return _dm.ewise_union(av, as_, bv, bs, op_t, ld._device_value(op_t.type_.np_type), rd._device_value(op_t.type2.np_type))
+
+    else:
+        engine = _dm.ewise_mult if how == "mult" else _dm.ewise_add
+
+        def compute():
+            av, as_ = _arrays_of(self)
+            bv, bs = _arrays_of(other)
+            av = av.astype(op_t.type_.np_type)
+            bv = bv.astype(op_t.type2.np_type)
+            return engine(av, as_, bv, bs, op_t)
+
+    return BaseExpression(
+        f"ewise_{how}",
+        out_cls,
+        compute,
+        op=op_t,
+        dtype=op_t.return_type,
+        shape=self.shape,
+        args=(self, other),
+        opname=f"ewise_{how}[{op_t.name}]",
+    )
+
+
+def apply_expr(self, op, right=None, *, left=None, thunk=None):
+    """GrB_apply: unary / bound-binary / indexunary+thunk
+    (reference: core/matrix.py:2375-2533)."""
+    from .matrix import Matrix
+    from .vector import Vector
+
+    out_cls = Matrix if self.ndim == 2 else Vector
+    op_resolved, opclass = find_opclass(op if not isinstance(op, str) else None)
+    if isinstance(op, str):
+        op = get_typed_op(op, self.dtype, kind="unary|binary")
+        op_resolved, opclass = find_opclass(op)
+
+    if opclass in {"IndexUnaryOp", "SelectOp"}:
+        if opclass == "SelectOp":
+            # reference lifts SelectOp to its IndexUnaryOp for apply
+            op = op._iu if hasattr(op, "_iu") and op._iu is not None else op
+        op_t = get_typed_op(op, self.dtype, kind="indexunary")
+        thunk_s = _as_scalar(thunk if thunk is not None else 0, getattr(op_t.parent, "_thunk_dtype", None))
+        if getattr(op_t.parent, "positional", None) in {"rowindex", "colindex", "diagindex"} or (
+            op_t.parent.positional is not None and op_t.parent.orig_func is None
+        ):
+            pass
+
+        def compute():
+            v, s = _arrays_of(self)
+            v = v.astype(op_t.type_.np_type)
+            return _dm.apply_indexunary(v, s, op_t, thunk_s._device_value())
+
+        return BaseExpression(
+            "apply", out_cls, compute, op=op_t, dtype=op_t.return_type, shape=self.shape, args=(self,), opname=f"apply[{op_t.name}]"
+        )
+
+    if right is None and left is None and thunk is None:
+        op_t = get_typed_op(op, self.dtype, kind="unary")
+        _, opclass2 = find_opclass(op_t)
+        if opclass2 == "BinaryOp":
+            raise TypeError(
+                f"Binary op {op_t.name} passed to apply without left or right; "
+                "provide `left=` or `right=` to bind one argument"
+            )
+        if getattr(op_t, "positional", None) is not None:
+            def compute():
+                v, s = _arrays_of(self)
+                return _dm.apply_positional_unary(v, s, op_t, 0)
+
+        else:
+            def compute():
+                v, s = _arrays_of(self)
+                v = v.astype(op_t.type_.np_type)
+                return _dm.apply_unary(v, s, op_t)
+
+        return BaseExpression(
+            "apply", out_cls, compute, op=op_t, dtype=op_t.return_type, shape=self.shape, args=(self,), opname=f"apply[{op_t.name}]"
+        )
+
+    if right is not None and left is not None:
+        raise TypeError("Cannot provide both `left` and `right` to apply")
+    bound = right if right is not None else left
+    if not _is_scalar_like(bound) and not isinstance(bound, Scalar):
+        raise TypeError(f"`{'right' if right is not None else 'left'}` must be a scalar; got {type(bound)}")
+    bound = _as_scalar(bound)
+    if right is not None:
+        op_t = get_typed_op(op, self.dtype, bound.dtype, is_right_scalar=True, kind="binary")
+    else:
+        op_t = get_typed_op(op, bound.dtype, self.dtype, is_left_scalar=True, kind="binary")
+
+    def compute():
+        v, s = _arrays_of(self)
+        v = v.astype(op_t.type_.np_type if right is not None else op_t.type2.np_type)
+        b = bound._device_value(op_t.type2.np_type if right is not None else op_t.type_.np_type)
+        if right is not None:
+            bound_op = _BoundRight(op_t, b)
+        else:
+            bound_op = _BoundLeft(op_t, b)
+        return _dm.apply_unary(v, s, bound_op)
+
+    return BaseExpression(
+        "apply", out_cls, compute, op=op_t, dtype=op_t.return_type, shape=self.shape, args=(self,), opname=f"apply[{op_t.name}]"
+    )
+
+
+class _BoundOpBase:
+    """Hashable wrapper so jit can cache on (op, bound-value is traced)."""
+
+    __slots__ = ("op_t", "b")
+
+    def __init__(self, op_t, b):
+        self.op_t = op_t
+        self.b = b
+
+    @property
+    def parent(self):
+        return self.op_t.parent
+
+    @property
+    def return_type(self):
+        return self.op_t.return_type
+
+    def __hash__(self):
+        return hash((type(self), self.op_t))
+
+    def __eq__(self, other):
+        return type(self) is type(other) and self.op_t is other.op_t
+
+
+class _BoundRight(_BoundOpBase):
+    __slots__ = ()
+
+    @property
+    def fn(self):
+        op_fn, b = self.op_t.fn, self.b
+        return lambda x: op_fn(x, b)
+
+
+class _BoundLeft(_BoundOpBase):
+    __slots__ = ()
+
+    @property
+    def fn(self):
+        op_fn, b = self.op_t.fn, self.b
+        return lambda x: op_fn(b, x)
+
+
+def select_expr(self, op, thunk=None):
+    """GrB_select (reference: core/matrix.py:2534-2635)."""
+    from .matrix import Matrix
+    from .vector import Vector
+
+    if isinstance(op, str) and thunk is None and any(c in op for c in "<>=!"):
+        op, thunk = _parse_select_string(op)
+    out_cls = Matrix if self.ndim == 2 else Vector
+    op_t = get_typed_op(op, self.dtype, kind="select")
+    thunk_s = _as_scalar(thunk if thunk is not None else 0, getattr(op_t.parent, "_thunk_dtype", None))
+
+    def compute():
+        v, s = _arrays_of(self)
+        return _dm.select_op(v, s, op_t, thunk_s._device_value())
+
+    return BaseExpression(
+        "select", out_cls, compute, op=op_t, dtype=self.dtype, shape=self.shape, args=(self,), opname=f"select[{op_t.name}]"
+    )
+
+
+def _parse_select_string(string):
+    """Support e.g. select("value <= 5") / select(">0") shorthand
+    (reference accepts comparison strings in select)."""
+    import re
+
+    s = string.replace("value", "").strip()
+    m = re.match(r"(==|!=|<=|>=|<|>)\s*(.+)", s)
+    if m is None:
+        raise ValueError(f"Invalid select string: {string!r}")
+    cmp_map = {"==": "valueeq", "!=": "valuene", "<": "valuelt", "<=": "valuele", ">": "valuegt", ">=": "valuege"}
+    thunk = float(m.group(2)) if "." in m.group(2) or "e" in m.group(2).lower() else int(m.group(2))
+    import graphblas_tpu.select as select_mod
+
+    return getattr(select_mod, cmp_map[m.group(1)]), thunk
+
+
+def reduce_axis_expr(self, monoid, axis, method_name):
+    """reduce_rowwise/columnwise (reference: core/matrix.py:2636-2735)."""
+    from .vector import Vector
+
+    monoid_t, opclass = _resolve_reduce_op(monoid, self.dtype)
+    out_size = self.shape[0] if axis == 1 else self.shape[1]
+    if opclass == "Aggregator":
+        return BaseExpression(
+            method_name, Vector, None, op=monoid_t, dtype=monoid_t.return_type, shape=(out_size,), args=(self,), opname=method_name
+        )
+
+    def compute():
+        v, s = _arrays_of(self)
+        v = v.astype(monoid_t.type_.np_type)
+        return _dm.reduce_axis(v, s, monoid_t, axis)
+
+    return BaseExpression(
+        method_name, Vector, compute, op=monoid_t, dtype=monoid_t.return_type, shape=(out_size,), args=(self,), opname=f"{method_name}[{monoid_t.name}]"
+    )
+
+
+def reduce_scalar_expr(self, monoid, allow_empty, method_name="reduce_scalar"):
+    """reduce to Scalar (reference: core/matrix.py:2712-2763)."""
+    monoid_t, opclass = _resolve_reduce_op(monoid, self.dtype)
+    if opclass == "Aggregator":
+        return BaseExpression(
+            method_name, Scalar, None, op=monoid_t, dtype=monoid_t.return_type, shape=(), args=(self,), opname=method_name
+        )
+
+    def compute():
+        v, s = _arrays_of(self)
+        v = v.astype(monoid_t.type_.np_type)
+        val, present = _dm.reduce_all(v, s, monoid_t)
+        if not allow_empty:
+            import jax.numpy as jnp
+
+            ident = monoid_t.identity
+            if ident is not None:
+                val = jnp.where(present, val, jnp.asarray(ident, val.dtype))
+            present = jnp.asarray(True)
+        return val, present
+
+    return BaseExpression(
+        method_name, Scalar, compute, op=monoid_t, dtype=monoid_t.return_type, shape=(), args=(self,), opname=f"{method_name}[{monoid_t.name}]"
+    )
+
+
+def _resolve_reduce_op(monoid, dtype):
+    from .operator.agg import Aggregator, TypedAggregator
+
+    if isinstance(monoid, (Aggregator, TypedAggregator)):
+        return monoid[dtype] if isinstance(monoid, Aggregator) else monoid, "Aggregator"
+    if isinstance(monoid, str):
+        monoid = get_typed_op(monoid, dtype, kind="binary|aggregator")
+        _, opclass = find_opclass(monoid)
+        if opclass == "Aggregator":
+            return monoid, "Aggregator"
+    monoid_t = get_typed_op(monoid, dtype, kind="monoid")
+    _, opclass = find_opclass(monoid_t)
+    if opclass == "BinaryOp":
+        parent_monoid = monoid_t.monoid
+        if parent_monoid is None:
+            raise _exc.DomainMismatch(f"BinaryOp {monoid_t.name} has no corresponding monoid for reduce")
+        monoid_t = parent_monoid
+        opclass = "Monoid"
+    if opclass == "Aggregator":
+        return monoid_t, "Aggregator"
+    return monoid_t, opclass
+
+
+def mxm_expr(a, b, semiring_op, method_name="mxm"):
+    """GrB_mxm / mxv / vxm (reference: core/matrix.py:2203-2331)."""
+    from .matrix import Matrix, TransposedMatrix
+    from .vector import Vector
+
+    a_is_vec = a.ndim == 1
+    b_is_vec = b.ndim == 1
+    k1 = a.shape[0] if a_is_vec else a.shape[1]
+    k2 = b.shape[0]
+    if k1 != k2:
+        raise _exc.DimensionMismatch(
+            f"Dimensions not compatible for {method_name}: inner dims {k1} != {k2}"
+        )
+    sr = get_typed_op(semiring_op, a.dtype, b.dtype, kind="semiring")
+    _, opclass = find_opclass(sr)
+    if opclass == "BinaryOp":
+        raise TypeError(f"{method_name} requires a Semiring; got BinaryOp {sr.name}. Maybe use a monoid_binaryop name.")
+    if a_is_vec and b_is_vec:
+        out_cls, shape = Scalar, ()
+    elif a_is_vec:
+        out_cls, shape = Vector, (b.shape[1],)
+    elif b_is_vec:
+        out_cls, shape = Vector, (a.shape[0],)
+    else:
+        out_cls, shape = Matrix, (a.shape[0], b.shape[1])
+
+    def compute():
+        av, as_ = _arrays_of(a)
+        bv, bs = _arrays_of(b)
+        av = av.astype(sr.binaryop.type_.np_type)
+        bv = bv.astype(sr.binaryop.type2.np_type)
+        if a_is_vec and b_is_vec:
+            cv, cs = _dm.vxm(av, as_, bv[:, None], bs[:, None], sr, sr.return_type)
+            return cv[0], cs[0]
+        if a_is_vec:
+            return _dm.vxm(av, as_, bv, bs, sr, sr.return_type)
+        if b_is_vec:
+            return _dm.mxv(av, as_, bv, bs, sr, sr.return_type)
+        return _dm.mxm(av, as_, bv, bs, sr, sr.return_type)
+
+    return BaseExpression(
+        method_name,
+        out_cls,
+        compute,
+        op=sr,
+        dtype=sr.return_type,
+        shape=shape,
+        args=(a, b),
+        opname=f"{method_name}[{sr.name}]",
+    )
+
+
+def kronecker_expr(a, b, op):
+    from .matrix import Matrix
+
+    op_t = get_typed_op(op, a.dtype, b.dtype, kind="binary")
+    _, opclass = find_opclass(op_t)
+    if opclass == "Semiring":
+        op_t = op_t.binaryop
+    shape = (a.shape[0] * b.shape[0], a.shape[1] * b.shape[1])
+
+    def compute():
+        av, as_ = _arrays_of(a)
+        bv, bs = _arrays_of(b)
+        av = av.astype(op_t.type_.np_type)
+        bv = bv.astype(op_t.type2.np_type)
+        return _dm.kronecker(av, as_, bv, bs, op_t, op_t.return_type)
+
+    return BaseExpression(
+        "kronecker", Matrix, compute, op=op_t, dtype=op_t.return_type, shape=shape, args=(a, b), opname=f"kronecker[{op_t.name}]"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Assign machinery (reference: core/matrix.py:3116-3581 _prep_for_assign)
+# ---------------------------------------------------------------------------
+
+
+def do_assign(self, resolved, value, *, mask, accum, replace, is_submask):
+    """Single sink for C(mask, accum)[idx] = value.
+
+    Constructs Z = "C with the region replaced/merged", then applies the
+    mask/replace merge:
+    - GrB_assign: mask is C-shaped; replace clears anywhere outside the mask.
+    - GxB_subassign (is_submask=True): mask is region-shaped; mask/replace
+      effects are confined to the region.
+    """
+    import jax.numpy as jnp
+
+    from .base import BaseExpression as _BE
+    from .expr import AmbiguousAssignOrExtract
+    from .infix import InfixExprBase
+    from .matrix import TransposedMatrix
+
+    if isinstance(value, AmbiguousAssignOrExtract) or isinstance(value, InfixExprBase):
+        value = value.new()
+    elif isinstance(value, _BE):
+        value = value.new()
+    elif isinstance(value, TransposedMatrix):
+        value = value.new()
+
+    indices = resolved.indices
+    dims = [ix for ix in indices]
+    region_shape = tuple(1 if ix.kind == "int" else ix.size for ix in dims)
+    out_shape = resolved.out_shape  # squeezed
+
+    # -- build region (av, as_) -------------------------------------------------
+    from .matrix import Matrix
+    from .vector import Vector
+
+    deleting = False
+    if _is_scalar_like(value) or isinstance(value, Scalar):
+        sc = _as_scalar(value)
+        if sc.is_empty:
+            deleting = True
+            av = jnp.zeros(region_shape, self._values.dtype)
+            as_ = jnp.zeros(region_shape, bool)
+        else:
+            av = jnp.full(region_shape, sc._device_value(self.dtype.np_type))
+            as_ = jnp.ones(region_shape, bool)
+            if mask is not None and is_submask:
+                # scalar subassign only fills where the (region) mask is true
+                pass
+    elif isinstance(value, Vector):
+        if len(out_shape) != 1 or out_shape[0] != value.shape[0]:
+            raise _exc.DimensionMismatch(
+                f"shapes not compatible for assign: value {value.shape} into region {out_shape}"
+            )
+        av = value._values.reshape(region_shape).astype(self._values.dtype)
+        as_ = value._struct.reshape(region_shape)
+    elif isinstance(value, Matrix):
+        if out_shape != value.shape:
+            raise _exc.DimensionMismatch(
+                f"shapes not compatible for assign: value {value.shape} into region {out_shape}"
+            )
+        av = value._values.astype(self._values.dtype)
+        as_ = value._struct
+    else:
+        raise TypeError(f"Bad type for assignment value: {type(value)}")
+
+    # -- scatter into C-shape ----------------------------------------------------
+    cv, cs = self._values, self._struct
+    if self.ndim == 1:
+        idx = jnp.asarray(np.atleast_1d(indices[0].index))
+        sv, ss, rsel = _dm.scatter_region_vector(cv, cs, idx, av.reshape(-1), as_.reshape(-1))
+    else:
+        rows = jnp.asarray(np.atleast_1d(indices[0].index))
+        cols = jnp.asarray(np.atleast_1d(indices[1].index))
+        sv, ss, rsel = _dm.scatter_region_matrix(
+            cv, cs, rows, cols, av.reshape(len(rows), len(cols)), as_.reshape(len(rows), len(cols))
+        )
+
+    if accum is not None and not deleting:
+        # union-merge within the region instead of pattern replacement
+        sa = ss & rsel
+        scattered_s = jnp.where(rsel, ss, False)
+        both = cs & scattered_s
+        zv = jnp.where(both, accum.fn(cv, sv).astype(cv.dtype), jnp.where(scattered_s, sv, cv))
+        zs = cs | scattered_s
+    else:
+        zv, zs = sv, ss
+
+    # -- mask / replace merge ----------------------------------------------------
+    if mask is None:
+        ncv, ncs = _dm.masked_merge(cv, cs, zv, zs, None, None, False, False)
+        self._set_arrays(ncv, ncs)
+        return
+
+    mask_bits = mask._bits()
+    if is_submask or mask.parent.shape != self.shape:
+        # region-shaped mask: scatter its bits into C-shape
+        expected = out_shape if out_shape else region_shape
+        if mask.parent.shape != expected and mask.parent.shape != region_shape:
+            raise _exc.DimensionMismatch(
+                f"mask shape {mask.parent.shape} does not match region {out_shape} or output {self.shape}"
+            )
+        mb = mask_bits.reshape(region_shape)
+        if self.ndim == 1:
+            full_bits = jnp.zeros(self.shape, bool).at[idx].set(mb.reshape(-1))
+        else:
+            full_bits = (
+                jnp.zeros(self.shape, bool)
+                .at[rows[:, None], cols[None, :]]
+                .set(mb.reshape(len(rows), len(cols)))
+            )
+        ncv, ncs = _dm.masked_merge(cv, cs, zv, zs, full_bits, None, bool(replace), True, region=rsel)
+    else:
+        ncv, ncs = _dm.masked_merge(cv, cs, zv, zs, mask_bits, None, bool(replace), True)
+    self._set_arrays(ncv, ncs)
+
+
+def do_delete(self, resolved, mask=None):
+    """del C[idx] — remove entries in the region (reference: __delitem__)."""
+    import jax.numpy as jnp
+
+    indices = resolved.indices
+    cv, cs = self._values, self._struct
+    if self.ndim == 1:
+        idx = jnp.asarray(np.atleast_1d(indices[0].index))
+        cs = cs.at[idx].set(False)
+        cv = cv.at[idx].set(0)
+    else:
+        rows = jnp.asarray(np.atleast_1d(indices[0].index))
+        cols = jnp.asarray(np.atleast_1d(indices[1].index))
+        cs = cs.at[rows[:, None], cols[None, :]].set(False)
+        cv = cv.at[rows[:, None], cols[None, :]].set(0)
+    self._set_arrays(cv, cs)

@@ -1,0 +1,303 @@
+"""Indexing machinery: IndexerResolver + AmbiguousAssignOrExtract.
+
+Reference: /root/reference/graphblas/core/expr.py (parse_index :100-258,
+AmbiguousAssignOrExtract :290-401, Assigner/Updater setitem :404-481) and
+core/slice.py.  Slices materialize to index arrays (the engine gathers with
+``jnp.take``); there is no GxB_RANGE fast path because gathers are one fused
+XLA op either way.
+"""
+
+import numpy as np
+
+from .. import exceptions as _exc
+from . import dtypes as _dt
+from .base import BaseExpression, Updater, _check_mask
+
+
+class _DimIndex:
+    __slots__ = "kind", "index", "size"
+
+    def __init__(self, kind, index, size):
+        self.kind = kind  # "int" | "array"
+        self.index = index  # int | np.ndarray[int64]
+        self.size = size  # None for "int", out-dim size for "array"
+
+
+def _parse_one(index, dim_size, dim_name):
+    from .scalar import Scalar
+
+    if isinstance(index, Scalar):
+        if index.is_empty:
+            raise _exc.EmptyObject("Empty Scalar is invalid when indexing")
+        if not index.dtype._is_int:
+            raise TypeError(f"An integer is required for indexing; got Scalar of {index.dtype}")
+        index = int(index.value)
+    if isinstance(index, (int, np.integer)) and not isinstance(index, (bool, np.bool_)):
+        idx = int(index)
+        if idx < 0:
+            idx += dim_size
+        if idx < 0 or idx >= dim_size:
+            raise _exc.IndexOutOfBound(f"Index out of range: index={index}, {dim_name}={dim_size}")
+        return _DimIndex("int", idx, None)
+    if isinstance(index, slice):
+        arr = np.arange(*index.indices(dim_size), dtype=np.int64)
+        return _DimIndex("array", arr, len(arr))
+    if isinstance(index, (list, tuple, np.ndarray, range)):
+        arr = np.asarray(index)
+        if arr.dtype == np.bool_:
+            raise TypeError("Boolean indexing is not supported; use a mask instead")
+        if not np.issubdtype(arr.dtype, np.integer):
+            raise TypeError(f"{dim_name} indices must be integers, not {arr.dtype}")
+        arr = arr.astype(np.int64).reshape(-1)
+        neg = arr < 0
+        if neg.any():
+            arr = np.where(neg, arr + dim_size, arr)
+        if ((arr < 0) | (arr >= dim_size)).any():
+            raise _exc.IndexOutOfBound(f"Index out of range for dimension of size {dim_size}")
+        return _DimIndex("array", arr, len(arr))
+    # device arrays
+    if hasattr(index, "__array__"):
+        return _parse_one(np.asarray(index), dim_size, dim_name)
+    raise TypeError(f"Invalid type for index: {type(index)}")
+
+
+class IndexerResolver:
+    """Parse user indices (reference: core/expr.py:100-258)."""
+
+    __slots__ = "parent", "indices"
+
+    def __init__(self, parent, keys):
+        self.parent = parent
+        if parent.ndim == 1:
+            if isinstance(keys, tuple):
+                if len(keys) != 1:
+                    raise TypeError(f"Index for {type(parent).__name__} cannot be a {len(keys)}-tuple")
+                keys = keys[0]
+            self.indices = (_parse_one(keys, parent.shape[0], "size"),)
+        else:
+            if not isinstance(keys, tuple):
+                if keys is Ellipsis:
+                    keys = (slice(None), slice(None))
+                else:
+                    raise TypeError(
+                        "Index for Matrix must be a 2-tuple (rows, cols); "
+                        f"got a single {type(keys).__name__}"
+                    )
+            if len(keys) != 2:
+                raise TypeError(f"Index for Matrix must be a 2-tuple; got {len(keys)} items")
+            rows = slice(None) if keys[0] is Ellipsis else keys[0]
+            cols = slice(None) if keys[1] is Ellipsis else keys[1]
+            self.indices = (
+                _parse_one(rows, parent.shape[0], "nrows"),
+                _parse_one(cols, parent.shape[1], "ncols"),
+            )
+
+    @property
+    def out_shape(self):
+        return tuple(ix.size for ix in self.indices if ix.kind == "array")
+
+    @property
+    def is_single_element(self):
+        return all(ix.kind == "int" for ix in self.indices)
+
+
+class AmbiguousAssignOrExtract:
+    """``C[idx]`` — an extract until assigned to (reference: core/expr.py:290-401)."""
+
+    def __init__(self, parent, resolved_indexes, updater=None):
+        self.parent = parent
+        self.resolved_indexes = resolved_indexes
+        self._updater = updater
+        self._input_mask = None
+        self._value = None
+
+    # -- shape/type introspection ---------------------------------------------
+
+    @property
+    def shape(self):
+        return self.resolved_indexes.out_shape
+
+    @property
+    def ndim(self):
+        return len(self.shape)
+
+    @property
+    def dtype(self):
+        return self.parent.dtype
+
+    @property
+    def output_type(self):
+        from .matrix import Matrix
+        from .scalar import Scalar
+        from .vector import Vector
+
+        n = len(self.shape)
+        return (Scalar, Vector, Matrix)[n]
+
+    _output_type = output_type
+
+    # -- extract path ----------------------------------------------------------
+
+    def _with_input_mask(self, input_mask):
+        new = AmbiguousAssignOrExtract(self.parent, self.resolved_indexes, updater=self._updater)
+        new._input_mask = input_mask
+        return new
+
+    def _extract_delayed(self):
+        """Return a BaseExpression computing the extraction
+        (reference: Matrix._prep_for_extract core/matrix.py:3051-3087)."""
+        parent = self.parent
+        res = self.resolved_indexes
+        out_cls = self.output_type
+        input_mask = self._input_mask
+        if input_mask is not None and input_mask.parent.shape != parent.shape:
+            raise _exc.DimensionMismatch("input_mask shape must match the indexed collection")
+
+        def compute():
+            import jax.numpy as jnp
+
+            from ..ops import densemasked as _dm
+
+            values, struct = parent._values, parent._struct
+            if input_mask is not None:
+                struct = struct & input_mask._bits()
+            if parent.ndim == 1:
+                (ix,) = res.indices
+                if ix.kind == "int":
+                    return values[ix.index][None], struct[ix.index][None]
+                return _dm.extract_vector(values, struct, jnp.asarray(ix.index))
+            rows, cols = res.indices
+            if rows.kind == "int" and cols.kind == "int":
+                return (
+                    values[rows.index, cols.index][None],
+                    struct[rows.index, cols.index][None],
+                )
+            if rows.kind == "int":
+                v, s = _dm.extract_vector(values[rows.index], struct[rows.index], jnp.asarray(cols.index))
+                return v, s
+            if cols.kind == "int":
+                v, s = _dm.extract_vector(values[:, cols.index], struct[:, cols.index], jnp.asarray(rows.index))
+                return v, s
+            return _dm.extract_matrix(values, struct, jnp.asarray(rows.index), jnp.asarray(cols.index))
+
+        from .scalar import Scalar
+
+        if out_cls is Scalar:
+            def compute_scalar():
+                v, s = compute()
+                return v[0], s[0]
+
+            return BaseExpression(
+                "extract_element",
+                Scalar,
+                compute_scalar,
+                dtype=parent.dtype,
+                shape=(),
+                args=(parent,),
+                opname="extract_element",
+            )
+        return BaseExpression(
+            "extract",
+            out_cls,
+            compute,
+            dtype=parent.dtype,
+            shape=self.shape,
+            args=(parent,),
+            opname="extract",
+        )
+
+    def new(self, dtype=None, *, mask=None, input_mask=None, name=None, **opts):
+        target = self if input_mask is None else self._with_input_mask(_check_mask(input_mask))
+        expr = target._extract_delayed()
+        return expr.new(dtype, mask=mask, name=name, **opts)
+
+    dup = new
+
+    @property
+    def value(self):
+        """Scalar element access (reference: core/expr.py:377-383)."""
+        if self.shape != ():
+            raise AttributeError("Only Scalar extracts have .value")
+        return self.new().value
+
+    def _get_value(self):
+        if self._value is None:
+            self._value = self.new()
+        return self._value
+
+    # -- assign path -------------------------------------------------------------
+
+    def update(self, value):
+        """``C[idx] << value`` (reference: core/expr.py:385-401)."""
+        if self._updater is not None:
+            self._updater[_keys_of(self.resolved_indexes)] = value
+        else:
+            Updater(self.parent)[_keys_of(self.resolved_indexes)] = value
+
+    def __lshift__(self, value):
+        self.update(value)
+
+    def __call__(self, *args, mask=None, accum=None, replace=False, **opts):
+        """``C[idx](mask) << value`` — subassign: the mask is region-sized
+        (GxB_subassign semantics; reference: core/expr.py:313-334)."""
+        updater = self.parent(*args, mask=mask, accum=accum, replace=replace, **opts)
+        return _SubAssigner(self.parent, self.resolved_indexes, updater)
+
+    # -- autocompute delegation ----------------------------------------------
+
+    def __getattr__(self, name):
+        if name.startswith("_"):
+            raise AttributeError(name)
+        out_cls = self.output_type
+        if hasattr(out_cls, name):
+            import graphblas_tpu
+
+            if not graphblas_tpu.config.get("autocompute"):
+                raise TypeError(
+                    "AmbiguousAssignOrExtract is not computed automatically (autocompute "
+                    f"is off). Call .new() first to access .{name}."
+                )
+            return getattr(self._get_value(), name)
+        raise AttributeError(name)
+
+    def __repr__(self):
+        return f"{type(self).__name__} {self.parent.name or type(self.parent).__name__}[...]"
+
+    def isequal(self, other, **kwargs):
+        return self._get_value().isequal(other, **kwargs)
+
+    def isclose(self, other, **kwargs):
+        return self._get_value().isclose(other, **kwargs)
+
+
+def _keys_of(resolved):
+    keys = []
+    for ix in resolved.indices:
+        keys.append(ix.index)
+    if len(keys) == 1:
+        return keys[0]
+    return tuple(keys)
+
+
+class _SubAssigner:
+    """Target of ``C[idx](mask, accum) << value`` — subassign semantics."""
+
+    __slots__ = "parent", "resolved", "updater"
+
+    def __init__(self, parent, resolved, updater):
+        self.parent = parent
+        self.resolved = resolved
+        self.updater = updater
+
+    def __lshift__(self, value):
+        self.update(value)
+
+    def update(self, value):
+        self.parent._assign(
+            self.resolved,
+            value,
+            mask=self.updater.mask,
+            accum=self.updater.accum,
+            replace=self.updater.replace,
+            is_submask=True,
+        )

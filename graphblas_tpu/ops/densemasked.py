@@ -1,0 +1,595 @@
+"""Dense-masked reference engine: every GraphBLAS operation family on
+(values, struct) pairs of static-shape device arrays.
+
+This module replaces the SuiteSparse:GraphBLAS compute engine (reference layer
+L0; every ``cfunc_name`` string in /root/reference/graphblas/core/matrix.py,
+e.g. ``GrB_mxm`` at core/matrix.py:2321, dispatches to C code that this module
+reimplements in JAX).  Representation:
+
+- a Matrix is ``(values[nrows, ncols], struct[nrows, ncols] bool)``
+- a Vector is ``(values[size], struct[size] bool)``
+- absent positions hold the dtype's zero (canonical form)
+
+All entry points are ``jax.jit``-compiled with operators passed statically, so
+each (op, shape, dtype) specializes once and then replays from the XLA cache —
+the analogue of SuiteSparse's runtime JIT specializing C kernels per op/type.
+
+Monoid reduction uses a variadic ``lax.reduce`` over (value, present) pairs::
+
+    comp((va, pa), (vb, pb)) = (pa & pb ? fn(va, vb) : pa ? va : vb, pa | pb)
+
+which is associative whenever ``fn`` is, needs no identity element (so the
+ANY monoid and IEEE edge cases need no special identity plumbing), and
+matches "reduce only over present entries" semantics exactly.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_MXM_CHUNK = 128  # k-chunk for the generic semiring matmul (bounds memory to m*n*chunk)
+
+
+def _jit(fn=None, *, static=()):
+    if fn is None:
+        return functools.partial(_jit, static=static)
+    return jax.jit(fn, static_argnames=static)
+
+
+def zero_of(dtype):
+    return np.zeros((), dtype)[()]
+
+
+def canonical(values, struct):
+    """Force absent positions to zero (storage invariant)."""
+    return jnp.where(struct, values, zero_of(values.dtype)), struct
+
+
+# ---------------------------------------------------------------------------
+# Monoid reduction core
+# ---------------------------------------------------------------------------
+
+
+def _pair_reduce(values, struct, fn, axes):
+    """Reduce (values, struct) over ``axes`` with the present-aware monoid."""
+
+    def comp(a, b):
+        va, pa = a
+        vb, pb = b
+        both = pa & pb
+        v = jnp.where(both, fn(va, vb), jnp.where(pa, va, vb))
+        return v, pa | pb
+
+    init = (zero_of(values.dtype), np.bool_(False))
+    return jax.lax.reduce((values, struct), init, comp, axes)
+
+
+def _monoid_reduce(values, struct, monoid, axes):
+    """Reduce with a typed monoid; fast vectorized paths for the common
+    monoids, present-aware pair reduce for the rest."""
+    name = monoid.parent.name if hasattr(monoid, "parent") else None
+    dtype = values.dtype
+    if name in {"plus", "times", "lor", "land", "min", "max"} and not jnp.issubdtype(dtype, jnp.complexfloating):
+        if name == "plus":
+            if dtype == jnp.bool_:
+                out = jnp.any(values & struct, axis=axes)
+            else:
+                out = jnp.sum(jnp.where(struct, values, zero_of(dtype)), axis=axes)
+        elif name == "times":
+            if dtype == jnp.bool_:
+                out = jnp.all(jnp.where(struct, values, True), axis=axes)
+            else:
+                out = jnp.prod(jnp.where(struct, values, np.asarray(1, dtype)), axis=axes)
+        elif name == "lor":
+            out = jnp.any(jnp.where(struct, values.astype(bool), False), axis=axes).astype(dtype)
+        elif name == "land":
+            out = jnp.all(jnp.where(struct, values.astype(bool), True), axis=axes).astype(dtype)
+        elif name == "min":
+            ident = monoid.identity
+            out = jnp.min(jnp.where(struct, values, ident), axis=axes)
+        else:  # max
+            ident = monoid.identity
+            out = jnp.max(jnp.where(struct, values, ident), axis=axes)
+        return out, jnp.any(struct, axis=axes)
+    return _pair_reduce(values, struct, monoid.fn if monoid.fn is not None else (lambda a, b: a), tuple(axes))
+
+
+@_jit(static=("monoid", "axis"))
+def reduce_axis(values, struct, monoid, axis):
+    """Rowwise (axis=1) / columnwise (axis=0) monoid reduce -> vector.
+    Reference: GrB_Matrix_reduce_Monoid (core/matrix.py:2636-2735)."""
+    v, s = _monoid_reduce(values, struct, monoid, (axis,))
+    return canonical(v, s)
+
+
+@_jit(static=("monoid",))
+def reduce_all(values, struct, monoid):
+    """Full monoid reduce -> scalar.  Reference: GrB_Matrix_reduce_<T>."""
+    v, s = _monoid_reduce(values.reshape(-1), struct.reshape(-1), monoid, (0,))
+    return v, s
+
+
+# ---------------------------------------------------------------------------
+# Elementwise family
+# ---------------------------------------------------------------------------
+
+
+def _safe(values, struct, op):
+    """Substitute absent values with 1 before applying fns that can trap/junk
+    on the 0 canonical fill (integer division etc.)."""
+    parent = getattr(op, "parent", None)
+    if parent is not None and getattr(parent, "_needs_safe_fill", False):
+        return jnp.where(struct, values, np.asarray(1, values.dtype))
+    return values
+
+
+@_jit(static=("op",))
+def apply_unary(values, struct, op):
+    """GrB_Matrix_apply (reference: core/matrix.py:2375-2533)."""
+    out = op.fn(_safe(values, struct, op))
+    return canonical(out, struct)
+
+
+@_jit(static=("op", "offset"))
+def apply_positional_unary(values, struct, op, offset):
+    which, delta = op.positional if not isinstance(op.positional, str) else (op.positional, 0)
+    shape = values.shape
+    if len(shape) == 1:
+        idx = jax.lax.broadcasted_iota(jnp.int64, (shape[0], 1), 0)[:, 0]
+    else:
+        dim = 0 if which == "i" else 1
+        idx = jax.lax.broadcasted_iota(jnp.int64, shape, dim)
+    out = (idx + delta + offset).astype(op.return_type.np_type)
+    return canonical(jnp.broadcast_to(out, shape), struct)
+
+
+def _index_grids(shape):
+    if len(shape) == 1:
+        i = jax.lax.broadcasted_iota(jnp.int64, (shape[0], 1), 0)[:, 0]
+        j = jnp.zeros_like(i)
+    else:
+        i = jax.lax.broadcasted_iota(jnp.int64, shape, 0)
+        j = jax.lax.broadcasted_iota(jnp.int64, shape, 1)
+    return i, j
+
+
+@_jit(static=("op",))
+def apply_indexunary(values, struct, op, thunk):
+    """GrB_Matrix_apply_IndexOp (reference: core/matrix.py:2451-2533)."""
+    i, j = _index_grids(values.shape)
+    out = op.fn(_safe(values, struct, op), i, j, thunk)
+    return canonical(out, struct)
+
+
+@_jit(static=("op",))
+def select_op(values, struct, op, thunk):
+    """GrB_Matrix_select_* (reference: core/matrix.py:2534-2635)."""
+    i, j = _index_grids(values.shape)
+    keep = op.fn(values, i, j, thunk)
+    return canonical(values, struct & keep)
+
+
+@_jit(static=("op",))
+def ewise_mult(av, as_, bv, bs, op):
+    """GrB_Matrix_eWiseMult (intersection).  Reference: core/matrix.py:1952."""
+    struct = as_ & bs
+    if op.is_positional:
+        return _positional_ewise(av.shape, struct, op)
+    out = op.fn(_safe(av, as_, op), _safe(bv, bs, op))
+    return canonical(out, struct)
+
+
+@_jit(static=("op",))
+def ewise_add(av, as_, bv, bs, op):
+    """GrB_Matrix_eWiseAdd (union; both-present uses op).
+    Reference: core/matrix.py:1861."""
+    struct = as_ | bs
+    if op.is_positional:
+        return _positional_ewise(av.shape, struct, op)
+    both = as_ & bs
+    out = op.fn(_safe(av, as_, op), _safe(bv, bs, op))
+    # non-intersecting entries pass through, cast to the op's output dtype
+    out = jnp.where(both, out, jnp.where(as_, av.astype(out.dtype), bv.astype(out.dtype)))
+    return canonical(out, struct)
+
+
+@_jit(static=("op",))
+def ewise_union(av, as_, bv, bs, op, left_default, right_default):
+    """GxB_Matrix_eWiseUnion (union; absent side uses default).
+    Reference: core/matrix.py:2043."""
+    struct = as_ | bs
+    if op.is_positional:
+        return _positional_ewise(av.shape, struct, op)
+    a_filled = jnp.where(as_, av, left_default.astype(av.dtype))
+    b_filled = jnp.where(bs, bv, right_default.astype(bv.dtype))
+    out = op.fn(a_filled, b_filled)
+    return canonical(out, struct)
+
+
+def _positional_ewise(shape, struct, op):
+    which, delta = op.positional
+    i, j = _index_grids(shape)
+    idx = {"firsti": i, "firstj": j, "secondi": i, "secondj": j}[which]
+    out = (idx + delta).astype(op.return_type.np_type)
+    return canonical(out, struct)
+
+
+# ---------------------------------------------------------------------------
+# Semiring matmul family (mxm / mxv / vxm)
+# ---------------------------------------------------------------------------
+
+
+def _mxm_fast_path(av, as_, bv, bs, semiring, out_np_dtype):
+    """MXU-friendly lowerings for semirings that map onto plus-times algebra.
+
+    plus_times       -> A @ B on values (absent = 0 annihilates)
+    plus_pair/oneb   -> struct @ struct (overlap counts)
+    plus_first       -> A @ struct ; plus_second -> struct @ B
+    any/lor_pair,land,times over bool -> overlap > 0
+    Returns None when no fast form applies.
+    """
+    add = semiring.monoid.parent.name
+    mul = semiring.binaryop.parent.name
+    a_bool = as_
+    b_bool = bs
+    if jnp.issubdtype(jnp.dtype(out_np_dtype), jnp.complexfloating):
+        return None
+    acc_dtype = np.promote_types(out_np_dtype, np.int32) if np.issubdtype(out_np_dtype, np.integer) else out_np_dtype
+    if np.issubdtype(np.dtype(out_np_dtype), np.bool_):
+        acc_dtype = np.int32
+
+    def mm(x, y):
+        return jnp.matmul(x, y, preferred_element_type=jnp.dtype(acc_dtype))
+
+    overlap = None
+
+    def get_overlap():
+        nonlocal overlap
+        if overlap is None:
+            overlap = mm(a_bool.astype(np.int32), b_bool.astype(np.int32))
+        return overlap
+
+    if add == "plus" and not np.issubdtype(np.dtype(out_np_dtype), np.bool_):
+        if mul == "times":
+            cv = mm(av.astype(acc_dtype), bv.astype(acc_dtype))
+        elif mul in {"pair", "oneb"}:
+            cv = get_overlap().astype(acc_dtype)
+        elif mul == "first":
+            cv = mm(av.astype(acc_dtype), b_bool.astype(acc_dtype))
+        elif mul == "second":
+            cv = mm(a_bool.astype(acc_dtype), bv.astype(acc_dtype))
+        else:
+            return None
+        cs = get_overlap() > 0
+        return cv.astype(out_np_dtype), cs
+    if add in {"lor", "any", "lxor", "plus"} and mul in {"pair", "oneb", "land", "times", "lor", "first", "second"}:
+        if np.dtype(out_np_dtype) == np.bool_ and mul in {"pair", "oneb"}:
+            # purely structural: reachability
+            cs = get_overlap() > 0
+            if add == "lxor":
+                cv = get_overlap() % 2 == 1
+            else:
+                cv = cs
+            return cv, cs
+    return None
+
+
+def _mul_values(avk, bvk, ik, kk, jk, mul):
+    """Compute the (m, ck, n) product block for a typed multiply op, handling
+    positional multiplies (firsti/secondj/... produce indices, reference:
+    core/operator/base.py:33-87)."""
+    pos = mul.positional
+    if pos is None:
+        return mul.fn(avk[:, :, None], bvk[None, :, :])
+    if pos == "indexbinary":
+        return mul.fn(avk[:, :, None], ik, kk, bvk[None, :, :], kk, jk)
+    which, delta = pos
+    # a is indexed (i, k); b is indexed (k, j)
+    idx = {"firsti": ik, "firstj": kk, "secondi": kk, "secondj": jk}[which]
+    return (idx + delta).astype(mul.return_type.np_type)
+
+
+@_jit(static=("semiring", "out_dtype"))
+def mxm(av, as_, bv, bs, semiring, out_dtype):
+    """GrB_mxm over any semiring (reference: core/matrix.py:2264-2331).
+
+    Strategy 1: MXU matmul forms for plus_times-family semirings.
+    Strategy 2: generic chunked semiring contraction — scan over k-chunks,
+    each chunk does an (m, ck, n) broadcast multiply + present-aware monoid
+    reduce on the VPU, chunks combine with the monoid.
+    """
+    out_np = np.dtype(out_dtype.np_type)
+    m, k = av.shape
+    k2, n = bv.shape
+    fast = None
+    if semiring.binaryop.positional is None:
+        fast = _mxm_fast_path(av, as_, bv, bs, semiring, out_np)
+    if fast is not None:
+        cv, cs = fast
+        return canonical(cv.astype(out_np), cs)
+
+    add = semiring.monoid
+    mul = semiring.binaryop
+    chunk = min(_MXM_CHUNK, max(k, 1))
+    pad = (-k) % chunk if k else chunk
+    if pad or k == 0:
+        av = jnp.pad(av, ((0, 0), (0, pad if k else chunk)))
+        as_ = jnp.pad(as_, ((0, 0), (0, pad if k else chunk)))
+        bv = jnp.pad(bv, ((0, pad if k else chunk), (0, 0)))
+        bs = jnp.pad(bs, ((0, pad if k else chunk), (0, 0)))
+    kp = av.shape[1]
+    nchunks = kp // chunk
+
+    a_v = av.reshape(m, nchunks, chunk).transpose(1, 0, 2)
+    a_s = as_.reshape(m, nchunks, chunk).transpose(1, 0, 2)
+    b_v = bv.reshape(nchunks, chunk, n)
+    b_s = bs.reshape(nchunks, chunk, n)
+
+    i_grid = jax.lax.broadcasted_iota(jnp.int64, (m, chunk, n), 0)
+    j_grid = jax.lax.broadcasted_iota(jnp.int64, (m, chunk, n), 2)
+    k_local = jax.lax.broadcasted_iota(jnp.int64, (m, chunk, n), 1)
+
+    fn = add.fn if add.fn is not None else (lambda a, b: a)
+
+    def body(carry, xs):
+        cv, cs = carry
+        avk, ask, bvk, bsk, koff = xs
+        pres = ask[:, :, None] & bsk[None, :, :]
+        avk_safe = jnp.where(ask, avk, np.asarray(1, avk.dtype)) if getattr(mul.parent, "_needs_safe_fill", False) else avk
+        bvk_safe = jnp.where(bsk, bvk, np.asarray(1, bvk.dtype)) if getattr(mul.parent, "_needs_safe_fill", False) else bvk
+        prod = _mul_values(avk_safe, bvk_safe, i_grid, k_local + koff, j_grid, mul)
+        prod = jnp.broadcast_to(prod, (m, chunk, n)).astype(out_np)
+        bv_red, bs_red = _pair_reduce(prod, pres, fn, (1,))
+        both = cs & bs_red
+        newv = jnp.where(both, fn(cv, bv_red), jnp.where(cs, cv, bv_red))
+        return (newv, cs | bs_red), None
+
+    init = (jnp.zeros((m, n), out_np), jnp.zeros((m, n), bool))
+    koffs = (jnp.arange(nchunks) * chunk).astype(jnp.int64)
+    (cv, cs), _ = jax.lax.scan(body, init, (a_v, a_s, b_v, b_s, koffs))
+    return canonical(cv, cs)
+
+
+@_jit(static=("semiring", "out_dtype"))
+def mxv(av, as_, xv, xs, semiring, out_dtype):
+    """GrB_mxv (reference: core/matrix.py:2203).  Treats v as a column so
+    positional multiplies see j = 0."""
+    cv, cs = mxm(av, as_, xv[:, None], xs[:, None], semiring, out_dtype)
+    return cv[:, 0], cs[:, 0]
+
+
+@_jit(static=("semiring", "out_dtype"))
+def vxm(xv, xs, bv, bs, semiring, out_dtype):
+    """GrB_vxm (reference: core/vector.py:1309)."""
+    cv, cs = mxm(xv[None, :], xs[None, :], bv, bs, semiring, out_dtype)
+    return cv[0], cs[0]
+
+
+@_jit(static=("op", "out_dtype"))
+def kronecker(av, as_, bv, bs, op, out_dtype):
+    """GrB_kronecker (reference: core/matrix.py:2333)."""
+    m, n = av.shape
+    p, q = bv.shape
+    a_safe = _safe(av, as_, op)
+    b_safe = _safe(bv, bs, op)
+    prod = op.fn(a_safe[:, None, :, None], b_safe[None, :, None, :])
+    pres = as_[:, None, :, None] & bs[None, :, None, :]
+    cv = jnp.broadcast_to(prod, (m, p, n, q)).reshape(m * p, n * q).astype(np.dtype(out_dtype.np_type))
+    cs = jnp.broadcast_to(pres, (m, p, n, q)).reshape(m * p, n * q)
+    return canonical(cv, cs)
+
+
+# ---------------------------------------------------------------------------
+# Extract / assign / build
+# ---------------------------------------------------------------------------
+
+
+@_jit
+def extract_matrix(values, struct, rows, cols):
+    """GrB_Matrix_extract (reference: core/matrix.py:3051-3087)."""
+    v = jnp.take(jnp.take(values, rows, axis=0), cols, axis=1)
+    s = jnp.take(jnp.take(struct, rows, axis=0), cols, axis=1)
+    return v, s
+
+
+@_jit
+def extract_vector(values, struct, idx):
+    v = jnp.take(values, idx)
+    s = jnp.take(struct, idx)
+    return v, s
+
+
+@_jit
+def scatter_region_matrix(cv, cs, rows, cols, av, as_):
+    """Scatter a region-shaped (av, as_) into C at rows x cols; also returns
+    the region-selector bool array (used for assign/subassign semantics,
+    reference: core/matrix.py:3116-3529)."""
+    zv = cv.at[rows[:, None], cols[None, :]].set(av.astype(cv.dtype))
+    zs = cs.at[rows[:, None], cols[None, :]].set(as_)
+    rsel = jnp.zeros(cv.shape, bool).at[rows[:, None], cols[None, :]].set(True)
+    return zv, zs, rsel
+
+
+@_jit
+def scatter_region_vector(cv, cs, idx, av, as_):
+    zv = cv.at[idx].set(av.astype(cv.dtype))
+    zs = cs.at[idx].set(as_)
+    rsel = jnp.zeros(cv.shape, bool).at[idx].set(True)
+    return zv, zs, rsel
+
+
+# ---------------------------------------------------------------------------
+# Mask / accumulator merge: the single sink every mutating op funnels through
+# (analogue of BaseType._update -> GrB call, reference: core/base.py:338-514)
+# ---------------------------------------------------------------------------
+
+
+@_jit(static=("accum", "replace", "has_mask"))
+def masked_merge(cv, cs, zv, zs, mask_bits, accum, replace, has_mask, region=None):
+    """Combine computed result Z into C under mask/accum/replace semantics.
+
+    - accum: None -> Z replaces C's pattern; else accum(C, Z) on intersection,
+      pass-through on either-only.
+    - mask_bits: bool array (already complemented if needed), or unused when
+      has_mask=False.
+    - replace: outside-mask entries are cleared (within ``region`` when given,
+      GxB_subassign semantics; everywhere for GrB ops).
+    - region: bool array limiting where Z applies (assign/subassign); None
+      means the whole output.
+    """
+    zv = zv.astype(cv.dtype)
+    if accum is not None:
+        both = cs & zs
+        merged = jnp.where(both, accum.fn(cv, zv).astype(cv.dtype), jnp.where(zs, zv, cv))
+        zs = cs | zs
+        zv = merged
+    if not has_mask:
+        if region is None:
+            return canonical(zv, zs)
+        # no mask: Z already restricted to region by construction
+        return canonical(zv, zs)
+    m = mask_bits
+    if region is not None:
+        # mask applies only within the region; outside-region keeps C
+        keep_z = m & region
+        out_s = jnp.where(keep_z, zs, jnp.where(region & replace, jnp.zeros_like(cs), cs)) if replace else jnp.where(keep_z, zs, cs)
+        out_v = jnp.where(keep_z, zv, cv)
+        return canonical(out_v, out_s)
+    if replace:
+        out_s = m & zs
+        out_v = jnp.where(m, zv, zero_of(cv.dtype))
+    else:
+        out_s = jnp.where(m, zs, cs)
+        out_v = jnp.where(m, zv, cv)
+    return canonical(out_v, out_s)
+
+
+@_jit(static=("complement", "structural"))
+def mask_to_bits(mv, ms, complement, structural):
+    """Resolve one of the 4 mask types to a bool array
+    (reference mask classes: core/mask.py:133-202)."""
+    if structural:
+        bits = ms
+    else:
+        bits = ms & (mv != 0 if mv.dtype != jnp.bool_ else mv)
+    if complement:
+        bits = ~bits
+    return bits
+
+
+# ---------------------------------------------------------------------------
+# Positional / order-based reductions (argmin/argmax/first/last aggregators,
+# reference: core/operator/agg.py:535-758)
+# ---------------------------------------------------------------------------
+
+
+@_jit(static=("which", "axis"))
+def argminmax_axis(values, struct, which, axis):
+    if jnp.issubdtype(values.dtype, jnp.floating):
+        big, small = np.inf, -np.inf
+    elif values.dtype == jnp.bool_:
+        big, small = True, False
+    else:
+        info = np.iinfo(values.dtype)
+        big, small = info.max, info.min
+    if which == "min":
+        filled = jnp.where(struct, values, jnp.asarray(big, values.dtype))
+        idx = jnp.argmin(filled, axis=axis)
+    else:
+        filled = jnp.where(struct, values, jnp.asarray(small, values.dtype))
+        idx = jnp.argmax(filled, axis=axis)
+    s = jnp.any(struct, axis=axis)
+    return idx.astype(jnp.int64), s
+
+
+@_jit(static=("which", "axis"))
+def firstlast_axis(values, struct, which, axis):
+    n = struct.shape[axis]
+    pos = jax.lax.broadcasted_iota(jnp.int64, struct.shape, axis)
+    if which == "first":
+        filled = jnp.where(struct, pos, n)
+        idx = jnp.min(filled, axis=axis)
+    else:
+        filled = jnp.where(struct, pos, -1)
+        idx = jnp.max(filled, axis=axis)
+    s = jnp.any(struct, axis=axis)
+    idx = jnp.clip(idx, 0, n - 1)
+    vals = jnp.take_along_axis(values, jnp.expand_dims(idx, axis), axis=axis).squeeze(axis)
+    return vals, idx, s
+
+
+# ---------------------------------------------------------------------------
+# Misc structure ops
+# ---------------------------------------------------------------------------
+
+
+@_jit
+def transpose(values, struct):
+    return values.T, struct.T
+
+
+@_jit(static=("row_offset", "col_offset"))
+def reposition_matrix(values, struct, row_offset, col_offset):
+    """GrB_Matrix_reposition recipe (reference: core/matrix.py:2764-2838)."""
+    out_v = jnp.zeros_like(values)
+    out_s = jnp.zeros_like(struct)
+    # shift via roll + zeroing out-of-range
+    rolled_v = jnp.roll(jnp.roll(values, row_offset, axis=0), col_offset, axis=1)
+    rolled_s = jnp.roll(jnp.roll(struct, row_offset, axis=0), col_offset, axis=1)
+    i, j = _index_grids(values.shape)
+    valid = (i >= row_offset if row_offset >= 0 else i < values.shape[0] + row_offset) & (
+        j >= col_offset if col_offset >= 0 else j < values.shape[1] + col_offset
+    )
+    return canonical(jnp.where(valid, rolled_v, out_v), jnp.where(valid, rolled_s, out_s))
+
+
+@_jit(static=("k",))
+def diag_extract(values, struct, k):
+    """Extract diagonal k as a vector (reference: Matrix.diag core/matrix.py:720)."""
+    v = jnp.diagonal(values, offset=k)
+    s = jnp.diagonal(struct, offset=k)
+    return v, s
+
+
+@_jit(static=("k", "nrows", "ncols"))
+def diag_build(values, struct, k, nrows, ncols):
+    """Build a matrix with vector on diagonal k (reference: gb.ss.diag)."""
+    n = values.shape[0]
+    out_v = jnp.zeros((nrows, ncols), values.dtype)
+    out_s = jnp.zeros((nrows, ncols), bool)
+    idx = jnp.arange(n)
+    rows = idx + (-k if k < 0 else 0)
+    cols = idx + (k if k > 0 else 0)
+    out_v = out_v.at[rows, cols].set(values)
+    out_s = out_s.at[rows, cols].set(struct)
+    return out_v, out_s
+
+
+@_jit(static=("monoid", "axis"))
+def prefix_scan(values, struct, monoid, axis):
+    """Prefix scan over present entries along an axis.
+
+    The reference implements this as semiring mxm against synthesized
+    selector matrices (core/ss/prefix_scan.py:12-183 — Blelloch sweeps); on
+    TPU an ``associative_scan`` of the present-aware monoid is the natural
+    lowering.
+    """
+    fn = monoid.fn if monoid.fn is not None else (lambda a, b: a)
+
+    def comp(a, b):
+        va, pa = a
+        vb, pb = b
+        both = pa & pb
+        v = jnp.where(both, fn(va, vb), jnp.where(pb, vb, va))
+        return v, pa | pb
+
+    v, s = jax.lax.associative_scan(comp, (values, struct), axis=axis)
+    # scan result is present where the original entry was present
+    return canonical(v, struct)
+
+
+@_jit
+def flatten_matrix(values, struct):
+    return values.reshape(-1), struct.reshape(-1)

@@ -1,0 +1,128 @@
+"""``graphblas_tpu.tx``: TPU-engine extension namespace.
+
+Analogue of ``graphblas.ss`` (reference: /root/reference/graphblas/ss/_core.py):
+free functions (diag, concat), the global engine config, and an About mapping.
+``graphblas_tpu.ss`` aliases this module for drop-in familiarity.
+"""
+
+import numpy as np
+
+from ..core.config import Config
+from ..core import dtypes as _dt
+
+# Global engine config (analogue of gb.ss.config, reference: ss/_core.py:108-257)
+config = Config(
+    "graphblas_tpu.tx",
+    defaults={
+        # mxm lowering strategy: "auto" picks MXU forms when available
+        "mxm_strategy": "auto",
+        # generic-mxm k-chunk size
+        "mxm_chunk": 128,
+        # default device platform preference ("tpu" > "cpu")
+        "platform": "auto",
+        # print engine dispatch diagnostics (analogue of SuiteSparse burble)
+        "burble": False,
+        # accepted for compatibility; XLA owns threading
+        "nthreads": 0,
+        "chunk": 0,
+    },
+)
+
+
+class _About(dict):
+    def __repr__(self):
+        return "\n".join(f"{k}: {v}" for k, v in self.items())
+
+
+def _make_about():
+    import jax
+
+    import graphblas_tpu
+
+    return _About(
+        {
+            "library_name": "graphblas_tpu JAX engine",
+            "library_version": graphblas_tpu.__version__,
+            "jax_version": jax.__version__,
+            "platform": jax.default_backend(),
+            "device_count": jax.device_count(),
+        }
+    )
+
+
+def __getattr__(name):
+    if name == "about":
+        return _make_about()
+    raise AttributeError(f"module 'graphblas_tpu.tx' has no attribute {name!r}")
+
+
+def diag(x, k=0, dtype=None, *, name=None):
+    """Vector -> diagonal Matrix, or Matrix -> diagonal Vector
+    (reference: gb.ss.diag, ss/_core.py:24-72)."""
+    from ..core.matrix import Matrix
+    from ..core.vector import Vector
+
+    if isinstance(x, Vector):
+        result = x.diag(k)
+        if dtype is not None:
+            result = result.dup(dtype)
+        if name:
+            result.name = name
+        return result
+    if isinstance(x, Matrix):
+        result = x.diag(k, dtype)
+        if name:
+            result.name = name
+        return result
+    raise TypeError(f"diag requires a Matrix or Vector; got {type(x)}")
+
+
+def concat(tiles, dtype=None, *, name=None):
+    """Concatenate a 2-D grid of Matrix tiles (or a list of Vectors)
+    (reference: gb.ss.concat, ss/_core.py:73-106)."""
+    import jax.numpy as jnp
+
+    from ..core.matrix import Matrix
+    from ..core.vector import Vector
+
+    if not isinstance(tiles, (list, tuple)) or not tiles:
+        raise TypeError("tiles argument must be a non-empty list")
+    first = tiles[0]
+    if isinstance(first, (list, tuple)):
+        # grid of matrices
+        rows_v = []
+        rows_s = []
+        for row in tiles:
+            row = [t._get_value() if hasattr(t, "_get_value") and not isinstance(t, Matrix) else t for t in row]
+            rows_v.append(jnp.concatenate([t._values for t in row], axis=1))
+            rows_s.append(jnp.concatenate([t._struct for t in row], axis=1))
+        v = jnp.concatenate(rows_v, axis=0)
+        s = jnp.concatenate(rows_s, axis=0)
+        out_dtype = dtype if dtype is not None else tiles[0][0].dtype
+        return Matrix._from_arrays(v.astype(_dt.lookup_dtype(out_dtype).np_type), s, out_dtype, name=name)
+    # list of vectors
+    v = jnp.concatenate([t._values for t in tiles])
+    s = jnp.concatenate([t._struct for t in tiles])
+    out_dtype = dtype if dtype is not None else tiles[0].dtype
+    return Vector._from_arrays(v.astype(_dt.lookup_dtype(out_dtype).np_type), s, out_dtype, name=name)
+
+
+class burble:
+    """Context manager toggling engine dispatch diagnostics
+    (analogue of SuiteSparse burble, reference: graphblas/ss/__init__.py:1)."""
+
+    def __init__(self):
+        self._saved = None
+
+    @property
+    def is_enabled(self):
+        return config["burble"]
+
+    def __enter__(self):
+        self._saved = config["burble"]
+        config["burble"] = True
+        return self
+
+    def __exit__(self, *exc):
+        config["burble"] = self._saved
+        return False

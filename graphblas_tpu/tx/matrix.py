@@ -1,0 +1,319 @@
+"""Per-Matrix extension namespace ``A.tx`` (aliased as ``A.ss``).
+
+Analogue of the reference's ``Matrix.ss`` (core/ss/matrix.py): format
+introspection, split/concat tiling, scan, selectk/compactify/sort,
+serialize/deserialize, iterators, import/export of raw buffers.
+"""
+
+import io
+import pickle
+
+import numpy as np
+
+from ..core import dtypes as _dt
+from ..core.utils import normalize_chunks
+from ..ops import densemasked as _dm
+
+
+class MatrixTx:
+    def __init__(self, parent):
+        self._parent = parent
+
+    # -- introspection (reference: core/ss/matrix.py:183-251) -------------------
+
+    @property
+    def format(self):
+        return "densemasked"
+
+    @property
+    def nbytes(self):
+        p = self._parent
+        return p._values.nbytes + p._struct.nbytes
+
+    @property
+    def is_iso(self):
+        import jax.numpy as jnp
+
+        p = self._parent
+        if p.nvals == 0:
+            return True
+        vals = p._values[p._struct]
+        return bool(jnp.all(vals == vals[0])) if vals.size else True
+
+    @property
+    def config(self):
+        from ..core.config import Config
+
+        return Config("Matrix.tx", defaults={"format": "densemasked"})
+
+    # -- tiling (reference: core/ss/matrix.py:280-380) --------------------------
+
+    def split(self, chunks, *, name=None):
+        """Split into a 2-D grid of tiles (reference: Matrix.ss.split :280)."""
+        from ..core.matrix import Matrix
+
+        p = self._parent
+        chunksizes = normalize_chunks(chunks, p.shape)
+        row_sizes, col_sizes = chunksizes
+        tiles = []
+        r0 = 0
+        for ri, rs in enumerate(row_sizes):
+            row_tiles = []
+            c0 = 0
+            for ci, cs_ in enumerate(col_sizes):
+                v = p._values[r0 : r0 + rs, c0 : c0 + cs_]
+                s = p._struct[r0 : r0 + rs, c0 : c0 + cs_]
+                row_tiles.append(
+                    Matrix._from_arrays(v, s, p.dtype, name=f"{name or p.name or 'split'}_{ri}x{ci}")
+                )
+                c0 += cs_
+            tiles.append(row_tiles)
+            r0 += rs
+        return tiles
+
+    # -- scans and sorts (reference: core/ss/matrix.py:3689,3983) ----------------
+
+    def scan(self, op="plus", order="rowwise", *, name=None):
+        """Prefix scan over present entries (reference: Matrix.ss.scan :3689)."""
+        from ..core.matrix import Matrix
+        from ..core.operator import get_typed_op
+
+        p = self._parent
+        monoid = get_typed_op(op, p.dtype, kind="monoid")
+        axis = 1 if order in {"rowwise", "row"} else 0
+        v, s = _dm.prefix_scan(p._values.astype(monoid.type_.np_type), p._struct, monoid, axis)
+        return Matrix._from_arrays(v, s, monoid.return_type, name=name)
+
+    def sort(self, op="lt", order="rowwise", *, values=True, permutation=True, nthreads=None):
+        """Sort values within each row/column (reference: GxB_Matrix_sort,
+        core/ss/matrix.py:3983)."""
+        import jax.numpy as jnp
+
+        from ..core.matrix import Matrix
+
+        p = self._parent
+        axis = 1 if order in {"rowwise", "row"} else 0
+        opname = op if isinstance(op, str) else getattr(op, "name", "lt")
+        descending = opname in {"gt", "ge"}
+        n = p.shape[axis]
+        if jnp.issubdtype(p._values.dtype, jnp.floating):
+            big = jnp.asarray(np.inf, p._values.dtype)
+        elif p._values.dtype == jnp.bool_:
+            big = True
+        else:
+            big = jnp.asarray(np.iinfo(np.dtype(p._values.dtype)).max, p._values.dtype)
+        fill = -big if descending and p._values.dtype != jnp.bool_ else big
+        filled = jnp.where(p._struct, p._values, fill)
+        key = -filled if descending and p._values.dtype != jnp.bool_ else filled
+        order_idx = jnp.argsort(key, axis=axis, stable=True)
+        sorted_v = jnp.take_along_axis(p._values, order_idx, axis=axis)
+        sorted_s = jnp.take_along_axis(p._struct, order_idx, axis=axis)
+        # compact: present entries first in sort order
+        counts = jnp.sum(p._struct, axis=axis, keepdims=True)
+        pos = jax_broadcasted_iota(p._struct.shape, axis)
+        new_s = pos < counts
+        out_v = jnp.where(new_s, sorted_v, 0)
+        result_v = Matrix._from_arrays(out_v, new_s, p.dtype) if values else None
+        result_p = None
+        if permutation:
+            result_p = Matrix._from_arrays(order_idx.astype(np.int64), new_s, _dt.INT64)
+        if values and permutation:
+            return result_v, result_p
+        return result_v if values else result_p
+
+    def selectk(self, how, k, *, name=None):
+        """Select k entries per row: first/last/smallest/largest
+        (reference: core/ss/matrix.py:3806)."""
+        import jax.numpy as jnp
+
+        from ..core.matrix import Matrix
+
+        p = self._parent
+        s = p._struct
+        v = p._values
+        ncols = p.ncols
+        pos = jax_broadcasted_iota(s.shape, 1)
+        if how in {"first", "last"}:
+            key = jnp.where(s, pos, ncols if how == "first" else -1)
+            order = jnp.argsort(key if how == "first" else -key, axis=1, stable=True)
+        elif how in {"smallest", "largest"}:
+            if jnp.issubdtype(v.dtype, jnp.floating):
+                big = jnp.asarray(np.inf, v.dtype)
+            else:
+                big = jnp.asarray(np.iinfo(np.dtype(v.dtype)).max, v.dtype)
+            key = jnp.where(s, v, big if how == "smallest" else -big)
+            order = jnp.argsort(key if how == "smallest" else -key, axis=1, stable=True)
+        else:
+            raise ValueError(f"Invalid `how` for selectk: {how}")
+        rank = jnp.argsort(order, axis=1, stable=True)
+        keep = s & (rank < k)
+        return Matrix._from_arrays(jnp.where(keep, v, 0), keep, p.dtype, name=name)
+
+    def compactify(self, how="first", ncols=None, *, name=None):
+        """Push entries left within each row (reference: core/ss/matrix.py:3890)."""
+        import jax.numpy as jnp
+
+        from ..core.matrix import Matrix
+
+        p = self._parent
+        s, v = p._struct, p._values
+        out_cols = p.ncols if ncols is None else int(ncols)
+        reverse = how in {"last", "largest"}
+        if how in {"first", "last"}:
+            key = jax_broadcasted_iota(s.shape, 1)
+            key = jnp.where(s, key, p.ncols)
+            if reverse:
+                key = jnp.where(s, -key, 1)
+        elif how in {"smallest", "largest"}:
+            if jnp.issubdtype(v.dtype, jnp.floating):
+                big = jnp.asarray(np.inf, v.dtype)
+            else:
+                big = jnp.asarray(np.iinfo(np.dtype(v.dtype)).max, v.dtype)
+            key = jnp.where(s, v, big)
+            if reverse:
+                key = jnp.where(s, -v, big)
+        else:
+            raise ValueError(f"Invalid `how` for compactify: {how}")
+        order = jnp.argsort(key, axis=1, stable=True)
+        sorted_v = jnp.take_along_axis(v, order, axis=1)
+        sorted_s = jnp.take_along_axis(s, order, axis=1)
+        counts = jnp.sum(s, axis=1, keepdims=True)
+        pos = jax_broadcasted_iota(s.shape, 1)
+        new_s = pos < counts
+        out_v = jnp.where(new_s, sorted_v, 0)
+        if out_cols != p.ncols:
+            if out_cols < p.ncols:
+                out_v = out_v[:, :out_cols]
+                new_s = new_s[:, :out_cols]
+            else:
+                out_v = jnp.pad(out_v, ((0, 0), (0, out_cols - p.ncols)))
+                new_s = jnp.pad(new_s, ((0, 0), (0, out_cols - p.ncols)))
+        return Matrix._from_arrays(out_v, new_s, p.dtype, name=name)
+
+    def flatten(self, order="rowwise", *, name=None):
+        """Flatten to a Vector (reference: core/ss/matrix.py:3706)."""
+        from ..core.vector import Vector
+
+        p = self._parent
+        v, s = p._values, p._struct
+        if order in {"columnwise", "col"}:
+            v, s = v.T, s.T
+        return Vector._from_arrays(v.reshape(-1), s.reshape(-1), p.dtype, name=name)
+
+    def reshape(self, nrows, ncols=None, order="rowwise", *, name=None):
+        """Reshape (reference: core/ss/matrix.py:3750)."""
+        from ..core.matrix import Matrix
+
+        p = self._parent
+        if ncols is None:
+            if isinstance(nrows, tuple):
+                nrows, ncols = nrows
+            else:
+                ncols = p.nrows * p.ncols // nrows
+        if nrows * ncols != p.nrows * p.ncols:
+            raise ValueError(f"Cannot reshape {p.shape} to ({nrows}, {ncols})")
+        v, s = p._values, p._struct
+        if order in {"columnwise", "col"}:
+            v, s = v.T.reshape(ncols, nrows).T, s.T.reshape(ncols, nrows).T
+        else:
+            v, s = v.reshape(nrows, ncols), s.reshape(nrows, ncols)
+        return Matrix._from_arrays(v, s, p.dtype, name=name)
+
+    def head(self, n=10, dtype=None, *, sort=False):
+        """First n entries as (rows, cols, values) (reference: core/ss/matrix.py:3686)."""
+        r, c, v = self._parent.to_coo(dtype)
+        return r[:n], c[:n], v[:n]
+
+    # -- iterators (reference: core/ss/matrix.py:411-536) ------------------------
+
+    def iterkeys(self):
+        r, c, _ = self._parent.to_coo(values=False)
+        return iter(zip(r.tolist(), c.tolist()))
+
+    def itervalues(self):
+        _, _, v = self._parent.to_coo()
+        return iter(v.tolist())
+
+    def iteritems(self):
+        r, c, v = self._parent.to_coo()
+        return iter(zip(zip(r.tolist(), c.tolist()), v.tolist()))
+
+    # -- serialization (reference: core/ss/matrix.py:4050-4168) ------------------
+
+    def serialize(self, compression="default", level=None, **opts):
+        """Serialize to bytes; zstd compression by default."""
+        p = self._parent
+        r, c, v = p.to_coo()
+        payload = {
+            "kind": "Matrix",
+            "dtype": _dt._dtype_to_string(p.dtype.np_type),
+            "nrows": p.nrows,
+            "ncols": p.ncols,
+            "rows": r,
+            "cols": c,
+            "values": v,
+        }
+        raw = pickle.dumps(payload, protocol=5)
+        if compression in {"default", "zstd"}:
+            try:
+                import zstandard
+
+                cctx = zstandard.ZstdCompressor(level=level or 3)
+                return b"ZSTD" + cctx.compress(raw)
+            except ImportError:
+                pass
+        return b"RAW0" + raw
+
+    def export(self, format=None, *, sort=False, give_ownership=False, raw=False):
+        """Export raw buffers (reference: zero-copy export core/ss/matrix.py:537+).
+
+        Supported formats: coo/coor/cooc, csr, csc, fullr, fullc, densemasked.
+        """
+        p = self._parent
+        format = (format or "coo").lower()
+        if format in {"coo", "coor", "cooc"}:
+            r, c, v = p.to_coo()
+            return {"format": "coo", "rows": r, "cols": c, "values": v, "nrows": p.nrows, "ncols": p.ncols}
+        if format == "csr":
+            indptr, col_indices, values = p.to_csr()
+            return {"format": "csr", "indptr": indptr, "col_indices": col_indices, "values": values, "nrows": p.nrows, "ncols": p.ncols}
+        if format == "csc":
+            indptr, row_indices, values = p.to_csc()
+            return {"format": "csc", "indptr": indptr, "row_indices": row_indices, "values": values, "nrows": p.nrows, "ncols": p.ncols}
+        if format in {"fullr", "fullc"}:
+            return {"format": format, "values": p.to_dense(fill_value=0), "nrows": p.nrows, "ncols": p.ncols}
+        if format == "densemasked":
+            return {
+                "format": "densemasked",
+                "values": np.asarray(p._values),
+                "struct": np.asarray(p._struct),
+                "nrows": p.nrows,
+                "ncols": p.ncols,
+            }
+        raise ValueError(f"Invalid format for export: {format}")
+
+
+def jax_broadcasted_iota(shape, dim):
+    import jax
+
+    import jax.numpy as jnp
+
+    return jax.lax.broadcasted_iota(jnp.int64, shape, dim)
+
+
+def deserialize_matrix(data):
+    """Inverse of MatrixTx.serialize."""
+    from ..core.matrix import Matrix
+
+    tag, raw = data[:4], data[4:]
+    if tag == b"ZSTD":
+        import zstandard
+
+        raw = zstandard.ZstdDecompressor().decompress(raw)
+    elif tag != b"RAW0":
+        raise ValueError("Unrecognized serialization header")
+    payload = pickle.loads(raw)
+    dtype = _dt._string_to_dtype(payload["dtype"])
+    return Matrix.from_coo(
+        payload["rows"], payload["cols"], payload["values"], dtype, nrows=payload["nrows"], ncols=payload["ncols"]
+    )

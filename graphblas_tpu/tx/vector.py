@@ -1,0 +1,190 @@
+"""Per-Vector extension namespace ``v.tx`` (aliased as ``v.ss``).
+
+Analogue of the reference's ``Vector.ss`` (core/ss/vector.py).
+"""
+
+import pickle
+
+import numpy as np
+
+from ..core import dtypes as _dt
+from ..core.utils import normalize_chunks
+from ..ops import densemasked as _dm
+
+
+class VectorTx:
+    def __init__(self, parent):
+        self._parent = parent
+
+    @property
+    def format(self):
+        return "densemasked"
+
+    @property
+    def nbytes(self):
+        p = self._parent
+        return p._values.nbytes + p._struct.nbytes
+
+    @property
+    def is_iso(self):
+        import jax.numpy as jnp
+
+        p = self._parent
+        if p.nvals == 0:
+            return True
+        vals = p._values[p._struct]
+        return bool(jnp.all(vals == vals[0])) if vals.size else True
+
+    def split(self, chunks, *, name=None):
+        """Split into tiles (reference: core/ss/vector.py split)."""
+        from ..core.vector import Vector
+
+        p = self._parent
+        (sizes,) = normalize_chunks(chunks, p.shape)
+        tiles = []
+        start = 0
+        for i, size in enumerate(sizes):
+            tiles.append(
+                Vector._from_arrays(
+                    p._values[start : start + size],
+                    p._struct[start : start + size],
+                    p.dtype,
+                    name=f"{name or p.name or 'split'}_{i}",
+                )
+            )
+            start += size
+        return tiles
+
+    def scan(self, op="plus", *, name=None):
+        """Prefix scan (reference: core/ss/vector.py:1359)."""
+        from ..core.operator import get_typed_op
+        from ..core.vector import Vector
+
+        p = self._parent
+        monoid = get_typed_op(op, p.dtype, kind="monoid")
+        v, s = _dm.prefix_scan(p._values.astype(monoid.type_.np_type), p._struct, monoid, 0)
+        return Vector._from_arrays(v, s, monoid.return_type, name=name)
+
+    def reshape(self, nrows, ncols=None, order="rowwise", *, name=None):
+        """Reshape to a Matrix (reference: core/ss/vector.py:1372)."""
+        from ..core.matrix import Matrix
+
+        p = self._parent
+        if ncols is None:
+            if isinstance(nrows, tuple):
+                nrows, ncols = nrows
+            else:
+                ncols = p.size // nrows
+        if nrows * ncols != p.size:
+            raise ValueError(f"Cannot reshape {p.size} to ({nrows}, {ncols})")
+        v, s = p._values, p._struct
+        if order in {"columnwise", "col"}:
+            v = v.reshape(ncols, nrows).T
+            s = s.reshape(ncols, nrows).T
+        else:
+            v = v.reshape(nrows, ncols)
+            s = s.reshape(nrows, ncols)
+        return Matrix._from_arrays(v, s, p.dtype, name=name)
+
+    def selectk(self, how, k, *, name=None):
+        """Select k entries (reference: core/ss/vector.py:1403)."""
+        m = self._parent._as_matrix()
+        # operate on the 1-row transpose so rowwise kernels apply
+        result = type(m)._from_arrays(m._values.T, m._struct.T, m.dtype).tx.selectk(how, k)
+        from ..core.vector import Vector
+
+        return Vector._from_arrays(result._values[0], result._struct[0], self._parent.dtype, name=name)
+
+    def compactify(self, how="first", size=None, *, name=None):
+        """Push entries to the front (reference: core/ss/vector.py:1500)."""
+        m = self._parent._as_matrix()
+        result = type(m)._from_arrays(m._values.T, m._struct.T, m.dtype).tx.compactify(how, size)
+        from ..core.vector import Vector
+
+        return Vector._from_arrays(result._values[0], result._struct[0], self._parent.dtype, name=name)
+
+    def sort(self, op="lt", *, values=True, permutation=True, nthreads=None):
+        """Sort entries (reference: core/ss/vector.py:1560)."""
+        m = self._parent._as_matrix()
+        mt = type(m)._from_arrays(m._values.T, m._struct.T, m.dtype).tx
+        out = mt.sort(op, values=values, permutation=permutation)
+        from ..core.vector import Vector
+
+        def back(mat, dtype):
+            return Vector._from_arrays(mat._values[0], mat._struct[0], dtype)
+
+        if values and permutation:
+            v, p = out
+            return back(v, self._parent.dtype), back(p, _dt.INT64)
+        if values:
+            return back(out, self._parent.dtype)
+        return back(out, _dt.INT64)
+
+    def head(self, n=10, dtype=None, *, sort=False):
+        idx, vals = self._parent.to_coo(dtype)
+        return idx[:n], vals[:n]
+
+    def iterkeys(self):
+        idx, _ = self._parent.to_coo(values=False)
+        return iter(idx.tolist())
+
+    def itervalues(self):
+        _, vals = self._parent.to_coo()
+        return iter(vals.tolist())
+
+    def iteritems(self):
+        idx, vals = self._parent.to_coo()
+        return iter(zip(idx.tolist(), vals.tolist()))
+
+    def serialize(self, compression="default", level=None, **opts):
+        p = self._parent
+        idx, vals = p.to_coo()
+        payload = {
+            "kind": "Vector",
+            "dtype": _dt._dtype_to_string(p.dtype.np_type),
+            "size": p.size,
+            "indices": idx,
+            "values": vals,
+        }
+        raw = pickle.dumps(payload, protocol=5)
+        if compression in {"default", "zstd"}:
+            try:
+                import zstandard
+
+                cctx = zstandard.ZstdCompressor(level=level or 3)
+                return b"ZSTD" + cctx.compress(raw)
+            except ImportError:
+                pass
+        return b"RAW0" + raw
+
+    def export(self, format=None, *, sort=False, give_ownership=False, raw=False):
+        p = self._parent
+        format = (format or "sparse").lower()
+        if format == "sparse":
+            idx, vals = p.to_coo()
+            return {"format": "sparse", "indices": idx, "values": vals, "size": p.size}
+        if format == "bitmap":
+            return {
+                "format": "bitmap",
+                "bitmap": np.asarray(p._struct),
+                "values": np.asarray(p._values),
+                "size": p.size,
+            }
+        if format == "full":
+            return {"format": "full", "values": p.to_dense(fill_value=0), "size": p.size}
+        raise ValueError(f"Invalid format for export: {format}")
+
+
+def deserialize_vector(data):
+    from ..core.vector import Vector
+
+    tag, raw = data[:4], data[4:]
+    if tag == b"ZSTD":
+        import zstandard
+
+        raw = zstandard.ZstdDecompressor().decompress(raw)
+    elif tag != b"RAW0":
+        raise ValueError("Unrecognized serialization header")
+    payload = pickle.loads(raw)
+    dtype = _dt._string_to_dtype(payload["dtype"])
+    return Vector.from_coo(payload["indices"], payload["values"], dtype, size=payload["size"])
