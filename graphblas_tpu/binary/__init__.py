@@ -36,7 +36,9 @@ ss = tx
 
 def __getattr__(name):
     if name == "numpy":
-        from . import numpy as _numpy_mod
+        import importlib
 
-        return _numpy_mod
+        module = importlib.import_module("graphblas_tpu.binary.numpy")
+        setattr(_this, "numpy", module)
+        return module
     raise AttributeError(f"module 'graphblas_tpu.binary' has no attribute {name!r}")

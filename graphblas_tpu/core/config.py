@@ -28,8 +28,7 @@ class Config(MutableMapping):
         return self._values.get(key, default)
 
     @contextlib.contextmanager
-    def _set_ctx(self, updates):
-        old = {k: self._values[k] for k in updates}
+    def _set_ctx(self, old):
         try:
             yield self
         finally:
@@ -41,9 +40,9 @@ class Config(MutableMapping):
         updates.update(kwargs)
         for key, value in updates.items():
             self._check(key, value)
-        ctx = self._set_ctx(updates)
+        old = {k: self._values[k] for k in updates}
         self._values.update(updates)
-        return ctx
+        return self._set_ctx(old)
 
     # MutableMapping interface
     def __getitem__(self, key):

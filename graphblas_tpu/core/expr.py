@@ -240,7 +240,27 @@ class AmbiguousAssignOrExtract:
     def __call__(self, *args, mask=None, accum=None, replace=False, **opts):
         """``C[idx](mask) << value`` — subassign: the mask is region-sized
         (GxB_subassign semantics; reference: core/expr.py:313-334)."""
-        updater = self.parent(*args, mask=mask, accum=accum, replace=replace, **opts)
+        from .. import replace as replace_singleton
+        from .mask import Mask
+        from .base import BaseType
+        from .operator import find_opclass, get_typed_op
+
+        for arg in args:
+            if arg is replace_singleton or isinstance(arg, bool):
+                replace = arg if isinstance(arg, bool) else True
+            elif isinstance(arg, (Mask, BaseType)):
+                if mask is not None:
+                    raise TypeError("Got multiple masks")
+                mask = arg
+            else:
+                if accum is not None:
+                    raise TypeError("Got multiple accumulators")
+                accum = arg
+        if mask is not None:
+            mask = _check_mask(mask)  # validated against the region at assign time
+        if accum is not None:
+            accum = get_typed_op(accum, self.parent.dtype, kind="binary")
+        updater = Updater(self.parent, mask=mask, accum=accum, replace=replace, opts=opts, sub=True)
         return _SubAssigner(self.parent, self.resolved_indexes, updater)
 
     # -- autocompute delegation ----------------------------------------------

@@ -305,13 +305,11 @@ class OpBase:
         self._typed_ops[dtype] = typed_op
         self.types[dtype] = typed_op.return_type
 
+    positional = None  # overridden per-instance by positional ops
+
     @property
     def opclass(self):
         return type(self).__name__
-
-    @property
-    def positional(self):
-        return None
 
     @property
     def is_positional(self):

@@ -76,7 +76,10 @@ def _dotted_set(module, name, value):
             nxt = types.SimpleNamespace()
             setattr(target, part, nxt)
         target = nxt
-    if hasattr(target, parts[-1]) and not isinstance(getattr(target, parts[-1]), types.SimpleNamespace):
+    # use __dict__ (not hasattr) so lazy module __getattr__ hooks don't
+    # fabricate a conflicting attribute during the check
+    existing = getattr(target, "__dict__", {}).get(parts[-1])
+    if existing is not None and not isinstance(existing, types.SimpleNamespace):
         raise AttributeError(f"{name} is already defined")
     setattr(target, parts[-1], value)
 

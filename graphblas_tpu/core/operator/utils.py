@@ -131,7 +131,9 @@ def get_typed_op(op, dtype, dtype2=None, *, is_left_scalar=False, is_right_scala
     if isinstance(op, ParameterizedUdf):
         op = op()  # default parameters
     if isinstance(op, TypedOpBase):
-        op = op.parent if isinstance(op.parent, OpBase) else op.parent
+        # an explicitly-typed op stays pinned to its dtype
+        # (reference: core/operator/utils.py:71-78)
+        return op
     if isinstance(op, TypedAggregator):
         op = op.parent
     if isinstance(op, Aggregator):

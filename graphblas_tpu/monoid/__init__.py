@@ -23,8 +23,4 @@ ss = tx
 
 
 def __getattr__(name):
-    if name == "numpy":
-        from . import numpy as _numpy_mod
-
-        return _numpy_mod
     raise AttributeError(f"module 'graphblas_tpu.monoid' has no attribute {name!r}")

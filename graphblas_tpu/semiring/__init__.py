@@ -26,10 +26,6 @@ ss = tx
 
 
 def __getattr__(name):
-    if name == "numpy":
-        from . import numpy as _numpy_mod
-
-        return _numpy_mod
     if "_" in name and not name.startswith("_"):
         add_name, mul_name = name.split("_", 1)
         monoid_op = getattr(_monoid, add_name, None)

@@ -34,7 +34,9 @@ ss = tx
 
 def __getattr__(name):
     if name == "numpy":
-        from . import numpy as _numpy_mod
+        import importlib
 
-        return _numpy_mod
+        module = importlib.import_module("graphblas_tpu.unary.numpy")
+        setattr(_this, "numpy", module)
+        return module
     raise AttributeError(f"module 'graphblas_tpu.unary' has no attribute {name!r}")

