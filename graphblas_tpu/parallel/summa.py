@@ -1,0 +1,138 @@
+"""SUMMA-style sharded semiring matmul + edge-partitioned SpMV.
+
+Design (per SURVEY.md §2.2 north star): dense-masked blocks shard as
+P('i', 'j') over a 2-D mesh; C = A ·⊕⊗· B computes local block products and
+combines partials across the contraction axis with the semiring's add monoid
+— ``lax.psum`` over ICI when the monoid is plus, ``all_gather`` + on-device
+monoid tree otherwise.  Edge-partitioned SpMV shards the edge list across the
+whole mesh and psum-combines destination segments.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops import densemasked as _dm
+
+
+def summa_mxm(A, B, semiring_typed, out_dtype, mesh, *, axis_names=("i", "j")):
+    """Sharded semiring mxm of two dense-masked Matrix objects.
+
+    A shards P(i, j); B shards P(j, None).  Each device computes its local
+    (m/pi, k/pj) x (k/pj, n) semiring block product, then partials combine
+    over axis j with the add monoid.  Returns (values, struct) sharded P(i,).
+    """
+    ai, aj = axis_names
+    av, as_ = A._values, A._struct
+    bv, bs = B._values, B._struct
+    add = semiring_typed.monoid
+    add_name = add.parent.name if hasattr(add, "parent") else None
+    out_np = np.dtype(out_dtype.np_type)
+
+    from jax import shard_map
+
+    def local(avb, asb, bvb, bsb):
+        cv, cs = _dm.mxm(avb, asb, bvb, bsb, semiring_typed, out_dtype)
+        if add_name == "plus":
+            # absent partials are canonical 0: plain psum is the monoid combine
+            cv = jax.lax.psum(jnp.where(cs, cv, jnp.zeros((), cv.dtype)), aj)
+            cs = jax.lax.psum(cs.astype(jnp.int32), aj) > 0
+            return cv, cs
+        # generic monoid: gather partials from the j axis, tree-combine
+        all_v = jax.lax.all_gather(cv, aj)  # (pj, mloc, n)
+        all_s = jax.lax.all_gather(cs, aj)
+        fn = add.fn if add.fn is not None else (lambda a, b: a)
+
+        def comb(x, y):
+            xv, xs = x
+            yv, ys = y
+            both = xs & ys
+            return jnp.where(both, fn(xv, yv), jnp.where(xs, xv, yv)), xs | ys
+
+        v, s = all_v[0], all_s[0]
+        for t in range(1, all_v.shape[0]):
+            v, s = comb((v, s), (all_v[t], all_s[t]))
+        return jnp.where(s, v, jnp.zeros((), v.dtype)), s
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(ai, aj), P(ai, aj), P(aj, None), P(aj, None)),
+        out_specs=(P(ai, None), P(ai, None)),
+        check_vma=False,
+    )
+    av = jax.device_put(av.astype(semiring_typed.binaryop.type_.np_type), NamedSharding(mesh, P(ai, aj)))
+    as_ = jax.device_put(as_, NamedSharding(mesh, P(ai, aj)))
+    bv = jax.device_put(bv.astype(semiring_typed.binaryop.type2.np_type), NamedSharding(mesh, P(aj, None)))
+    bs = jax.device_put(bs, NamedSharding(mesh, P(aj, None)))
+    return jax.jit(fn)(av, as_, bv, bs)
+
+
+def summa_mxv(A, x, semiring_typed, out_dtype, mesh, *, axis_names=("i", "j")):
+    """Sharded semiring mxv: A P(i, j), x sharded over j; result P(i,)."""
+    ai, aj = axis_names
+    from jax import shard_map
+
+    add = semiring_typed.monoid
+    add_name = add.parent.name if hasattr(add, "parent") else None
+
+    def local(avb, asb, xvb, xsb):
+        cv, cs = _dm.mxv(avb, asb, xvb, xsb, semiring_typed, out_dtype)
+        if add_name == "plus":
+            cv = jax.lax.psum(jnp.where(cs, cv, jnp.zeros((), cv.dtype)), aj)
+            cs = jax.lax.psum(cs.astype(jnp.int32), aj) > 0
+            return cv, cs
+        all_v = jax.lax.all_gather(cv, aj)
+        all_s = jax.lax.all_gather(cs, aj)
+        fn = add.fn if add.fn is not None else (lambda a, b: a)
+        v, s = all_v[0], all_s[0]
+        for t in range(1, all_v.shape[0]):
+            both = s & all_s[t]
+            v = jnp.where(both, fn(v, all_v[t]), jnp.where(s, v, all_v[t]))
+            s = s | all_s[t]
+        return jnp.where(s, v, jnp.zeros((), v.dtype)), s
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(ai, aj), P(ai, aj), P(aj), P(aj)),
+        out_specs=(P(ai), P(ai)),
+        check_vma=False,
+    )
+    av = jax.device_put(
+        A._values.astype(semiring_typed.binaryop.type_.np_type), NamedSharding(mesh, P(ai, aj))
+    )
+    as_ = jax.device_put(A._struct, NamedSharding(mesh, P(ai, aj)))
+    xv = jax.device_put(x._values.astype(semiring_typed.binaryop.type2.np_type), NamedSharding(mesh, P(aj)))
+    xs = jax.device_put(x._struct, NamedSharding(mesh, P(aj)))
+    return jax.jit(fn)(av, as_, xv, xs)
+
+
+def sharded_spmv_step(mesh, n, *, axis_names=("i", "j")):
+    """Build a jitted edge-partitioned plus_times SpMV step over the mesh.
+
+    Edge arrays shard across ALL devices (flattened mesh); x replicates; each
+    device segment-sums its local edges and partial results psum over the
+    mesh — the O(E) analogue of SUMMA for irregular graphs.  Returns a
+    function (src, dst, w, valid, x) -> y with shardings baked in.
+    """
+    from jax import shard_map
+
+    both = axis_names
+
+    def local(src, dst, w, valid, x):
+        contrib = jnp.where(valid, w * x[src], 0)
+        part = jax.ops.segment_sum(contrib, dst, num_segments=n)
+        return jax.lax.psum(part, both)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(both), P(both), P(both), P(both), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(fn)

@@ -1,0 +1,201 @@
+"""Graph algorithm models vs host-side oracles (the acceptance workloads)."""
+
+import heapq
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu.models import (
+    Graph,
+    bfs_level,
+    bfs_parent,
+    connected_components,
+    pagerank,
+    sssp,
+    triangle_count,
+)
+from graphblas_tpu.models.graph import rmat
+
+
+@pytest.fixture(scope="module")
+def random_graph():
+    rng = np.random.default_rng(7)
+    n, e = 60, 300
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    w = (rng.random(e) * 9 + 1).astype(np.float32)
+    return Graph.from_arrays(src, dst, w, n=n), src, dst, w, n
+
+
+def _adj(src, dst, w=None):
+    adj = {}
+    for i in range(len(src)):
+        adj.setdefault(int(src[i]), []).append((int(dst[i]), float(w[i]) if w is not None else 1.0))
+    return adj
+
+
+def test_bfs_level(random_graph):
+    g, src, dst, w, n = random_graph
+    levels = np.asarray(bfs_level(g, 0))
+    # oracle BFS
+    adj = _adj(src, dst)
+    expected = -np.ones(n, np.int64)
+    expected[0] = 0
+    frontier = [0]
+    depth = 0
+    while frontier:
+        depth += 1
+        nxt = []
+        for u in frontier:
+            for v, _ in adj.get(u, []):
+                if expected[v] < 0:
+                    expected[v] = depth
+                    nxt.append(v)
+        frontier = nxt
+    np.testing.assert_array_equal(levels, expected)
+
+
+def test_bfs_parent(random_graph):
+    g, src, dst, w, n = random_graph
+    parents = np.asarray(bfs_parent(g, 0))
+    levels = np.asarray(bfs_level(g, 0))
+    edge_set = set(zip(src.tolist(), dst.tolist()))
+    assert parents[0] == 0
+    for v in range(n):
+        if v == 0:
+            continue
+        if levels[v] < 0:
+            assert parents[v] == -1
+        else:
+            p = parents[v]
+            assert (p, v) in edge_set
+            assert levels[p] == levels[v] - 1
+
+
+def test_sssp(random_graph):
+    g, src, dst, w, n = random_graph
+    dist = np.asarray(sssp(g, 0))
+    adj = _adj(src, dst, w)
+    INF = float("inf")
+    d = [INF] * n
+    d[0] = 0.0
+    pq = [(0.0, 0)]
+    while pq:
+        du, u = heapq.heappop(pq)
+        if du > d[u]:
+            continue
+        for v, wt in adj.get(u, []):
+            if du + wt < d[v]:
+                d[v] = du + wt
+                heapq.heappush(pq, (d[v], v))
+    for i in range(n):
+        if d[i] == INF:
+            assert dist[i] > 1e37
+        else:
+            assert np.isclose(dist[i], d[i], rtol=1e-5)
+
+
+def test_sssp_as_vector(random_graph):
+    g, *_ = random_graph
+    v = sssp(g, 0, as_vector=True)
+    assert v.dtype.name == "FP64"
+    assert v[0].new().value == 0.0
+
+
+def test_pagerank(random_graph):
+    g, src, dst, w, n = random_graph
+    r = np.asarray(pagerank(g, tol=1e-10))
+    assert np.isclose(r.sum(), 1.0, atol=1e-4)
+    # numpy power-iteration oracle
+    M = np.zeros((n, n))
+    for i in range(len(src)):
+        M[dst[i], src[i]] += 1.0
+    outdeg = np.zeros(n)
+    for i in range(len(src)):
+        outdeg[src[i]] += 1
+    col = np.where(outdeg > 0, outdeg, 1)
+    M = M / col[None, :]
+    x = np.full(n, 1.0 / n)
+    d = 0.85
+    for _ in range(200):
+        dangling = x[outdeg == 0].sum()
+        x = (1 - d) / n + d * (M @ x + dangling / n)
+    np.testing.assert_allclose(r, x, rtol=1e-3, atol=1e-6)
+
+
+def test_connected_components():
+    # two components: {0,1,2}, {3,4}; 5 isolated
+    src = np.array([0, 1, 3], np.int32)
+    dst = np.array([1, 2, 4], np.int32)
+    g = Graph.from_arrays(src, dst, n=6)
+    f = np.asarray(connected_components(g))
+    assert f[0] == f[1] == f[2]
+    assert f[3] == f[4]
+    assert f[0] != f[3]
+    assert f[5] not in (f[0], f[3])
+
+
+def test_connected_components_random(random_graph):
+    g, src, dst, w, n = random_graph
+    f = np.asarray(connected_components(g))
+    # union-find oracle (undirected)
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(len(src)):
+        a, b = find(int(src[i])), find(int(dst[i]))
+        if a != b:
+            parent[a] = b
+    roots = [find(i) for i in range(n)]
+    # same partition?
+    for i in range(n):
+        for j in range(i + 1, n):
+            assert (f[i] == f[j]) == (roots[i] == roots[j])
+
+
+def test_triangle_count():
+    # K4 has 4 triangles
+    edges = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    src, dst = zip(*edges)
+    g = Graph.from_arrays(np.array(src, np.int32), np.array(dst, np.int32), n=4)
+    assert triangle_count(g) == 4
+
+
+def test_triangle_count_random(random_graph):
+    g, src, dst, w, n = random_graph
+    got = triangle_count(g)
+    A = np.zeros((n, n), bool)
+    A[src, dst] = True
+    A |= A.T
+    np.fill_diagonal(A, False)
+    Ai = A.astype(np.int64)
+    expected = int(np.trace(Ai @ Ai @ Ai) // 6)
+    assert got == expected
+
+
+def test_from_matrix_roundtrip(random_graph):
+    g, *_ = random_graph
+    A = g.to_matrix()
+    g2 = Graph.from_matrix(A)
+    assert g2.n == g.n
+    l1 = np.asarray(bfs_level(g, 0))
+    l2 = np.asarray(bfs_level(g2, 0))
+    np.testing.assert_array_equal(l1, l2)
+
+
+def test_rmat_runs():
+    g = rmat(8, 4, seed=1)
+    assert g.n == 256
+    # pick a high-out-degree source (node 0 may be isolated after permutation)
+    src = np.asarray(g.src)[np.asarray(g.valid)]
+    source = int(np.bincount(src, minlength=g.n).argmax())
+    levels = np.asarray(bfs_level(g, source))
+    assert (levels >= 0).sum() > 1
+    r = np.asarray(pagerank(g, max_iters=20))
+    assert np.isfinite(r).all()
