@@ -292,7 +292,10 @@ def _string_to_dtype(s):
         obj = eval(s, {}, {})  # noqa: S307
     except Exception as exc:
         raise ValueError(f"Unknown dtype: {s!r}") from exc
-    return lookup_dtype(np.dtype(obj))
+    try:
+        return lookup_dtype(obj)
+    except ValueError:
+        return lookup_dtype(np.dtype(obj))
 
 
 class _ModuleShim:

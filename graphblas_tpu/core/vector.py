@@ -125,10 +125,7 @@ class Vector(InfixMixin, BaseType):
 
     def __reduce__(self):
         idx, vals = self.to_coo()
-        return (Vector.from_coo, (idx, vals, self._dtype, self.size), {"name": self.name})
-
-    def __setstate__(self, state):
-        self.name = state.get("name")
+        return (_vector_from_pickle, (idx, vals, self._dtype, self.size, self.name))
 
     # -- constructors ------------------------------------------------------------
 
@@ -425,6 +422,10 @@ class Vector(InfixMixin, BaseType):
         from .matrix import Matrix
 
         return Matrix._from_arrays(v, s, self._dtype)
+
+
+def _vector_from_pickle(idx, vals, dtype, size, name):
+    return Vector.from_coo(idx, vals, dtype, size=size, name=name)
 
 
 Vector._output_type = Vector

@@ -291,12 +291,35 @@ def _mul_values(avk, bvk, ik, kk, jk, mul):
     return (idx + delta).astype(mul.return_type.np_type)
 
 
+def _pallas_mxm_allowed(semiring, out_np, m, n):
+    """Static decision: lower tropical-family semirings to the Pallas VPU
+    kernel on TPU (ops/pallas_mxm)."""
+    from ..tx import config as _txconfig
+
+    strategy = _txconfig.get("mxm_strategy", "auto")
+    if strategy not in {"auto", "pallas"}:
+        return False
+    if m * n < 128 * 128 and strategy != "pallas":
+        return False
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    from .pallas_mxm import is_tropical
+
+    add = semiring.monoid.parent.name
+    mul = semiring.binaryop.parent.name
+    return is_tropical(add, mul, out_np)
+
+
 @_jit(static=("semiring", "out_dtype"))
 def mxm(av, as_, bv, bs, semiring, out_dtype):
     """GrB_mxm over any semiring (reference: core/matrix.py:2264-2331).
 
     Strategy 1: MXU matmul forms for plus_times-family semirings.
-    Strategy 2: generic chunked semiring contraction — scan over k-chunks,
+    Strategy 2: Pallas blocked VPU kernel for tropical-family semirings
+    (min_plus/max_plus/min_max/max_min) on TPU.
+    Strategy 3: generic chunked semiring contraction — scan over k-chunks,
     each chunk does an (m, ck, n) broadcast multiply + present-aware monoid
     reduce on the VPU, chunks combine with the monoid.
     """
@@ -309,6 +332,13 @@ def mxm(av, as_, bv, bs, semiring, out_dtype):
     if fast is not None:
         cv, cs = fast
         return canonical(cv.astype(out_np), cs)
+    if semiring.binaryop.positional is None and _pallas_mxm_allowed(semiring, out_np, m, n):
+        from .pallas_mxm import tropical_mxm
+
+        cv, cs = tropical_mxm(
+            av, as_, bv, bs, semiring.monoid.parent.name, semiring.binaryop.parent.name, out_np
+        )
+        return canonical(cv, cs)
 
     add = semiring.monoid
     mul = semiring.binaryop

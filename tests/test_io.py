@@ -1,0 +1,99 @@
+"""IO round-trips (models reference test_io.py)."""
+
+import io as _io
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import Matrix, Vector, dtypes
+from graphblas_tpu.io import (
+    from_networkx,
+    from_scipy_sparse,
+    mmread,
+    mmwrite,
+    to_networkx,
+    to_scipy_sparse,
+)
+
+
+@pytest.fixture
+def A():
+    return Matrix.from_coo([0, 0, 1, 2], [1, 2, 2, 0], [1.5, 2.0, 3.0, 4.0], nrows=3, ncols=3)
+
+
+def test_scipy_roundtrip(A):
+    for fmt in ["csr", "csc", "coo"]:
+        s = to_scipy_sparse(A, fmt)
+        assert s.format == fmt
+        B = from_scipy_sparse(s)
+        assert B.isequal(A)
+
+
+def test_scipy_vector():
+    v = Vector.from_coo([0, 2], [1.0, 2.0], size=4)
+    s = to_scipy_sparse(v)
+    assert s.shape == (1, 4)
+    assert s.nnz == 2
+
+
+def test_networkx_roundtrip(A):
+    G = to_networkx(A)
+    assert G.number_of_edges() == 4
+    assert G[0][1]["weight"] == 1.5
+    B = from_networkx(G)
+    assert B.isequal(A)
+
+
+def test_mmread_mmwrite(A, tmp_path):
+    path = tmp_path / "test.mtx"
+    mmwrite(str(path), A)
+    B = mmread(str(path))
+    assert B.isclose(A)
+
+
+def test_serialize_roundtrip(A):
+    from graphblas_tpu.tx.matrix import deserialize_matrix
+
+    data = A.tx.serialize()
+    B = deserialize_matrix(data)
+    assert B.isequal(A)
+    data = A.tx.serialize(compression=None)
+    B = deserialize_matrix(data)
+    assert B.isequal(A)
+
+
+def test_serialize_vector_roundtrip():
+    from graphblas_tpu.tx.vector import deserialize_vector
+
+    v = Vector.from_coo([0, 2], [1.0, 2.0], size=4)
+    data = v.tx.serialize()
+    w = deserialize_vector(data)
+    assert w.isequal(v)
+
+
+def test_pickle_roundtrip(A):
+    import pickle
+
+    B = pickle.loads(pickle.dumps(A))
+    assert B.isequal(A, check_dtype=True)
+    v = Vector.from_coo([1, 2], [3, 4], size=5, name="v")
+    w = pickle.loads(pickle.dumps(v))
+    assert w.isequal(v, check_dtype=True)
+    from graphblas_tpu import Scalar
+
+    s = Scalar.from_value(2.5)
+    t = pickle.loads(pickle.dumps(s))
+    assert t == s
+    empty = Scalar(dtypes.INT8)
+    t = pickle.loads(pickle.dumps(empty))
+    assert t.is_empty and t.dtype == dtypes.INT8
+
+
+def test_export_formats(A):
+    d = A.tx.export("csr")
+    assert d["format"] == "csr"
+    B = Matrix.from_csr(d["indptr"], d["col_indices"], d["values"], nrows=3, ncols=3)
+    assert B.isequal(A)
+    d = A.tx.export("densemasked")
+    assert d["values"].shape == (3, 3)
