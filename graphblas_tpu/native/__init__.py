@@ -1,0 +1,164 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+Build-on-first-use with g++ (no pybind11 in the image; plain C ABI).  The
+compiled library is cached next to the source keyed by a source hash.
+"""
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LOCK = threading.Lock()
+_LIB = None
+_BUILD_ERROR = None
+
+
+def _build_lib():
+    src = os.path.join(_HERE, "router.cpp")
+    with open(src, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()[:16]
+    cache_dir = os.environ.get("GRAPHBLAS_TPU_CACHE", os.path.expanduser("~/.cache/graphblas_tpu"))
+    os.makedirs(cache_dir, exist_ok=True)
+    so_path = os.path.join(cache_dir, f"libgbtpu_{digest}.so")
+    if not os.path.exists(so_path):
+        tmp = so_path + f".tmp{os.getpid()}"
+        cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17", "-pthread", src, "-o", tmp]
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, so_path)
+    lib = ctypes.CDLL(so_path)
+    lib.gbtpu_euler_color.restype = ctypes.c_int
+    lib.gbtpu_euler_color.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.gbtpu_counting_sort.restype = ctypes.c_int
+    lib.gbtpu_counting_sort.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    return lib
+
+
+def get_lib():
+    """The compiled native library, or None if unavailable."""
+    global _LIB, _BUILD_ERROR
+    if _LIB is not None or _BUILD_ERROR is not None:
+        return _LIB
+    with _LOCK:
+        if _LIB is None and _BUILD_ERROR is None:
+            try:
+                _LIB = _build_lib()
+            except Exception as exc:  # pragma: no cover - compiler missing
+                _BUILD_ERROR = exc
+    return _LIB
+
+
+def euler_color(in_rows, out_rows, R, k=128):
+    """Proper k-edge-coloring of the k-regular bipartite multigraph given by
+    parallel arrays (in_rows, out_rows).  Falls back to a (slow) pure-Python
+    implementation when no C++ toolchain is available."""
+    in_rows = np.ascontiguousarray(in_rows, np.int32)
+    out_rows = np.ascontiguousarray(out_rows, np.int32)
+    E = len(in_rows)
+    colors = np.empty(E, np.int32)
+    lib = get_lib()
+    if lib is not None:
+        rc = lib.gbtpu_euler_color(
+            in_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            E,
+            int(R),
+            int(k),
+            colors.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise RuntimeError(f"gbtpu_euler_color failed with code {rc}")
+        return colors
+    return _euler_color_python(in_rows, out_rows, int(R), int(k))
+
+
+def _euler_color_python(in_rows, out_rows, R, k):
+    """Pure-Python fallback (slow; fine for tests)."""
+    E = len(in_rows)
+    colors = np.zeros(E, np.int32)
+
+    def split(edge_ids):
+        # adjacency lists
+        adj = {}
+        for t, e in enumerate(edge_ids):
+            adj.setdefault(int(in_rows[e]), []).append(t)
+            adj.setdefault(R + int(out_rows[e]), []).append(t)
+        used = [False] * len(edge_ids)
+        ptr = dict.fromkeys(adj, 0)
+        bits = np.zeros(len(edge_ids), np.uint8)
+        for v0 in list(adj):
+            if ptr[v0] >= len(adj[v0]):
+                continue
+            vstack, estack, circuit = [v0], [-1], []
+            while vstack:
+                v = vstack[-1]
+                p = ptr[v]
+                lst = adj[v]
+                while p < len(lst) and used[lst[p]]:
+                    p += 1
+                ptr[v] = p
+                if p == len(lst):
+                    vstack.pop()
+                    t = estack.pop()
+                    if t >= 0:
+                        circuit.append(t)
+                else:
+                    t = lst[p]
+                    used[t] = True
+                    e = edge_ids[t]
+                    other = R + int(out_rows[e]) if v < R else int(in_rows[e])
+                    vstack.append(other)
+                    estack.append(t)
+            bit = 0
+            for t in reversed(circuit):
+                bits[t] = bit
+                bit ^= 1
+        return bits
+
+    classes = [np.arange(E, dtype=np.int64)]
+    level = 0
+    kk = k
+    while kk > 1:
+        nxt = []
+        for cls in classes:
+            bits = split(cls)
+            colors[cls[bits == 1]] |= 1 << level
+            nxt.append(cls[bits == 0])
+            nxt.append(cls[bits == 1])
+        classes = nxt
+        kk //= 2
+        level += 1
+    return colors
+
+
+def counting_sort(keys, n):
+    """Stable counting sort permutation of int keys in [0, n)."""
+    keys = np.ascontiguousarray(keys, np.int32)
+    E = len(keys)
+    perm = np.empty(E, np.int64)
+    lib = get_lib()
+    if lib is not None:
+        lib.gbtpu_counting_sort(
+            keys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            E,
+            int(n),
+            perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return perm
+    return np.argsort(keys, kind="stable").astype(np.int64)

@@ -1,0 +1,228 @@
+"""Permutation-network SpMV: O(E) semiring mxv without XLA gather/scatter.
+
+The pipeline (all static-shape, all fast TPU primitives):
+
+    expand:   x (n,) -> x[src] in src-sorted edge order
+              = place x at CSR boundaries (scatter of n elements, ~90 M/s is
+              fine at n-size) + segmented forward-fill (associative_scan)
+    multiply: per-edge semiring multiply with the edge weights
+    permute:  src-sorted order -> dst-sorted order via a PermutePlan
+              (lane-shuffle/transpose network, ~5 G elem/s per stage)
+    reduce:   segmented reduce by dst = inclusive scan + boundary pick
+              (plus: cumsum + diff; min/max: segmented scan + ends)
+
+Plans and layouts are built once per graph (the pattern analysis step —
+the analogue of SuiteSparse choosing Gustavson/hash/dot per matrix) and
+reused every iteration.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..native import counting_sort
+from .permute import PermutePlan, apply_plan, build_permutation_plan, padded_size
+
+
+class SpmvPlan:
+    """Static layout + routing for y = A^T-style pulls over a fixed graph.
+
+    Computes, for x over sources: y[d] = REDUCE_{edges (s -> d)} x[s] (*) w.
+    Registered as a pytree: arrays travel as jit arguments.
+    """
+
+    def __init__(self, n, e_pad, src_sorted, w_dst_order, indptr_src, indptr_dst, perm_plan, valid_dst_order):
+        self.n = n
+        self.e_pad = e_pad
+        self.src_sorted = src_sorted  # device: src of each edge in src-sorted order (int32)
+        self.w_dst_order = w_dst_order  # device: weights in dst-sorted order (or None)
+        self.indptr_src = indptr_src  # device (n+1,) int32: src segment boundaries
+        self.indptr_dst = indptr_dst  # device (n+1,) int32: dst segment boundaries
+        self.perm_plan = perm_plan  # PermutePlan: src-order -> dst-order
+        self.valid_dst_order = valid_dst_order  # device bool: real edge (in dst order)
+
+
+def _register_spmv_pytree():
+    from jax.tree_util import register_pytree_node
+
+    def flatten(p):
+        children = (p.src_sorted, p.w_dst_order, p.indptr_src, p.indptr_dst, p.perm_plan, p.valid_dst_order)
+        return children, (p.n, p.e_pad)
+
+    def unflatten(aux, children):
+        return SpmvPlan(aux[0], aux[1], *children)
+
+    register_pytree_node(SpmvPlan, flatten, unflatten)
+
+
+_register_spmv_pytree()
+
+
+def build_spmv_plan(src, dst, w=None, *, n=None):
+    """Analyze a COO graph into an SpmvPlan (host-side, once per graph)."""
+    src = np.asarray(src, np.int32)
+    dst = np.asarray(dst, np.int32)
+    e = len(src)
+    if n is None:
+        n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
+    e_pad = padded_size(e)
+    # pad with edges (n-1 -> n-1) marked invalid; they sort to the end-ish but
+    # validity masks them out of the reduce
+    pad = e_pad - e
+    src_p = np.concatenate([src, np.full(pad, n - 1, np.int32)])
+    dst_p = np.concatenate([dst, np.full(pad, n - 1, np.int32)])
+    valid_p = np.zeros(e_pad, bool)
+    valid_p[:e] = True
+    w_p = None
+    if w is not None:
+        w_p = np.concatenate([np.asarray(w, np.float32), np.zeros(pad, np.float32)])
+
+    order_src = counting_sort(src_p, n)  # src-sorted edge ids
+    order_dst = counting_sort(dst_p, n)  # dst-sorted edge ids
+    # permutation: dst-order position p draws from src-order position q:
+    # contrib_dst[p] = contrib_src[rank_src[order_dst[p]]]
+    rank_src = np.empty(e_pad, np.int64)
+    rank_src[order_src] = np.arange(e_pad)
+    middle_perm = rank_src[order_dst]
+    perm_plan = build_permutation_plan(middle_perm, validate=False)
+
+    src_sorted = src_p[order_src]
+    counts_src = np.bincount(src_p, minlength=n)
+    indptr_src = np.concatenate([[0], np.cumsum(counts_src)]).astype(np.int32)
+    counts_dst = np.bincount(dst_p, minlength=n)
+    indptr_dst = np.concatenate([[0], np.cumsum(counts_dst)]).astype(np.int32)
+
+    return SpmvPlan(
+        n,
+        e_pad,
+        jnp.asarray(src_sorted),
+        jnp.asarray(w_p[order_dst]) if w_p is not None else None,
+        jnp.asarray(indptr_src),
+        jnp.asarray(indptr_dst),
+        perm_plan,
+        jnp.asarray(valid_p[order_dst]),
+    )
+
+
+def _interpret_scan():
+    return jax.default_backend() != "tpu"
+
+
+def _expand_src_sorted(x, indptr_src, e_pad):
+    """x (n,) -> x[src] for src-sorted edges, with no big gather:
+    scatter x at segment starts (nonempty segments only; empties share a
+    start slot with the next nonempty segment and must not clobber it),
+    then segmented forward-fill (streaming Pallas scan)."""
+    from .pallas_scan import segmented_scan
+
+    starts = indptr_src[:-1]
+    nonempty = indptr_src[1:] > starts
+    idx = jnp.where(nonempty, starts, e_pad)  # out-of-bounds -> dropped
+    placed = jnp.zeros(e_pad, x.dtype).at[idx].set(x, mode="drop")
+    seg_start = jnp.zeros(e_pad, bool).at[idx].set(True, mode="drop")
+    return segmented_scan(placed, seg_start, "fill", interpret=_interpret_scan())
+
+
+def _segment_reduce_dst(contrib, indptr_dst, kind):
+    """Segmented reduce of dst-sorted contributions -> y (n,)."""
+    from .pallas_scan import segmented_scan
+
+    ends = indptr_dst[1:]
+    starts = indptr_dst[:-1]
+    # segmented inclusive scan (resets at segment starts), then pick at ends.
+    # Used for plus as well: a global cumsum+diff loses float precision to
+    # cancellation; the segmented scan only accumulates within a segment.
+    e_pad = contrib.shape[0]
+    seg_start = jnp.zeros(e_pad, bool).at[starts].set(True)
+    op = {"plus": "add", "min": "min", "max": "max"}[kind]
+    scanned = segmented_scan(contrib, seg_start, op, interpret=_interpret_scan())
+    ident = _ident_of(contrib.dtype, kind)
+    padded = jnp.concatenate([jnp.full((1,), ident, contrib.dtype), scanned])
+    out = padded[ends]  # value at last slot of each segment (ends are 1-past)
+    empty = starts == ends
+    return jnp.where(empty, ident, out)
+
+
+def _ident_of(dtype, kind):
+    if kind == "plus":
+        return np.zeros((), dtype)[()]
+    if np.issubdtype(np.dtype(dtype), np.floating):
+        return np.asarray(np.inf if kind == "min" else -np.inf, dtype)[()]
+    info = np.iinfo(np.dtype(dtype))
+    return np.asarray(info.max if kind == "min" else info.min, dtype)[()]
+
+
+def save_spmv_plan(plan, path):
+    """Serialize an SpmvPlan (host-side plan cache; the pattern-analysis
+    result is reusable across processes)."""
+    arrays = {
+        "src_sorted": np.asarray(plan.src_sorted),
+        "indptr_src": np.asarray(plan.indptr_src),
+        "indptr_dst": np.asarray(plan.indptr_dst),
+        "valid_dst_order": np.asarray(plan.valid_dst_order),
+        "meta": np.asarray([plan.n, plan.e_pad], np.int64),
+    }
+    if plan.w_dst_order is not None:
+        arrays["w_dst_order"] = np.asarray(plan.w_dst_order)
+    kinds = []
+    for i, s in enumerate(plan.perm_plan.stages):
+        if s[0] == "S":
+            kinds.append("S")
+            arrays[f"stage{i}"] = np.asarray(s[1])
+        elif s[0] == "T":
+            kinds.append(f"T{s[1]}")
+        else:
+            kinds.append(f"R{s[2]}")
+            arrays[f"stage{i}"] = np.asarray(s[1])
+    arrays["kinds"] = np.asarray(kinds)
+    np.savez(path, **arrays)
+
+
+def load_spmv_plan(path):
+    import jax.numpy as jnp
+
+    data = np.load(path, allow_pickle=False)
+    n, e_pad = (int(v) for v in data["meta"])
+    stages = []
+    for i, kind in enumerate(data["kinds"]):
+        kind = str(kind)
+        if kind == "S":
+            stages.append(("S", jnp.asarray(data[f"stage{i}"])))
+        elif kind.startswith("T"):
+            stages.append(("T", int(kind[1:])))
+        else:
+            stages.append(("ROWSEL", jnp.asarray(data[f"stage{i}"]), int(kind[1:])))
+    perm_plan = PermutePlan(e_pad, stages)
+    return SpmvPlan(
+        n,
+        e_pad,
+        jnp.asarray(data["src_sorted"]),
+        jnp.asarray(data["w_dst_order"]) if "w_dst_order" in data else None,
+        jnp.asarray(data["indptr_src"]),
+        jnp.asarray(data["indptr_dst"]),
+        perm_plan,
+        jnp.asarray(data["valid_dst_order"]),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("add", "mul"))
+def spmv(plan: SpmvPlan, x, add="plus", mul="times"):
+    """y[d] = ADD over edges (s->d) of (x[s] MUL w).  add in {plus,min,max};
+    mul in {times,plus,first,second}.  Absent/invalid edges contribute the
+    ADD identity."""
+    xe = _expand_src_sorted(x, plan.indptr_src, plan.e_pad)
+    xe_dst = apply_plan(xe, plan.perm_plan)
+    w = plan.w_dst_order
+    if mul == "times":
+        contrib = xe_dst * w if w is not None else xe_dst
+    elif mul == "plus":
+        contrib = xe_dst + w if w is not None else xe_dst
+    elif mul == "first":
+        contrib = xe_dst
+    else:  # second
+        contrib = w if w is not None else xe_dst
+    ident = _ident_of(contrib.dtype, add)
+    contrib = jnp.where(plan.valid_dst_order, contrib, ident)
+    return _segment_reduce_dst(contrib, plan.indptr_dst, add)

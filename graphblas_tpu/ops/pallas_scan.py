@@ -1,0 +1,142 @@
+"""Streaming segmented-scan Pallas kernel.
+
+``jax.lax.associative_scan`` over multi-million-element arrays produces an
+HLO whose compile time is pathological on this toolchain; this kernel
+replaces it for the two uses in the SpMV pipeline:
+
+- segmented forward-fill ("fill"): propagate the value at the latest
+  flagged position (expand x across CSR segments)
+- segmented inclusive reduce-scan ("add"/"min"/"max"): per-segment running
+  aggregate, reset at flags (then the caller picks segment ends)
+
+Algorithm: one sequential grid over (BLK, 128) tiles.  Within a tile:
+log-step segmented scan along lanes (7 shifts), then along rows (log BLK
+shifts) on the row aggregates, then prefix-combine; a (value, flag) carry
+rides in scratch across grid steps.  ~15 VPU passes per tile, HBM touched
+once — bandwidth bound.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BLK = 1024  # rows per tile (1024 x 128 x 4B x ~4 arrays ~ 2 MB VMEM)
+
+
+def _combine(op, av, af, bv, bf):
+    """Segmented-scan combine: b is later; flags (int32 0/1) mark segment
+    starts.  Flags stay int32 throughout — Mosaic's i1 vector support is
+    incomplete ("unsupported target bitwidth for truncation")."""
+    sel = bf != 0
+    if op == "fill":
+        newv = jnp.where(sel, bv, av)
+    elif op == "add":
+        newv = jnp.where(sel, bv, av + bv)
+    elif op == "min":
+        newv = jnp.where(sel, bv, jnp.minimum(av, bv))
+    else:
+        newv = jnp.where(sel, bv, jnp.maximum(av, bv))
+    return newv, jnp.maximum(af, bf)
+
+
+def _ident(op, dtype):
+    if op in ("fill", "add"):
+        return np.zeros((), dtype)[()]
+    if np.issubdtype(np.dtype(dtype), np.floating):
+        return np.asarray(np.inf if op == "min" else -np.inf, dtype)[()]
+    info = np.iinfo(np.dtype(dtype))
+    return np.asarray(info.max if op == "min" else info.min, dtype)[()]
+
+
+def _kernel(op, blk, v_ref, f_ref, o_ref, cv_ref, cf_ref):
+    import jax.experimental.pallas as pl
+
+    ident = _ident(op, v_ref.dtype)
+    zero = jnp.int32(0)
+    v = v_ref[:, :]
+    f = f_ref[:, :]
+
+    # ---- lane-direction inclusive segmented scan (7 log steps) ----------
+    col = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 1)
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        sv = jnp.where(col < k, ident, jnp.roll(v, k, axis=1))
+        sf = jnp.where(col < k, zero, jnp.roll(f, k, axis=1))
+        v, f = _combine(op, sv, sf, v, f)
+
+    # ---- row aggregates = last lane -------------------------------------
+    rowv = v[:, 127:128]  # (blk, 1)
+    rowf = f[:, 127:128]
+
+    # broadcast to (blk, 128) lanes so the sublane shifts stay tiled
+    rv = jnp.broadcast_to(rowv, (blk, 128))
+    rf = jnp.broadcast_to(rowf, (blk, 128))
+    row = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 0)
+    k = 1
+    while k < blk:
+        sv = jnp.where(row < k, ident, jnp.roll(rv, k, axis=0))
+        sf = jnp.where(row < k, zero, jnp.roll(rf, k, axis=0))
+        rv, rf = _combine(op, sv, sf, rv, rf)
+        k *= 2
+    # rv now holds the inclusive row-aggregate scan; make it exclusive
+    prev_v = jnp.where(row == 0, ident, jnp.roll(rv, 1, axis=0))
+    prev_f = jnp.where(row == 0, zero, jnp.roll(rf, 1, axis=0))
+
+    # ---- fold in the inter-tile carry -----------------------------------
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cv_ref[0, 0] = ident
+        cf_ref[0, 0] = jnp.int32(0)
+
+    carry_v = cv_ref[0, 0]
+    carry_f = cf_ref[0, 0]
+    pv, pf = _combine(op, jnp.full_like(prev_v, carry_v), jnp.full_like(prev_f, carry_f), prev_v, prev_f)
+
+    # ---- final combine: prefix ∘ lane-scan ------------------------------
+    out_v, out_f = _combine(op, pv, pf, v, f)
+    o_ref[:, :] = out_v
+
+    # ---- update carry with this tile's total ----------------------------
+    cv_ref[0, 0] = out_v[blk - 1, 127]
+    cf_ref[0, 0] = out_f[blk - 1, 127]
+
+
+@functools.partial(jax.jit, static_argnames=("op", "interpret"))
+def segmented_scan(values, flags, op, interpret=False):
+    """Inclusive segmented scan over a flat array (row-major (R,128) order).
+    ``flags`` marks segment starts.  op in {"fill", "add", "min", "max"}."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = values.shape[0]
+    r = n // 128
+    assert n % 128 == 0
+    blk = min(_BLK, r)
+    if r % blk:
+        # pad rows to a block multiple with identity/no-flag rows
+        pad_rows = blk - (r % blk)
+        values = jnp.concatenate([values, jnp.full(pad_rows * 128, _ident(op, values.dtype), values.dtype)])
+        flags = jnp.concatenate([flags, jnp.zeros(pad_rows * 128, flags.dtype)])
+        r += pad_rows
+    v2 = values.reshape(r, 128)
+    f2 = flags.astype(jnp.int32).reshape(r, 128)
+    out = pl.pallas_call(
+        functools.partial(_kernel, op, blk),
+        grid=(r // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((r, 128), values.dtype),
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), values.dtype),
+            pltpu.SMEM((1, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(v2, f2)
+    return out.reshape(-1)[:n]

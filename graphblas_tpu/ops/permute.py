@@ -1,0 +1,291 @@
+"""Static permutation engine: arbitrary E-element permutations at near-memory-
+bandwidth on TPU.
+
+XLA's general gather/scatter runs at ~65M elem/s on TPU — useless for
+edge-order data movement.  The hardware IS fast at two regular movements:
+per-row 128-lane shuffles (``tpu.dynamic_gather``, ~5 G/s measured) and tile
+transposes (~5.7 G/s).  This module realizes ANY static permutation as a
+Clos/Benes-style network of those primitives:
+
+    [S T]*L  S ROWSEL S  [T S]*L
+
+where S = per-row lane shuffle (routing tables from a 128-edge-coloring of a
+bipartite multigraph — computed by the native router,
+graphblas_tpu/native/router.cpp), T = digit-swap transpose, and ROWSEL = a
+small m-way row exchange.  For N = m * 128^(L+1) elements the network has
+2L+3 shuffle stages and 2L transposes.
+
+The plan is built once per (graph, layout) on the host and reused every
+iteration — the analogue of SuiteSparse analyzing a sparse pattern once and
+reusing the factorization.
+"""
+
+import functools
+
+import numpy as np
+
+from ..native import euler_color
+
+
+class PermutePlan:
+    """A compiled route: apply with ``apply_plan``.  Stages:
+    ("S", idx[R,128] int32) | ("T", level) | ("ROWSEL", src_top[m,128^L,128] int32, m)
+
+    Registered as a JAX pytree so routing tables travel as device arguments
+    (not embedded HLO constants) when a plan is closed over under ``jit``.
+    """
+
+    def __init__(self, n, stages):
+        self.n = n
+        self.stages = stages
+
+    def __repr__(self):
+        kinds = "".join(s[0][0] for s in self.stages)
+        return f"PermutePlan(n={self.n}, stages={kinds})"
+
+    def tree_flatten(self):
+        children = []
+        aux = [self.n]
+        for s in self.stages:
+            if s[0] == "S":
+                children.append(s[1])
+                aux.append(("S",))
+            elif s[0] == "T":
+                aux.append(("T", s[1]))
+            else:
+                children.append(s[1])
+                aux.append(("ROWSEL", s[2]))
+        return children, tuple(aux)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        n = aux[0]
+        stages = []
+        it = iter(children)
+        for item in aux[1:]:
+            if item[0] == "S":
+                stages.append(("S", next(it)))
+            elif item[0] == "T":
+                stages.append(("T", item[1]))
+            else:
+                stages.append(("ROWSEL", next(it), item[1]))
+        return cls(n, stages)
+
+
+def _register_plan_pytree():
+    from jax.tree_util import register_pytree_node
+
+    register_pytree_node(
+        PermutePlan,
+        lambda p: p.tree_flatten(),
+        lambda aux, children: PermutePlan.tree_unflatten(aux, children),
+    )
+
+
+_register_plan_pytree()
+
+
+def padded_size(e):
+    """Smallest admissible network size >= e.  Admissible: rows r = m * 128^L
+    with 1 <= m <= 128, size = r * 128."""
+    r0 = max(1, -(-e // 128))
+    L = 0
+    while 128 ** (L + 1) < r0:
+        L += 1
+    m = -(-r0 // (128**L))
+    return m * (128**L) * 128
+
+
+def _shape_params(n):
+    r = n // 128
+    L = 0
+    m = r
+    while m > 128:
+        if m % 128:
+            raise ValueError(f"{n} is not an admissible network size; use padded_size")
+        m //= 128
+        L += 1
+    return r, m, L
+
+
+def _t_slotmap(n, level):
+    """The (self-inverse) slot permutation of transpose stage T_level."""
+    M = 128**level
+    q = n // (128 * M * 128)
+    p = np.arange(n)
+    b = p % 128
+    mm = (p // 128) % M
+    a = (p // (128 * M)) % 128
+    qq = p // (128 * M * 128)
+    return ((qq * 128 + b) * M + mm) * 128 + a
+
+
+def _apply_S_np(elem, idx):
+    r = idx.shape[0]
+    e2 = elem.reshape(r, 128)
+    return np.take_along_axis(e2, idx, axis=1).reshape(-1)
+
+
+def _apply_T_np(elem, n, level):
+    M = 128**level
+    q = n // (128 * M * 128)
+    return (
+        elem.reshape(q, 128, M, 128).transpose(0, 3, 2, 1).reshape(-1)
+    )
+
+
+def _apply_ROWSEL_np(elem, src_top, m):
+    s2 = src_top.shape[1]
+    e3 = elem.reshape(m, s2, 128)
+    return np.take_along_axis(e3, src_top.astype(np.int64), axis=0).reshape(-1)
+
+
+def build_permutation_plan(perm, *, validate=True):
+    """Build a network plan computing out[p] = in[perm[p]].
+
+    ``perm`` must be a true permutation of an admissible size (use
+    ``padded_size`` + identity-extend to pad).
+    """
+    perm = np.asarray(perm, np.int64)
+    n = len(perm)
+    r, m, L = _shape_params(n)
+    # target slot per element (element id = source slot)
+    t = np.empty(n, np.int64)
+    t[perm] = np.arange(n)
+    elem = np.arange(n)
+    stages = []
+    slots = np.arange(n)
+    lanes_all = slots % 128
+    rows_all = slots // 128
+
+    # ---- forward: S_pre (+ T) per level; base ROWSEL -----------------------
+    for lvl in range(L + 1):
+        stride = 128**lvl
+        te = t[elem]
+        cur_row = rows_all
+        out_row = (te // (128 ** (lvl + 1))) * stride + cur_row % stride
+        colors = euler_color(cur_row.astype(np.int32), out_row.astype(np.int32), r, 128)
+        idx = np.full((r, 128), -1, np.int32)
+        idx[cur_row, colors] = lanes_all.astype(np.int32)
+        if validate and (idx < 0).any():
+            raise AssertionError("invalid coloring: lane collision")
+        stages.append(("S", idx))
+        elem = _apply_S_np(elem, idx)
+        if lvl < L:
+            stages.append(("T", lvl))
+            elem = _apply_T_np(elem, n, lvl)
+        else:
+            te = t[elem]
+            dest_row = (te // (128 ** (lvl + 1))) * stride + rows_all % stride
+            src = np.full((r, 128), -1, np.int32)
+            src[dest_row, lanes_all] = rows_all.astype(np.int32)
+            if validate and (src < 0).any():
+                raise AssertionError("invalid routing: row collision in ROWSEL")
+            # rows differ only in top digit: store top digit table (m, 128^L, 128)
+            src_top = (src // stride).reshape(m, stride, 128).astype(np.int32)
+            stages.append(("ROWSEL", src_top, m))
+            elem = _apply_ROWSEL_np(elem, src_top, m)
+
+    # ---- backward: S_post fixes the level's lane digit; T's unwind ----------
+    # S_post at level lvl routes each element to lane (t // 128^lvl) % 128;
+    # the forward routing guarantees it is already in the right row.
+    back = [("S_post", L)]
+    for lvl in range(L - 1, -1, -1):
+        back.append(("T", lvl))
+        back.append(("S_post", lvl))
+    for stage in back:
+        if stage[0] == "T":
+            stages.append(("T", stage[1]))
+            elem = _apply_T_np(elem, n, stage[1])
+        else:
+            lvl = stage[1]
+            req_lane = (t[elem] // (128**lvl)) % 128
+            idx = np.full((r, 128), -1, np.int32)
+            idx[rows_all, req_lane] = lanes_all.astype(np.int32)
+            if validate and (idx < 0).any():
+                raise AssertionError(f"invalid S_post table at level {lvl}")
+            stages.append(("S", idx))
+            elem = _apply_S_np(elem, idx)
+
+    if validate and not np.array_equal(elem, perm):
+        raise AssertionError("permutation plan does not reproduce the permutation")
+    return PermutePlan(n, stages)
+
+
+# ---------------------------------------------------------------------------
+# Runtime application
+# ---------------------------------------------------------------------------
+
+
+def _use_pallas():
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
+_S_BLK = 4096
+
+
+def _pallas_shuffle(x2d, idx):
+    """Per-row 128-lane shuffle via tpu.dynamic_gather (~5 G elem/s)."""
+    import jax
+    import jax.experimental.pallas as pl
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    r = x2d.shape[0]
+    blk = min(_S_BLK, r)
+    if r % blk:
+        blk = r  # fall back to single block for odd sizes
+
+    def kernel(x_ref, i_ref, o_ref):
+        o_ref[:] = jnp.take_along_axis(x_ref[:], i_ref[:], axis=1)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(r // blk,),
+        in_specs=[
+            pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
+    )(x2d, idx)
+
+
+def apply_plan(x, plan, *, pallas=None):
+    """Apply a PermutePlan to a flat device array (out[p] = in[perm[p]])."""
+    import jax.numpy as jnp
+
+    if pallas is None:
+        pallas = _use_pallas()
+    n = plan.n
+    for stage in plan.stages:
+        kind = stage[0]
+        if kind == "S":
+            idx = jnp.asarray(stage[1])
+            x2d = x.reshape(n // 128, 128)
+            if pallas:
+                x = _pallas_shuffle(x2d, idx).reshape(-1)
+            else:
+                x = jnp.take_along_axis(x2d, idx, axis=1).reshape(-1)
+        elif kind == "T":
+            level = stage[1]
+            M = 128**level
+            q = n // (128 * M * 128)
+            x = x.reshape(q, 128, M, 128).transpose(0, 3, 2, 1).reshape(-1)
+        else:  # ROWSEL
+            src_top, m = stage[1], stage[2]
+            s2 = src_top.shape[1]
+            x3 = x.reshape(m, s2, 128)
+            st = jnp.asarray(src_top)
+            if m <= 16:
+                # m-way select (avoids XLA's slow general gather):
+                # out[g, s, l] = x3[st[g, s, l], s, l]
+                acc = jnp.zeros((m, s2, 128), x.dtype)
+                for j in range(m):
+                    acc = jnp.where(st == j, x3[j][None, :, :], acc)
+                x = acc.reshape(-1)
+            else:
+                x = jnp.take_along_axis(x3, st.astype(jnp.int32), axis=0).reshape(-1)
+    return x

@@ -11,6 +11,8 @@ import os
 
 # Must be set before jax (or graphblas_tpu) is imported anywhere.
 os.environ.setdefault("GRAPHBLAS_TPU_PLATFORM", "cpu")
+# Tests always run on CPU, even when a TPU plugin env pinned JAX_PLATFORMS.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
