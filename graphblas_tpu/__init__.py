@@ -116,6 +116,18 @@ def _init(backend_name="jax", blocking=None, automatic=False):
     platform = os.environ.get("GRAPHBLAS_TPU_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+    # Persistent XLA compilation cache: TPU compiles (especially via remote
+    # compile tunnels) are expensive; cache them across processes.
+    cache_dir = os.environ.get(
+        "GRAPHBLAS_TPU_XLA_CACHE", os.path.expanduser("~/.cache/graphblas_tpu/xla")
+    )
+    if cache_dir and not jax.config.jax_compilation_cache_dir:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        try:
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except AttributeError:
+            pass
     backend = "jax"
     _initialized = True
 

@@ -19,3 +19,5 @@ from .sssp import sssp  # noqa: F401
 from .pagerank import pagerank  # noqa: F401
 from .fastsv import connected_components  # noqa: F401
 from .triangle import triangle_count  # noqa: F401
+from .louvain import louvain  # noqa: F401
+from . import fast  # noqa: F401

@@ -1,0 +1,149 @@
+"""Graph algorithms on the permutation-network SpMV engine.
+
+Same recipes as the sibling modules (bfs/sssp/pagerank — the reference's
+notebook workloads), but the per-iteration mxv is ops/fastspmv.spmv
+(~0.4 GTEPS/chip measured) instead of the XLA segment fallback (~0.05).
+Each algorithm is still ONE lax.while_loop XLA program.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.fastspmv import SpmvPlan, build_spmv_plan, spmv
+
+_BIG = jnp.float32(3.4e38) / 4
+
+
+def _no_x64(fn):
+    import functools as _ft
+
+    @_ft.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.enable_x64(False):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
+def analyze(graph):
+    """Build the SpmvPlan for a models.Graph (host-side, once).
+
+    NOTE: run in a process without the TPU tunnel attached when possible —
+    see tools/build_plan.py.
+    """
+    valid = np.asarray(graph.valid)
+    src = np.asarray(graph.src)[valid]
+    dst = np.asarray(graph.dst)[valid]
+    w = np.asarray(graph.weights)[valid] if graph.weights is not None else None
+    return build_spmv_plan(src, dst, w, n=graph.n)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+@_no_x64
+def _bfs_loop(plan, source, n):
+    source = jnp.asarray(source, jnp.int32)
+    levels0 = jnp.full((n,), -1, jnp.int32).at[source].set(0)
+    frontier0 = jnp.zeros((n,), jnp.float32).at[source].set(1.0)
+
+    def cond(state):
+        _, frontier, depth = state
+        return (frontier.max() > 0) & (depth < n)
+
+    def body(state):
+        levels, frontier, depth = state
+        reached = spmv(plan, frontier, "max", "first") > 0
+        nxt = reached & (levels < 0)
+        levels = jnp.where(nxt, depth + 1, levels)
+        return levels, nxt.astype(jnp.float32), depth + 1
+
+    levels, _, _ = jax.lax.while_loop(cond, body, (levels0, frontier0, jnp.int32(0)))
+    return levels
+
+
+def bfs_level(plan, source, n):
+    return _bfs_loop(plan, int(source), n)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+@_no_x64
+def _bfs_parent_loop(plan, source, n):
+    source = jnp.asarray(source, jnp.int32)
+    parents0 = jnp.full((n,), -1, jnp.int32).at[source].set(source)
+    x0 = jnp.full((n,), -_BIG, jnp.float32).at[source].set(jnp.float32(source))
+
+    def cond(state):
+        _, x, depth = state
+        return (x.max() > -_BIG / 2) & (depth < n)
+
+    ids = jnp.arange(n, dtype=jnp.float32)
+
+    def body(state):
+        parents, x, depth = state
+        cand = spmv(plan, x, "max", "first")  # max frontier source id per dst
+        nxt = (cand > -_BIG / 2) & (parents < 0)
+        parents = jnp.where(nxt, cand.astype(jnp.int32), parents)
+        x = jnp.where(nxt, ids, -_BIG)
+        return parents, x, depth + 1
+
+    parents, _, _ = jax.lax.while_loop(cond, body, (parents0, x0, jnp.int32(0)))
+    return parents
+
+
+def bfs_parent(plan, source, n):
+    return _bfs_parent_loop(plan, int(source), n)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+@_no_x64
+def _sssp_loop(plan, source, n):
+    source = jnp.asarray(source, jnp.int32)
+    dist0 = jnp.full((n,), _BIG, jnp.float32).at[source].set(0.0)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < n)
+
+    def body(state):
+        dist, _, it = state
+        relaxed = spmv(plan, dist, "min", "plus")
+        new_dist = jnp.minimum(dist, relaxed)
+        return new_dist, (new_dist < dist).any(), it + 1
+
+    dist, _, _ = jax.lax.while_loop(cond, body, (dist0, jnp.asarray(True), jnp.int32(0)))
+    return dist
+
+
+def sssp(plan, source, n):
+    """min_plus Bellman-Ford; the plan must carry edge weights."""
+    return _sssp_loop(plan, int(source), n)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "max_iters"))
+@_no_x64
+def _pagerank_loop(plan, outdeg, n, damping, tol, max_iters):
+    r0 = jnp.full((n,), 1.0 / n, jnp.float32)
+    safe_deg = jnp.where(outdeg > 0, outdeg, 1).astype(jnp.float32)
+    dangling = outdeg == 0
+
+    def cond(state):
+        _, delta, it = state
+        return (delta > tol) & (it < max_iters)
+
+    def body(state):
+        r, _, it = state
+        pulled = spmv(plan, r / safe_deg, "plus", "first")
+        dangling_mass = jnp.sum(jnp.where(dangling, r, 0.0))
+        new_r = (1.0 - damping) / n + damping * (pulled + dangling_mass / n)
+        delta = jnp.sum(jnp.abs(new_r - r))
+        return new_r, delta, it + 1
+
+    r, _, iters = jax.lax.while_loop(cond, body, (r0, jnp.float32(jnp.inf), jnp.int32(0)))
+    return r, iters
+
+
+def pagerank(plan, outdeg, n, *, damping=0.85, tol=1e-6, max_iters=100):
+    r, _ = _pagerank_loop(plan, outdeg, n, jnp.float32(damping), jnp.float32(tol), int(max_iters))
+    return r

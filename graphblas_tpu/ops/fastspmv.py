@@ -207,7 +207,21 @@ def load_spmv_plan(path):
     )
 
 
+def _no_x64(fn):
+    """Trace with x64 off: the fast-path kernels are a strictly 32-bit domain
+    (Mosaic rejects i64), regardless of the global jax_enable_x64 setting."""
+    import functools as _ft
+
+    @_ft.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.enable_x64(False):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 @functools.partial(jax.jit, static_argnames=("add", "mul"))
+@_no_x64
 def spmv(plan: SpmvPlan, x, add="plus", mul="times"):
     """y[d] = ADD over edges (s->d) of (x[s] MUL w).  add in {plus,min,max};
     mul in {times,plus,first,second}.  Absent/invalid edges contribute the

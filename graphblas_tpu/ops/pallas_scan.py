@@ -102,7 +102,19 @@ def _kernel(op, blk, v_ref, f_ref, o_ref, cv_ref, cf_ref):
     cf_ref[0, 0] = out_f[blk - 1, 127]
 
 
+def _no_x64(fn):
+    import functools as _ft
+
+    @_ft.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.enable_x64(False):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 @functools.partial(jax.jit, static_argnames=("op", "interpret"))
+@_no_x64
 def segmented_scan(values, flags, op, interpret=False):
     """Inclusive segmented scan over a flat array (row-major (R,128) order).
     ``flags`` marks segment starts.  op in {"fill", "add", "min", "max"}."""

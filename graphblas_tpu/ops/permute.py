@@ -239,7 +239,9 @@ def _pallas_shuffle(x2d, idx):
         blk = r  # fall back to single block for odd sizes
 
     def kernel(x_ref, i_ref, o_ref):
-        o_ref[:] = jnp.take_along_axis(x_ref[:], i_ref[:], axis=1)
+        # keep indices int32 even when jax_enable_x64 is on (Mosaic is 32-bit)
+        with jax.enable_x64(False):
+            o_ref[:] = jnp.take_along_axis(x_ref[:], i_ref[:], axis=1)
 
     return pl.pallas_call(
         kernel,

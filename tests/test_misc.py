@@ -1,0 +1,183 @@
+"""Recorder, formatting, dtypes, config, tx namespace tests."""
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import Matrix, Recorder, Vector, binary, dtypes, semiring
+
+
+def test_recorder_records_calls():
+    A = Matrix.from_coo([0, 1], [1, 0], [1.0, 2.0], nrows=2, ncols=2)
+    with Recorder() as rec:
+        C = A.mxm(A, semiring.plus_times).new()
+        C << A.ewise_add(A, binary.plus)
+    assert len(rec) == 2
+    assert any("mxm" in line for line in rec.data)
+    assert any("ewise_add" in line for line in rec.data)
+    # no recording outside the context
+    D = A.mxm(A).new()
+    assert len(rec) == 2
+    assert "Recorder" in repr(rec)
+    assert rec._repr_markdown_().startswith("```")
+
+
+def test_recorder_start_stop():
+    rec = Recorder(start=False)
+    assert not rec.is_recording
+    A = Matrix.from_coo([0], [0], [1.0], nrows=1, ncols=1)
+    A.mxm(A).new()
+    assert len(rec) == 0
+    rec.start()
+    A.mxm(A).new()
+    rec.stop()
+    assert len(rec) == 1
+    rec.clear()
+    assert len(rec) == 0
+
+
+def test_repr_formats():
+    A = Matrix.from_coo([0, 1], [1, 0], [1.5, 2.5], nrows=2, ncols=2, name="A")
+    r = repr(A)
+    assert '"A"' in r
+    assert "nvals: 2" in r
+    v = Vector.from_coo([0], [1], size=3, name="v")
+    assert "size: 3" in repr(v)
+    s = gb.Scalar.from_value(5)
+    assert "5" in repr(s)
+    empty = gb.Scalar(dtypes.FP32)
+    assert "empty" in repr(empty)
+    # big collection falls back to coo listing
+    big = Matrix.from_coo([0, 99], [99, 0], [1, 2], nrows=100, ncols=100)
+    assert "(0, 99)" in repr(big)
+    assert A._repr_html_()
+
+
+def test_dtype_lookup_spellings():
+    assert dtypes.lookup_dtype("FP64") is dtypes.FP64
+    assert dtypes.lookup_dtype("fp64") is dtypes.FP64
+    assert dtypes.lookup_dtype(float) is dtypes.FP64
+    assert dtypes.lookup_dtype(np.float64) is dtypes.FP64
+    assert dtypes.lookup_dtype(np.dtype("float64")) is dtypes.FP64
+    assert dtypes.lookup_dtype("<f8") is dtypes.FP64
+    assert dtypes.lookup_dtype(int) is dtypes.INT64
+    assert dtypes.lookup_dtype(bool) is dtypes.BOOL
+    assert dtypes.unify(dtypes.INT32, dtypes.FP32) == dtypes.FP64
+    assert dtypes.unify(dtypes.INT8, dtypes.INT16) is dtypes.INT16
+    with pytest.raises(ValueError):
+        dtypes.lookup_dtype("not_a_dtype")
+
+
+def test_dtype_string_roundtrip():
+    from graphblas_tpu.core.dtypes import _dtype_to_string, _string_to_dtype
+
+    for dt in [dtypes.FP64, dtypes.INT8, dtypes.BOOL]:
+        s = _dtype_to_string(dt.np_type)
+        assert _string_to_dtype(s) == dt
+    udt = dtypes.register_anonymous([("a", np.int32), ("b", np.float64)])
+    s = _dtype_to_string(udt.np_type)
+    assert _string_to_dtype(s).np_type == udt.np_type
+
+
+def test_config():
+    assert gb.config.get("autocompute") is True
+    with gb.config.set(autocompute=False):
+        assert gb.config.get("autocompute") is False
+    assert gb.config.get("autocompute") is True
+    with pytest.raises(KeyError):
+        gb.config.set(not_a_key=1)
+    assert "autocompute" in gb.config
+
+
+def test_tx_namespace():
+    import graphblas_tpu.tx as tx
+
+    assert tx.about["library_name"]
+    assert tx.config["mxm_strategy"] == "auto"
+    v = Vector.from_coo([0, 2], [1.0, 2.0], size=4)
+    m = tx.diag(v)
+    assert m.shape == (4, 4)
+    back = tx.diag(m)
+    assert back.isequal(v)
+    with tx.burble():
+        assert tx.config["burble"]
+    assert not tx.config["burble"]
+
+
+def test_tx_concat_split():
+    import graphblas_tpu.tx as tx
+
+    A = Matrix.from_coo([0, 1, 2, 3], [0, 1, 2, 3], [1, 2, 3, 4], nrows=4, ncols=4)
+    tiles = A.tx.split(2)
+    assert len(tiles) == 2 and len(tiles[0]) == 2
+    B = tx.concat(tiles)
+    assert B.isequal(A)
+    v = Vector.from_coo([0, 3], [1, 2], size=4)
+    parts = v.tx.split(2)
+    assert len(parts) == 2
+    w = tx.concat(parts)
+    assert w.isequal(v)
+
+
+def test_tx_matrix_utils():
+    A = Matrix.from_coo([0, 0, 1], [0, 2, 1], [3.0, 1.0, 2.0], nrows=2, ncols=3)
+    assert A.tx.format == "densemasked"
+    assert A.tx.nbytes > 0
+    assert not A.tx.is_iso
+    iso = Matrix.from_scalar(1, 2, 2)
+    assert iso.tx.is_iso
+    flat = A.tx.flatten()
+    assert flat.size == 6
+    back = flat.tx.reshape(2, 3)
+    assert back.isequal(A)
+    assert list(A.tx.iterkeys()) == [(0, 0), (0, 2), (1, 1)]
+    assert list(A.tx.itervalues()) == [3.0, 1.0, 2.0]
+    r, c, v = A.tx.head(2)
+    assert len(r) == 2
+
+
+def test_tx_scan():
+    v = Vector.from_coo([0, 1, 3], [1.0, 2.0, 3.0], size=4)
+    s = v.tx.scan("plus")
+    assert s.to_dict() == {0: 1.0, 1: 3.0, 3: 6.0}
+    A = Matrix.from_coo([0, 0, 1], [0, 1, 1], [1.0, 2.0, 3.0], nrows=2, ncols=2)
+    s = A.tx.scan("plus")
+    assert s.to_dicts() == {0: {0: 1.0, 1: 3.0}, 1: {1: 3.0}}
+
+
+def test_tx_selectk_compactify_sort():
+    A = Matrix.from_coo(
+        [0, 0, 0, 1, 1], [0, 2, 4, 1, 3], [5.0, 1.0, 3.0, 2.0, 4.0], nrows=2, ncols=5
+    )
+    top = A.tx.selectk("largest", 1)
+    assert top.to_dicts() == {0: {0: 5.0}, 1: {3: 4.0}}
+    first = A.tx.selectk("first", 2)
+    assert first.to_dicts() == {0: {0: 5.0, 2: 1.0}, 1: {1: 2.0, 3: 4.0}}
+    comp = A.tx.compactify("first")
+    assert comp.to_dicts() == {0: {0: 5.0, 1: 1.0, 2: 3.0}, 1: {0: 2.0, 1: 4.0}}
+    sorted_vals = A.tx.sort(permutation=False)
+    assert sorted_vals.to_dicts()[0] == {0: 1.0, 1: 3.0, 2: 5.0}
+    v = Vector.from_coo([0, 2, 3], [3.0, 1.0, 2.0], size=5)
+    sv = v.tx.sort(permutation=False)
+    assert sv.to_dict() == {0: 1.0, 1: 2.0, 2: 3.0}
+
+
+def test_parallel_context():
+    from graphblas_tpu.parallel import Context, current_context, shard_matrix
+
+    assert current_context() is None
+    with Context() as ctx:
+        assert current_context() is ctx
+        A = Matrix.from_coo([0, 1], [1, 0], [1.0, 2.0], nrows=8, ncols=8)
+        shard_matrix(A)
+        assert A.nvals == 2
+    assert current_context() is None
+
+
+def test_exceptions_hierarchy():
+    assert issubclass(gb.exceptions.DimensionMismatch, gb.exceptions.GraphblasException)
+    assert issubclass(gb.exceptions.IndexOutOfBound, gb.exceptions.GraphblasException)
+    with pytest.raises(gb.exceptions.DimensionMismatch):
+        a = Vector(dtypes.FP64, 3)
+        b = Vector(dtypes.FP64, 4)
+        a.ewise_add(b, binary.plus).new()

@@ -199,3 +199,64 @@ def test_rmat_runs():
     assert (levels >= 0).sum() > 1
     r = np.asarray(pagerank(g, max_iters=20))
     assert np.isfinite(r).all()
+
+
+def test_louvain_two_communities():
+    from graphblas_tpu.models import louvain
+
+    # two dense cliques connected by one edge
+    edges = []
+    for i in range(5):
+        for j in range(i + 1, 5):
+            edges.append((i, j))
+            edges.append((i + 5, j + 5))
+    edges.append((0, 5))
+    src, dst = zip(*edges)
+    g = Graph.from_arrays(np.array(src, np.int32), np.array(dst, np.int32), n=10)
+    labels = np.asarray(louvain(g))
+    assert len(set(labels[:5].tolist())) == 1
+    assert len(set(labels[5:].tolist())) == 1
+    assert labels[0] != labels[5]
+
+
+def test_fast_models_match_reference_models(rng):
+    """fast.* (permutation-network SpMV) vs the segment-kernel models."""
+    from graphblas_tpu.models import fast as mf
+    from graphblas_tpu.ops import edgewise as ew
+    import jax.numpy as jnp
+
+    n, e = 120, 600
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    w = (rng.random(e) * 9 + 1).astype(np.float32)
+    g = Graph.from_arrays(src, dst, w, n=n)
+    plan = mf.analyze(g)
+    source = int(np.bincount(src, minlength=n).argmax())
+
+    lv_ref = np.asarray(bfs_level(g, source))
+    lv_fast = np.asarray(mf.bfs_level(plan, source, n))
+    np.testing.assert_array_equal(lv_fast, lv_ref)
+
+    d_ref = np.asarray(sssp(g, source))
+    d_fast = np.asarray(mf.sssp(plan, source, n))
+    reach = d_ref < 1e37
+    np.testing.assert_allclose(d_fast[reach], d_ref[reach], rtol=1e-5)
+    assert (d_fast[~reach] > 1e37).all()
+
+    outdeg = jnp.asarray(np.bincount(src, minlength=n).astype(np.int32))
+    r_ref = np.asarray(pagerank(g, tol=0.0, max_iters=30))
+    r_fast = np.asarray(mf.pagerank(plan, outdeg, n, tol=0.0, max_iters=30))
+    np.testing.assert_allclose(r_fast, r_ref, rtol=1e-4, atol=1e-7)
+
+    p_fast = np.asarray(mf.bfs_parent(plan, source, n))
+    lv = lv_ref
+    edge_set = set(zip(src.tolist(), dst.tolist()))
+    assert p_fast[source] == source
+    for v in range(n):
+        if v == source:
+            continue
+        if lv[v] < 0:
+            assert p_fast[v] == -1
+        else:
+            assert (p_fast[v], v) in edge_set
+            assert lv[p_fast[v]] == lv[v] - 1
