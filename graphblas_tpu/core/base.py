@@ -188,7 +188,11 @@ class BaseType:
         """Remove all stored values (reference: core/matrix.py:505)."""
         import jax.numpy as jnp
 
-        self._set_arrays(jnp.zeros_like(self._values), jnp.zeros_like(self._struct))
+        from ..ops import densemasked as _dm
+
+        self._set_arrays(
+            _dm.tmap(jnp.zeros_like, self._values), jnp.zeros_like(self._struct)
+        )
 
     def wait(self, how="materialize"):
         """Block until pending device computation completes.  Non-blocking
@@ -214,7 +218,14 @@ class BaseType:
         if not same_struct:
             return False
         a = self._values
-        b = other._values.astype(a.dtype) if other._values.dtype != a.dtype else other._values
+        b = other._values
+        if isinstance(a, dict):
+            if not isinstance(b, dict) or set(a) != set(b):
+                return False
+            return all(
+                bool(jnp.all(jnp.where(self._struct, a[f] == b[f], True))) for f in a
+            )
+        b = b.astype(a.dtype) if b.dtype != a.dtype else b
         return bool(jnp.all(jnp.where(self._struct, a == b, True)))
 
     def isclose(self, other, *, rel_tol=1e-7, abs_tol=0.0, check_dtype=False):

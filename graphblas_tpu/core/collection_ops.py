@@ -21,6 +21,13 @@ def _arrays_of(obj):
     return obj._values, obj._struct
 
 
+def _cast_values(v, np_type, dtype):
+    """Cast engine values to an op's input dtype; UDTs are never cast."""
+    if dtype._is_udt or isinstance(v, dict):
+        return v
+    return v.astype(np_type)
+
+
 def _check_same_shape(a, b, within):
     if a.shape != b.shape:
         raise _exc.DimensionMismatch(
@@ -57,8 +64,8 @@ def ewise_expr(self, other, op, how, *, left_default=None, right_default=None):
         def compute():
             av, as_ = _arrays_of(self)
             bv, bs = _arrays_of(other)
-            av = av.astype(op_t.type_.np_type)
-            bv = bv.astype(op_t.type2.np_type)
+            av = _cast_values(av, op_t.type_.np_type, self.dtype)
+            bv = _cast_values(bv, op_t.type2.np_type, other.dtype)
             return _dm.ewise_union(av, as_, bv, bs, op_t, ld._device_value(op_t.type_.np_type), rd._device_value(op_t.type2.np_type))
 
     else:
@@ -67,8 +74,8 @@ def ewise_expr(self, other, op, how, *, left_default=None, right_default=None):
         def compute():
             av, as_ = _arrays_of(self)
             bv, bs = _arrays_of(other)
-            av = av.astype(op_t.type_.np_type)
-            bv = bv.astype(op_t.type2.np_type)
+            av = _cast_values(av, op_t.type_.np_type, self.dtype)
+            bv = _cast_values(bv, op_t.type2.np_type, other.dtype)
             return engine(av, as_, bv, bs, op_t)
 
     return BaseExpression(
@@ -108,7 +115,7 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
 
         def compute():
             v, s = _arrays_of(self)
-            v = v.astype(op_t.type_.np_type)
+            v = _cast_values(v, op_t.type_.np_type, self.dtype)
             return _dm.apply_indexunary(v, s, op_t, thunk_s._device_value())
 
         return BaseExpression(
@@ -131,7 +138,7 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
         else:
             def compute():
                 v, s = _arrays_of(self)
-                v = v.astype(op_t.type_.np_type)
+                v = _cast_values(v, op_t.type_.np_type, self.dtype)
                 return _dm.apply_unary(v, s, op_t)
 
         return BaseExpression(
@@ -255,7 +262,7 @@ def reduce_axis_expr(self, monoid, axis, method_name):
 
     def compute():
         v, s = _arrays_of(self)
-        v = v.astype(monoid_t.type_.np_type)
+        v = _cast_values(v, monoid_t.type_.np_type, self.dtype)
         return _dm.reduce_axis(v, s, monoid_t, axis)
 
     return BaseExpression(
@@ -273,7 +280,7 @@ def reduce_scalar_expr(self, monoid, allow_empty, method_name="reduce_scalar"):
 
     def compute():
         v, s = _arrays_of(self)
-        v = v.astype(monoid_t.type_.np_type)
+        v = _cast_values(v, monoid_t.type_.np_type, self.dtype)
         val, present = _dm.reduce_all(v, s, monoid_t)
         if not allow_empty:
             import jax.numpy as jnp
@@ -324,6 +331,11 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
     if k1 != k2:
         raise _exc.DimensionMismatch(
             f"Dimensions not compatible for {method_name}: inner dims {k1} != {k2}"
+        )
+    if a.dtype._is_udt or b.dtype._is_udt:
+        raise NotImplementedError(
+            "semiring matmul over UDTs is not supported yet (elementwise, apply, "
+            "and reduce work; blocked-SoA mxm arrives with the sparse container)"
         )
     sr = get_typed_op(semiring_op, a.dtype, b.dtype, kind="semiring")
     _, opclass = find_opclass(sr)
@@ -423,12 +435,20 @@ def do_assign(self, resolved, value, *, mask, accum, replace, is_submask):
     from .vector import Vector
 
     deleting = False
+    if self.dtype._is_udt and isinstance(value, (tuple, list, dict)):
+        sc = Scalar(self.dtype)
+        sc.value = value
+        value = sc
     if _is_scalar_like(value) or isinstance(value, Scalar):
         sc = _as_scalar(value)
         if sc.is_empty:
             deleting = True
-            av = jnp.zeros(region_shape, self._values.dtype)
+            av = _dm.tmap(lambda c: jnp.zeros(region_shape, c.dtype), self._values)
             as_ = jnp.zeros(region_shape, bool)
+        elif self.dtype._is_udt:
+            dv = sc._device_value()
+            av = {f: jnp.full(region_shape, dv[f]) for f in dv}
+            as_ = jnp.ones(region_shape, bool)
         else:
             av = jnp.full(region_shape, sc._device_value(self.dtype.np_type))
             as_ = jnp.ones(region_shape, bool)
@@ -440,14 +460,20 @@ def do_assign(self, resolved, value, *, mask, accum, replace, is_submask):
             raise _exc.DimensionMismatch(
                 f"shapes not compatible for assign: value {value.shape} into region {out_shape}"
             )
-        av = value._values.reshape(region_shape).astype(self._values.dtype)
+        if isinstance(value._values, dict):
+            av = {f: a.reshape(region_shape) for f, a in value._values.items()}
+        else:
+            av = value._values.reshape(region_shape).astype(self._values.dtype)
         as_ = value._struct.reshape(region_shape)
     elif isinstance(value, Matrix):
         if out_shape != value.shape:
             raise _exc.DimensionMismatch(
                 f"shapes not compatible for assign: value {value.shape} into region {out_shape}"
             )
-        av = value._values.astype(self._values.dtype)
+        if isinstance(value._values, dict):
+            av = dict(value._values)
+        else:
+            av = value._values.astype(self._values.dtype)
         as_ = value._struct
     else:
         raise TypeError(f"Bad type for assignment value: {type(value)}")
@@ -456,20 +482,33 @@ def do_assign(self, resolved, value, *, mask, accum, replace, is_submask):
     cv, cs = self._values, self._struct
     if self.ndim == 1:
         idx = jnp.asarray(np.atleast_1d(indices[0].index))
-        sv, ss, rsel = _dm.scatter_region_vector(cv, cs, idx, av.reshape(-1), as_.reshape(-1))
+        sv, ss, rsel = _dm.scatter_region_vector(
+            cv, cs, idx, _dm.tmap(lambda a: a.reshape(-1), av), as_.reshape(-1)
+        )
     else:
         rows = jnp.asarray(np.atleast_1d(indices[0].index))
         cols = jnp.asarray(np.atleast_1d(indices[1].index))
         sv, ss, rsel = _dm.scatter_region_matrix(
-            cv, cs, rows, cols, av.reshape(len(rows), len(cols)), as_.reshape(len(rows), len(cols))
+            cv,
+            cs,
+            rows,
+            cols,
+            _dm.tmap(lambda a: a.reshape(len(rows), len(cols)), av),
+            as_.reshape(len(rows), len(cols)),
         )
 
     if accum is not None and not deleting:
         # union-merge within the region instead of pattern replacement
-        sa = ss & rsel
         scattered_s = jnp.where(rsel, ss, False)
         both = cs & scattered_s
-        zv = jnp.where(both, accum.fn(cv, sv).astype(cv.dtype), jnp.where(scattered_s, sv, cv))
+        if isinstance(cv, dict):
+            acc_out = accum.fn(cv, sv)
+            zv = {
+                f: jnp.where(both, acc_out[f], jnp.where(scattered_s, sv[f], cv[f]))
+                for f in cv
+            }
+        else:
+            zv = jnp.where(both, accum.fn(cv, sv).astype(cv.dtype), jnp.where(scattered_s, sv, cv))
         zs = cs | scattered_s
     else:
         zv, zs = sv, ss
@@ -512,10 +551,10 @@ def do_delete(self, resolved, mask=None):
     if self.ndim == 1:
         idx = jnp.asarray(np.atleast_1d(indices[0].index))
         cs = cs.at[idx].set(False)
-        cv = cv.at[idx].set(0)
+        cv = _dm.tmap(lambda a: a.at[idx].set(0), cv)
     else:
         rows = jnp.asarray(np.atleast_1d(indices[0].index))
         cols = jnp.asarray(np.atleast_1d(indices[1].index))
         cs = cs.at[rows[:, None], cols[None, :]].set(False)
-        cv = cv.at[rows[:, None], cols[None, :]].set(0)
+        cv = _dm.tmap(lambda a: a.at[rows[:, None], cols[None, :]].set(0), cv)
     self._set_arrays(cv, cs)

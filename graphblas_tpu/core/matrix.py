@@ -37,7 +37,14 @@ class Matrix(InfixMixin, BaseType):
         self._dtype = _dt.lookup_dtype(dtype)
         nrows = ensure_int(nrows, "nrows")
         ncols = ensure_int(ncols, "ncols")
-        self._values = jnp.zeros((nrows, ncols), self._dtype.np_type)
+        if self._dtype._is_udt:
+            # UDT storage is struct-of-arrays: one leaf array per field
+            self._values = {
+                f: jnp.zeros((nrows, ncols), self._dtype.np_type[f])
+                for f in self._dtype.np_type.names
+            }
+        else:
+            self._values = jnp.zeros((nrows, ncols), self._dtype.np_type)
         self._struct = jnp.zeros((nrows, ncols), bool)
         self.name = name
 
@@ -54,15 +61,15 @@ class Matrix(InfixMixin, BaseType):
 
     @property
     def nrows(self):
-        return self._values.shape[0]
+        return self._struct.shape[0]
 
     @property
     def ncols(self):
-        return self._values.shape[1]
+        return self._struct.shape[1]
 
     @property
     def shape(self):
-        return self._values.shape
+        return self._struct.shape
 
     @property
     def T(self):
@@ -80,7 +87,12 @@ class Matrix(InfixMixin, BaseType):
         return format_matrix_html(self)
 
     def __sizeof__(self):
-        return object.__sizeof__(self) + self._values.nbytes + self._struct.nbytes
+        vb = (
+            sum(a.nbytes for a in self._values.values())
+            if isinstance(self._values, dict)
+            else self._values.nbytes
+        )
+        return object.__sizeof__(self) + vb + self._struct.nbytes
 
     def __contains__(self, index):
         resolved = IndexerResolver(self, index)
@@ -141,7 +153,11 @@ class Matrix(InfixMixin, BaseType):
         dense_s = np.zeros((nrows, ncols), bool)
         dense_v[rows, columns] = values
         dense_s[rows, columns] = True
-        return cls._from_arrays(jnp.asarray(dense_v), jnp.asarray(dense_s), dtype, name=name)
+        if dtype._is_udt:
+            dv = {f: jnp.asarray(dense_v[f]) for f in dtype.np_type.names}
+        else:
+            dv = jnp.asarray(dense_v)
+        return cls._from_arrays(dv, jnp.asarray(dense_s), dtype, name=name)
 
     @classmethod
     def from_edgelist(cls, edgelist, values=None, dtype=None, *, nrows=None, ncols=None, dup_op=None, name=None):
@@ -269,9 +285,14 @@ class Matrix(InfixMixin, BaseType):
         out_c = c.astype(np.uint64) if columns else None
         out_v = None
         if values:
-            vals = np.asarray(self._values)[r, c]
-            if dtype is not None:
-                vals = vals.astype(_dt.lookup_dtype(dtype).np_type)
+            if self._dtype._is_udt:
+                vals = np.empty(len(r), self._dtype.np_type)
+                for f in self._dtype.np_type.names:
+                    vals[f] = np.asarray(self._values[f])[r, c]
+            else:
+                vals = np.asarray(self._values)[r, c]
+                if dtype is not None:
+                    vals = vals.astype(_dt.lookup_dtype(dtype).np_type)
             out_v = vals
         return out_r, out_c, out_v
 
@@ -356,7 +377,12 @@ class Matrix(InfixMixin, BaseType):
         dtype = _dt.lookup_dtype(dtype) if dtype is not None else self._dtype
         if clear:
             return Matrix(dtype, self.nrows, self.ncols, name=name)
-        v = self._values.astype(dtype.np_type)
+        if self._dtype._is_udt:
+            if dtype != self._dtype:
+                raise TypeError("Cannot cast a UDT Matrix to another dtype in dup")
+            v = dict(self._values)
+        else:
+            v = self._values.astype(dtype.np_type)
         s = self._struct
         if mask is not None:
             from .base import _check_mask
@@ -391,6 +417,11 @@ class Matrix(InfixMixin, BaseType):
         resolved = IndexerResolver(self, (row, col))
         r, c = resolved.indices
         if bool(self._struct[r.index, c.index]):
+            if self._dtype._is_udt:
+                out = np.zeros((), self._dtype.np_type)
+                for f in self._dtype.np_type.names:
+                    out[f] = np.asarray(self._values[f][r.index, c.index])
+                return out[()]
             return self._values[r.index, c.index].item()
         return default
 

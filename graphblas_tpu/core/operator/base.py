@@ -63,14 +63,28 @@ _POSITIONAL_NAMES = frozenset(
 )
 
 
+def _udt_aval(dt):
+    """Abstract value for a dtype: a dict of field scalars for UDTs."""
+    import jax
+
+    if dt._is_udt:
+        return {f: jax.ShapeDtypeStruct((), dt.np_type[f]) for f in dt.np_type.names}
+    return jax.ShapeDtypeStruct((), dt.np_type)
+
+
 def _output_dtype_of(fn, *input_dtypes):
-    """Discover the output dtype of a scalar function via abstract evaluation."""
+    """Discover the output dtype of a scalar function via abstract evaluation.
+    UDT arguments are passed as dicts of field scalars (SoA convention); a
+    dict output means "same UDT" (UDF closure over the field structure)."""
     import jax
 
     try:
-        out = jax.eval_shape(fn, *(jax.ShapeDtypeStruct((), dt.np_type) for dt in input_dtypes))
+        out = jax.eval_shape(fn, *(_udt_aval(dt) for dt in input_dtypes))
     except Exception as exc:
         raise _exc.UdfParseError(f"unable to trace user-defined function: {exc}") from exc
+    if isinstance(out, dict):
+        fields = [(name, np.dtype(sds.dtype)) for name, sds in out.items()]
+        return _dt.register_anonymous(np.dtype(fields))
     return _dt.lookup_dtype(np.dtype(out.dtype))
 
 

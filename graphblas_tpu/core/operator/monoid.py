@@ -7,6 +7,7 @@ Reference: /root/reference/graphblas/core/operator/monoid.py (parse config
 import numpy as np
 
 from .. import dtypes as _dt
+from ... import exceptions as _exc
 from . import base as _b
 from .base import ALL, BOOLS, FCS, FPS, INTS, NUMS, SINTS, UINTS, OpBase, TypedMonoid
 from .binary import BinaryOp
@@ -40,9 +41,15 @@ class Monoid(OpBase):
         if dtype in self.coercions:
             return self._typed_ops[self.coercions[dtype]]
         # build on demand from the binaryop (covers UDTs and unusual dtypes)
-        if self.binaryop is not None and dtype in self.binaryop.types:
-            typed_bin = self.binaryop[dtype]
-            if typed_bin.return_type == dtype:
+        if self.binaryop is not None:
+            try:
+                typed_bin = self.binaryop[dtype]
+            except (KeyError, _exc.UdfParseError):
+                typed_bin = None
+            if typed_bin is not None and (
+                typed_bin.return_type == dtype
+                or (dtype._is_udt and typed_bin.return_type._is_udt)
+            ):
                 identity = _resolve_identity(self._identity_spec, dtype)
                 typed = TypedMonoid(self, self.name, dtype, dtype, typed_bin.fn, typed_bin, identity)
                 self._add(typed)
@@ -76,6 +83,10 @@ class Monoid(OpBase):
 def _resolve_identity(spec, dtype):
     if callable(spec):
         return spec(dtype)
+    if dtype._is_udt:
+        # for UDTs a dict spec gives per-field identity values; the generic
+        # present-aware reduce doesn't consult it, so keep it raw
+        return spec
     if isinstance(spec, dict):
         spec = spec.get(dtype, spec.get(dtype.name))
     if spec is None:

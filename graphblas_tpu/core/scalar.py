@@ -15,7 +15,7 @@ from .operator import get_typed_op
 
 
 def _is_scalar_like(x):
-    if isinstance(x, (int, float, complex, bool, np.number, np.bool_)):
+    if isinstance(x, (int, float, complex, bool, np.number, np.bool_, np.void)):
         return True
     if isinstance(x, Scalar):
         return True
@@ -83,7 +83,20 @@ class Scalar(BaseType):
             return
         if isinstance(val, Scalar):
             val = val.value
-        self._values = np.asarray(val, self._dtype.np_type)[()]
+        if self._dtype._is_udt:
+            # accept dict/tuple/np.void field fills (reference: core/scalar.py:331-404)
+            out = np.zeros((), self._dtype.np_type)
+            if isinstance(val, dict):
+                for f, v in val.items():
+                    out[f] = v
+            elif isinstance(val, (tuple, list)):
+                for f, v in zip(self._dtype.np_type.names, val):
+                    out[f] = v
+            else:
+                out[()] = val
+            self._values = out[()]
+        else:
+            self._values = np.asarray(val, self._dtype.np_type)[()]
         self._struct = True
         self._empty = False
 
@@ -95,6 +108,10 @@ class Scalar(BaseType):
     def _device_value(self, np_dtype=None):
         import jax.numpy as jnp
 
+        if self._dtype._is_udt:
+            return {
+                f: jnp.asarray(self._values[f]) for f in self._dtype.np_type.names
+            }
         return jnp.asarray(self._values, np_dtype or self._dtype.np_type)
 
     @property
@@ -156,6 +173,11 @@ class Scalar(BaseType):
         if not present:
             if accum is None:
                 self.clear()
+            return
+        if isinstance(v, dict):
+            if accum is not None and not self._empty:
+                v = accum.fn(self._device_value(), v)
+            self.value = {f: np.asarray(a)[()] for f, a in v.items()}
             return
         if accum is not None and not self._empty:
             import jax.numpy as jnp

@@ -76,7 +76,13 @@ class Vector(InfixMixin, BaseType):
         _init_jax()
         self._dtype = _dt.lookup_dtype(dtype)
         size = ensure_int(size, "size")
-        self._values = jnp.zeros((size,), self._dtype.np_type)
+        if self._dtype._is_udt:
+            self._values = {
+                f: jnp.zeros((size,), self._dtype.np_type[f])
+                for f in self._dtype.np_type.names
+            }
+        else:
+            self._values = jnp.zeros((size,), self._dtype.np_type)
         self._struct = jnp.zeros((size,), bool)
         self.name = name
 
@@ -93,7 +99,7 @@ class Vector(InfixMixin, BaseType):
 
     @property
     def size(self):
-        return self._values.shape[0]
+        return self._struct.shape[0]
 
     @property
     def shape(self):
@@ -103,7 +109,12 @@ class Vector(InfixMixin, BaseType):
         return self.nvals
 
     def __sizeof__(self):
-        return object.__sizeof__(self) + self._values.nbytes + self._struct.nbytes
+        vb = (
+            sum(a.nbytes for a in self._values.values())
+            if isinstance(self._values, dict)
+            else self._values.nbytes
+        )
+        return object.__sizeof__(self) + vb + self._struct.nbytes
 
     def __repr__(self):
         from .formatting import format_vector
@@ -157,7 +168,11 @@ class Vector(InfixMixin, BaseType):
         dense_s = np.zeros(size, bool)
         dense_v[indices] = values
         dense_s[indices] = True
-        return cls._from_arrays(jnp.asarray(dense_v), jnp.asarray(dense_s), dtype, name=name)
+        if dtype._is_udt:
+            dv = {f: jnp.asarray(dense_v[f]) for f in dtype.np_type.names}
+        else:
+            dv = jnp.asarray(dense_v)
+        return cls._from_arrays(dv, jnp.asarray(dense_s), dtype, name=name)
 
     @classmethod
     def from_pairs(cls, pairs, dtype=None, *, size=None, dup_op=None, name=None):
@@ -215,9 +230,15 @@ class Vector(InfixMixin, BaseType):
         out_idx = idx if indices else None
         out_vals = None
         if values:
-            vals = np.asarray(self._values)[idx.astype(np.int64)]
-            if dtype is not None:
-                vals = vals.astype(_dt.lookup_dtype(dtype).np_type)
+            ii = idx.astype(np.int64)
+            if self._dtype._is_udt:
+                vals = np.empty(len(ii), self._dtype.np_type)
+                for f in self._dtype.np_type.names:
+                    vals[f] = np.asarray(self._values[f])[ii]
+            else:
+                vals = np.asarray(self._values)[ii]
+                if dtype is not None:
+                    vals = vals.astype(_dt.lookup_dtype(dtype).np_type)
             out_vals = vals
         return out_idx, out_vals
 
@@ -255,7 +276,12 @@ class Vector(InfixMixin, BaseType):
         dtype = _dt.lookup_dtype(dtype) if dtype is not None else self._dtype
         if clear:
             return Vector(dtype, self.size, name=name)
-        v = self._values.astype(dtype.np_type)
+        if self._dtype._is_udt:
+            if dtype != self._dtype:
+                raise TypeError("Cannot cast a UDT Vector to another dtype in dup")
+            v = dict(self._values)
+        else:
+            v = self._values.astype(dtype.np_type)
         s = self._struct
         if mask is not None:
             from .base import _check_mask
@@ -286,6 +312,11 @@ class Vector(InfixMixin, BaseType):
         """Element or default (reference: core/vector.py:499)."""
         idx = IndexerResolver(self, index).indices[0]
         if bool(self._struct[idx.index]):
+            if self._dtype._is_udt:
+                out = np.zeros((), self._dtype.np_type)
+                for f in self._dtype.np_type.names:
+                    out[f] = np.asarray(self._values[f][idx.index])
+                return out[()]
             return self._values[idx.index].item()
         return default
 

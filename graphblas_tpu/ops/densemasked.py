@@ -42,9 +42,24 @@ def zero_of(dtype):
     return np.zeros((), dtype)[()]
 
 
+def _is_soa(values):
+    """UDT collections store values as a dict of field arrays (SoA)."""
+    return isinstance(values, dict)
+
+
+def tmap(fn, values, *rest):
+    """Apply fn per leaf for SoA values, directly otherwise."""
+    if _is_soa(values):
+        out = {}
+        for key in values:
+            out[key] = fn(values[key], *(r[key] for r in rest))
+        return out
+    return fn(values, *rest)
+
+
 def canonical(values, struct):
     """Force absent positions to zero (storage invariant)."""
-    return jnp.where(struct, values, zero_of(values.dtype)), struct
+    return tmap(lambda v: jnp.where(struct, v, zero_of(v.dtype)), values), struct
 
 
 # ---------------------------------------------------------------------------
@@ -54,6 +69,25 @@ def canonical(values, struct):
 
 def _pair_reduce(values, struct, fn, axes):
     """Reduce (values, struct) over ``axes`` with the present-aware monoid."""
+    if _is_soa(values):
+        keys = sorted(values)
+
+        def comp(a, b):
+            va = dict(zip(keys, a[:-1]))
+            pa = a[-1]
+            vb = dict(zip(keys, b[:-1]))
+            pb = b[-1]
+            both = pa & pb
+            out = fn(va, vb)
+            merged = tuple(
+                jnp.where(both, out[k], jnp.where(pa, va[k], vb[k])) for k in keys
+            )
+            return (*merged, pa | pb)
+
+        operands = (*(values[k] for k in keys), struct)
+        init = (*(zero_of(values[k].dtype) for k in keys), np.bool_(False))
+        out = jax.lax.reduce(operands, init, comp, axes)
+        return dict(zip(keys, out[:-1])), out[-1]
 
     def comp(a, b):
         va, pa = a
@@ -70,6 +104,8 @@ def _monoid_reduce(values, struct, monoid, axes):
     """Reduce with a typed monoid; fast vectorized paths for the common
     monoids, present-aware pair reduce for the rest."""
     name = monoid.parent.name if hasattr(monoid, "parent") else None
+    if _is_soa(values):
+        return _pair_reduce(values, struct, monoid.fn if monoid.fn is not None else (lambda a, b: a), tuple(axes))
     dtype = values.dtype
     if name in {"plus", "times", "lor", "land", "min", "max"} and not jnp.issubdtype(dtype, jnp.complexfloating):
         if name == "plus":
@@ -107,7 +143,9 @@ def reduce_axis(values, struct, monoid, axis):
 @_jit(static=("monoid",))
 def reduce_all(values, struct, monoid):
     """Full monoid reduce -> scalar.  Reference: GrB_Matrix_reduce_<T>."""
-    v, s = _monoid_reduce(values.reshape(-1), struct.reshape(-1), monoid, (0,))
+    v, s = _monoid_reduce(
+        tmap(lambda a: a.reshape(-1), values), struct.reshape(-1), monoid, (0,)
+    )
     return v, s
 
 
@@ -128,7 +166,10 @@ def _safe(values, struct, op):
 @_jit(static=("op",))
 def apply_unary(values, struct, op):
     """GrB_Matrix_apply (reference: core/matrix.py:2375-2533)."""
-    out = op.fn(_safe(values, struct, op))
+    if _is_soa(values):
+        out = op.fn(values)
+    else:
+        out = op.fn(_safe(values, struct, op))
     return canonical(out, struct)
 
 
@@ -176,8 +217,11 @@ def ewise_mult(av, as_, bv, bs, op):
     """GrB_Matrix_eWiseMult (intersection).  Reference: core/matrix.py:1952."""
     struct = as_ & bs
     if op.is_positional:
-        return _positional_ewise(av.shape, struct, op)
-    out = op.fn(_safe(av, as_, op), _safe(bv, bs, op))
+        return _positional_ewise(_shape_of(av), struct, op)
+    if _is_soa(av):
+        out = op.fn(av, bv)
+    else:
+        out = op.fn(_safe(av, as_, op), _safe(bv, bs, op))
     return canonical(out, struct)
 
 
@@ -187,8 +231,14 @@ def ewise_add(av, as_, bv, bs, op):
     Reference: core/matrix.py:1861."""
     struct = as_ | bs
     if op.is_positional:
-        return _positional_ewise(av.shape, struct, op)
+        return _positional_ewise(_shape_of(av), struct, op)
     both = as_ & bs
+    if _is_soa(av):
+        out = op.fn(av, bv)
+        out = {
+            key: jnp.where(both, out[key], jnp.where(as_, av[key], bv[key])) for key in out
+        }
+        return canonical(out, struct)
     out = op.fn(_safe(av, as_, op), _safe(bv, bs, op))
     # non-intersecting entries pass through, cast to the op's output dtype
     out = jnp.where(both, out, jnp.where(as_, av.astype(out.dtype), bv.astype(out.dtype)))
@@ -206,6 +256,12 @@ def ewise_union(av, as_, bv, bs, op, left_default, right_default):
     b_filled = jnp.where(bs, bv, right_default.astype(bv.dtype))
     out = op.fn(a_filled, b_filled)
     return canonical(out, struct)
+
+
+def _shape_of(values):
+    if _is_soa(values):
+        return next(iter(values.values())).shape
+    return values.shape
 
 
 def _positional_ewise(shape, struct, op):
@@ -419,14 +475,14 @@ def kronecker(av, as_, bv, bs, op, out_dtype):
 @_jit
 def extract_matrix(values, struct, rows, cols):
     """GrB_Matrix_extract (reference: core/matrix.py:3051-3087)."""
-    v = jnp.take(jnp.take(values, rows, axis=0), cols, axis=1)
+    v = tmap(lambda a: jnp.take(jnp.take(a, rows, axis=0), cols, axis=1), values)
     s = jnp.take(jnp.take(struct, rows, axis=0), cols, axis=1)
     return v, s
 
 
 @_jit
 def extract_vector(values, struct, idx):
-    v = jnp.take(values, idx)
+    v = tmap(lambda a: jnp.take(a, idx), values)
     s = jnp.take(struct, idx)
     return v, s
 
@@ -436,17 +492,21 @@ def scatter_region_matrix(cv, cs, rows, cols, av, as_):
     """Scatter a region-shaped (av, as_) into C at rows x cols; also returns
     the region-selector bool array (used for assign/subassign semantics,
     reference: core/matrix.py:3116-3529)."""
-    zv = cv.at[rows[:, None], cols[None, :]].set(av.astype(cv.dtype))
+    zv = tmap(
+        lambda c, a: c.at[rows[:, None], cols[None, :]].set(a if _is_soa(cv) else a.astype(c.dtype)),
+        cv,
+        av,
+    )
     zs = cs.at[rows[:, None], cols[None, :]].set(as_)
-    rsel = jnp.zeros(cv.shape, bool).at[rows[:, None], cols[None, :]].set(True)
+    rsel = jnp.zeros(cs.shape, bool).at[rows[:, None], cols[None, :]].set(True)
     return zv, zs, rsel
 
 
 @_jit
 def scatter_region_vector(cv, cs, idx, av, as_):
-    zv = cv.at[idx].set(av.astype(cv.dtype))
+    zv = tmap(lambda c, a: c.at[idx].set(a if _is_soa(cv) else a.astype(c.dtype)), cv, av)
     zs = cs.at[idx].set(as_)
-    rsel = jnp.zeros(cv.shape, bool).at[idx].set(True)
+    rsel = jnp.zeros(cs.shape, bool).at[idx].set(True)
     return zv, zs, rsel
 
 
@@ -469,12 +529,22 @@ def masked_merge(cv, cs, zv, zs, mask_bits, accum, replace, has_mask, region=Non
     - region: bool array limiting where Z applies (assign/subassign); None
       means the whole output.
     """
-    zv = zv.astype(cv.dtype)
-    if accum is not None:
-        both = cs & zs
-        merged = jnp.where(both, accum.fn(cv, zv).astype(cv.dtype), jnp.where(zs, zv, cv))
-        zs = cs | zs
-        zv = merged
+    if _is_soa(cv):
+        if accum is not None:
+            both = cs & zs
+            acc_out = accum.fn(cv, zv)
+            zv = {
+                key: jnp.where(both, acc_out[key], jnp.where(zs, zv[key], cv[key]))
+                for key in cv
+            }
+            zs = cs | zs
+    else:
+        zv = zv.astype(cv.dtype)
+        if accum is not None:
+            both = cs & zs
+            merged = jnp.where(both, accum.fn(cv, zv).astype(cv.dtype), jnp.where(zs, zv, cv))
+            zs = cs | zs
+            zv = merged
     if not has_mask:
         if region is None:
             return canonical(zv, zs)
@@ -489,10 +559,10 @@ def masked_merge(cv, cs, zv, zs, mask_bits, accum, replace, has_mask, region=Non
         return canonical(out_v, out_s)
     if replace:
         out_s = m & zs
-        out_v = jnp.where(m, zv, zero_of(cv.dtype))
+        out_v = tmap(lambda z: jnp.where(m, z, zero_of(z.dtype)), zv)
     else:
         out_s = jnp.where(m, zs, cs)
-        out_v = jnp.where(m, zv, cv)
+        out_v = tmap(lambda z, c: jnp.where(m, z, c), zv, cv)
     return canonical(out_v, out_s)
 
 
@@ -557,7 +627,7 @@ def firstlast_axis(values, struct, which, axis):
 
 @_jit
 def transpose(values, struct):
-    return values.T, struct.T
+    return tmap(lambda a: a.T, values), struct.T
 
 
 @_jit(static=("row_offset", "col_offset"))
@@ -622,4 +692,4 @@ def prefix_scan(values, struct, monoid, axis):
 
 @_jit
 def flatten_matrix(values, struct):
-    return values.reshape(-1), struct.reshape(-1)
+    return tmap(lambda a: a.reshape(-1), values), struct.reshape(-1)

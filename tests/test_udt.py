@@ -1,0 +1,127 @@
+"""User-defined type (UDT) collections: struct-of-arrays storage.
+
+Reference coverage model: graphblas/tests/test_op.py UDT sections +
+test_dtype.py (core/dtypes.py:165-326 registration; core/operator/base.py
+_compile_udt -> here plain JAX dict-of-fields functions).
+"""
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import Matrix, Scalar, Vector, binary, dtypes, monoid, unary
+
+
+@pytest.fixture(scope="module")
+def Point():
+    try:
+        return dtypes.register_new("PointXY", [("x", np.float64), ("y", np.float64)])
+    except ValueError:
+        return dtypes.PointXY
+
+
+def _pts(vals):
+    arr = np.zeros(len(vals), dtype=[("x", np.float64), ("y", np.float64)])
+    for i, (x, y) in enumerate(vals):
+        arr[i] = (x, y)
+    return arr
+
+
+def test_vector_roundtrip(Point):
+    vals = _pts([(1.0, 2.0), (3.0, 4.0)])
+    v = Vector.from_coo([0, 3], vals.astype(Point.np_type), Point, size=5)
+    assert v.dtype is Point
+    assert v.nvals == 2
+    idx, out = v.to_coo()
+    assert idx.tolist() == [0, 3]
+    assert out.dtype == Point.np_type
+    assert out["x"].tolist() == [1.0, 3.0]
+    assert out["y"].tolist() == [2.0, 4.0]
+    w = v.dup()
+    assert w.isequal(v)
+
+
+def test_matrix_roundtrip(Point):
+    vals = _pts([(1.0, 2.0), (3.0, 4.0), (5.0, 6.0)]).astype(Point.np_type)
+    A = Matrix.from_coo([0, 1, 1], [1, 0, 2], vals, Point, nrows=2, ncols=3)
+    assert A.nvals == 3
+    r, c, out = A.to_coo()
+    assert out["x"].tolist() == [1.0, 3.0, 5.0]
+    B = A.dup()
+    assert B.isequal(A)
+
+
+def test_udt_ewise(Point):
+    def point_add(a, b):
+        return {"x": a["x"] + b["x"], "y": a["y"] + b["y"]}
+
+    op = binary.register_anonymous(point_add, "point_add")
+    vals1 = _pts([(1.0, 2.0), (3.0, 4.0)]).astype(Point.np_type)
+    vals2 = _pts([(10.0, 20.0), (30.0, 40.0)]).astype(Point.np_type)
+    v = Vector.from_coo([0, 1], vals1, Point, size=3)
+    w = Vector.from_coo([1, 2], vals2, Point, size=3)
+    got = v.ewise_add(w, op).new()
+    _, out = got.to_coo()
+    assert out["x"].tolist() == [1.0, 13.0, 30.0]
+    assert out["y"].tolist() == [2.0, 24.0, 40.0]
+    got = v.ewise_mult(w, op).new()
+    _, out = got.to_coo()
+    assert out["x"].tolist() == [13.0]
+
+
+def test_udt_apply_and_reduce(Point):
+    def flip(p):
+        return {"x": p["y"], "y": p["x"]}
+
+    flip_op = unary.register_anonymous(flip, "flip")
+    vals = _pts([(1.0, 2.0), (3.0, 4.0)]).astype(Point.np_type)
+    v = Vector.from_coo([0, 1], vals, Point, size=2)
+    got = v.apply(flip_op).new()
+    _, out = got.to_coo()
+    assert out["x"].tolist() == [2.0, 4.0]
+
+    def point_add(a, b):
+        return {"x": a["x"] + b["x"], "y": a["y"] + b["y"]}
+
+    mon = monoid.register_anonymous(point_add, {"x": 0.0, "y": 0.0}, "point_add_mon")
+    s = v.reduce(mon).new()
+    assert s.dtype._is_udt
+    val = s.value
+    assert val["x"] == 4.0 and val["y"] == 6.0
+
+
+def test_udt_extract_assign(Point):
+    vals = _pts([(1.0, 2.0), (3.0, 4.0)]).astype(Point.np_type)
+    v = Vector.from_coo([0, 1], vals, Point, size=4)
+    sub = v[[0, 2]].new()
+    assert sub.nvals == 1
+    elem = v[1].new()
+    assert elem.value["x"] == 3.0
+    v[2] = (9.0, 9.5)
+    assert v.nvals == 3
+    assert v.get(2)["y"] == 9.5
+    v[3] = {"x": -1.0, "y": -2.0}
+    assert v.get(3)["x"] == -1.0
+    del v[0]
+    assert v.nvals == 3
+    # masks work structurally
+    out = Vector(Point, 4)
+    out(v.S) << v.apply(lambda p: {"x": p["x"] * 2, "y": p["y"]})
+    assert out.nvals == 3
+    assert out.get(2)["x"] == 18.0
+
+
+def test_udt_scalar(Point):
+    s = Scalar(Point)
+    assert s.is_empty
+    s.value = (1.5, 2.5)
+    assert s.value["x"] == 1.5
+    t = Scalar.from_value(s.value)
+    assert t.dtype.np_type == Point.np_type
+
+
+def test_udt_mxm_raises(Point):
+    vals = _pts([(1.0, 2.0)]).astype(Point.np_type)
+    A = Matrix.from_coo([0], [0], vals, Point, nrows=2, ncols=2)
+    with pytest.raises(NotImplementedError):
+        A.mxm(A, "plus_times").new()
