@@ -75,32 +75,37 @@ def main():
     outdeg = jnp.asarray(outdeg_np.astype(np.int32))
     sources = np.argsort(outdeg_np)[::-1][:4].tolist()
 
+    # NOTE: block_until_ready is unreliable over remote-execution tunnels;
+    # force completion with a host value read instead.
+    def _force(x):
+        return float(jnp.sum(x.astype(jnp.float32)))
+
     # ---- PageRank (primary: GTEPS per plus_times mxv iteration) ----------
     iters = 20
     r = mf.pagerank(plan, outdeg, n, max_iters=iters, tol=0.0)  # compile+warm
-    r.block_until_ready()
+    _force(r)
     t0 = time.perf_counter()
     r = mf.pagerank(plan, outdeg, n, max_iters=iters, tol=0.0)
-    r.block_until_ready()
+    _force(r)
     pr_time = (time.perf_counter() - t0) / iters
     pr_gteps = e / pr_time / 1e9
 
     # ---- BFS --------------------------------------------------------------
     levels = mf.bfs_level(plan, sources[0], n)
-    levels.block_until_ready()
+    _force(levels)
     t0 = time.perf_counter()
     levels = mf.bfs_level(plan, sources[1], n)
-    levels.block_until_ready()
+    _force(levels)
     bfs_time = time.perf_counter() - t0
     bfs_gteps = e / bfs_time / 1e9
     nlevels = int(np.asarray(levels).max())
 
     # ---- SSSP -------------------------------------------------------------
     d = mf.sssp(plan, sources[0], n)
-    d.block_until_ready()
+    _force(d)
     t0 = time.perf_counter()
     d = mf.sssp(plan, sources[1], n)
-    d.block_until_ready()
+    _force(d)
     sssp_time = time.perf_counter() - t0
     sssp_gteps = e / sssp_time / 1e9
 

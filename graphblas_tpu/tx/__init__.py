@@ -126,3 +126,72 @@ class burble:
     def __exit__(self, *exc):
         config["burble"] = self._saved
         return False
+
+
+# -- raw-buffer imports (reference: zero-copy Matrix.ss.import_* /
+#    Vector.ss.import_*, core/ss/matrix.py:537-3649) -------------------------
+
+
+def import_csr(*, indptr, col_indices, values, nrows=None, ncols=None, dtype=None, name=None, **opts):
+    from ..core.matrix import Matrix
+
+    return Matrix.from_csr(indptr, col_indices, values, dtype, nrows=nrows, ncols=ncols, name=name)
+
+
+def import_csc(*, indptr, row_indices, values, nrows=None, ncols=None, dtype=None, name=None, **opts):
+    from ..core.matrix import Matrix
+
+    return Matrix.from_csc(indptr, row_indices, values, dtype, nrows=nrows, ncols=ncols, name=name)
+
+
+def import_coo(*, rows, cols, values, nrows=None, ncols=None, dtype=None, name=None, **opts):
+    from ..core.matrix import Matrix
+
+    return Matrix.from_coo(rows, cols, values, dtype, nrows=nrows, ncols=ncols, name=name)
+
+
+def import_fullr(*, values, dtype=None, name=None, **opts):
+    from ..core.matrix import Matrix
+
+    return Matrix.from_dense(values, dtype=dtype, name=name)
+
+
+def import_bitmapr(*, bitmap, values, dtype=None, name=None, **opts):
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ..core.matrix import Matrix
+
+    values = np.asarray(values)
+    bitmap = np.asarray(bitmap, bool)
+    m = Matrix.from_dense(values, dtype=dtype, name=name)
+    m._struct = jnp.asarray(bitmap)
+    m._values, m._struct = __import__("graphblas_tpu.ops.densemasked", fromlist=["canonical"]).canonical(
+        m._values, m._struct
+    )
+    return m
+
+
+def import_sparse_vector(*, indices, values, size=None, dtype=None, name=None, **opts):
+    from ..core.vector import Vector
+
+    return Vector.from_coo(indices, values, dtype, size=size, name=name)
+
+
+def deserialize(data):
+    """Inverse of Matrix.tx.serialize / Vector.tx.serialize."""
+    import pickle as _pickle
+
+    import zstandard
+
+    tag, raw = data[:4], data[4:]
+    if tag == b"ZSTD":
+        raw = zstandard.ZstdDecompressor().decompress(raw)
+    payload = _pickle.loads(raw)
+    if payload["kind"] == "Matrix":
+        from .matrix import deserialize_matrix
+
+        return deserialize_matrix(data)
+    from .vector import deserialize_vector
+
+    return deserialize_vector(data)
