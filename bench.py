@@ -90,13 +90,14 @@ def main():
     pr_time = (time.perf_counter() - t0) / iters
     pr_gteps = e / pr_time / 1e9
 
-    # ---- BFS --------------------------------------------------------------
+    # ---- BFS (3 sources amortize the host-sync overhead) -------------------
     levels = mf.bfs_level(plan, sources[0], n)
     _force(levels)
     t0 = time.perf_counter()
-    levels = mf.bfs_level(plan, sources[1], n)
+    for src_node in sources[1:4]:
+        levels = mf.bfs_level(plan, src_node, n)
     _force(levels)
-    bfs_time = time.perf_counter() - t0
+    bfs_time = (time.perf_counter() - t0) / 3
     bfs_gteps = e / bfs_time / 1e9
     nlevels = int(np.asarray(levels).max())
 

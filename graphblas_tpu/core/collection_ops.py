@@ -108,10 +108,6 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
             op = op._iu if hasattr(op, "_iu") and op._iu is not None else op
         op_t = get_typed_op(op, self.dtype, kind="indexunary")
         thunk_s = _as_scalar(thunk if thunk is not None else 0, getattr(op_t.parent, "_thunk_dtype", None))
-        if getattr(op_t.parent, "positional", None) in {"rowindex", "colindex", "diagindex"} or (
-            op_t.parent.positional is not None and op_t.parent.orig_func is None
-        ):
-            pass
 
         def compute():
             v, s = _arrays_of(self)

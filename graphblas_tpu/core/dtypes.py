@@ -298,8 +298,4 @@ def _string_to_dtype(s):
         return lookup_dtype(np.dtype(obj))
 
 
-class _ModuleShim:
-    pass
-
-
 _MODULE = None  # set by graphblas_tpu.dtypes package at import

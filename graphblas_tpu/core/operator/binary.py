@@ -409,8 +409,8 @@ def _specs():
         ("rdiv", ALL, "same", rdiv),
         ("truediv", FPS + FCS, "same", truediv),
         ("rtruediv", FPS + FCS, "same", rtruediv),
-        ("floordiv", BOOLS + NUMS, "same", floordiv),
-        ("rfloordiv", BOOLS + NUMS, "same", rfloordiv),
+        ("floordiv", NUMS, "same", floordiv),
+        ("rfloordiv", NUMS, "same", rfloordiv),
         ("pow", ALL, "same", pow_),
         ("rpow", ALL, "same", rpow),
         ("min", BOOLS + NUMS, "same", min_),

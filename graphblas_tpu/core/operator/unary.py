@@ -180,7 +180,7 @@ def _specs():
         ("abs", ALL, lambda dt: {_dt.FC32: _dt.FP32, _dt.FC64: _dt.FP64}.get(dt, dt), abs_fn),
         ("lnot", BOOLS + NUMS, "same", lnot),
         ("bnot", INTS, "same", bnot),
-        ("signum", NUMS + BOOLS, "same", signum),
+        ("signum", NUMS, "same", signum),
     ]
 
     # float (and complex where meaningful) math ops

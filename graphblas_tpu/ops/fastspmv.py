@@ -4,7 +4,7 @@ The pipeline (all static-shape, all fast TPU primitives):
 
     expand:   x (n,) -> x[src] in src-sorted edge order
               = place x at CSR boundaries (scatter of n elements, ~90 M/s is
-              fine at n-size) + segmented forward-fill (associative_scan)
+              fine at n-size) + segmented forward-fill (streaming Pallas scan)
     multiply: per-edge semiring multiply with the edge weights
     permute:  src-sorted order -> dst-sorted order via a PermutePlan
               (lane-shuffle/transpose network, ~5 G elem/s per stage)

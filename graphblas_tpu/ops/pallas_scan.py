@@ -65,23 +65,23 @@ def _kernel(op, blk, v_ref, f_ref, o_ref, cv_ref, cf_ref):
         sf = jnp.where(col < k, zero, jnp.roll(f, k, axis=1))
         v, f = _combine(op, sv, sf, v, f)
 
-    # ---- row aggregates = last lane -------------------------------------
-    rowv = v[:, 127:128]  # (blk, 1)
-    rowf = f[:, 127:128]
-
-    # broadcast to (blk, 128) lanes so the sublane shifts stay tiled
-    rv = jnp.broadcast_to(rowv, (blk, 128))
-    rf = jnp.broadcast_to(rowf, (blk, 128))
-    row = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 0)
+    # ---- row aggregates = last lane; scan them in narrow (blk, 1) form ---
+    # (scanning the full (blk, 128) broadcast would cost log(blk) extra
+    # full-tile passes; the aggregates column is 128x smaller)
+    rv = v[:, 127:128]  # (blk, 1)
+    rf = f[:, 127:128]
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
     k = 1
     while k < blk:
-        sv = jnp.where(row < k, ident, jnp.roll(rv, k, axis=0))
-        sf = jnp.where(row < k, zero, jnp.roll(rf, k, axis=0))
+        sv = jnp.where(row1 < k, ident, jnp.roll(rv, k, axis=0))
+        sf = jnp.where(row1 < k, zero, jnp.roll(rf, k, axis=0))
         rv, rf = _combine(op, sv, sf, rv, rf)
         k *= 2
     # rv now holds the inclusive row-aggregate scan; make it exclusive
-    prev_v = jnp.where(row == 0, ident, jnp.roll(rv, 1, axis=0))
-    prev_f = jnp.where(row == 0, zero, jnp.roll(rf, 1, axis=0))
+    prev_v1 = jnp.where(row1 == 0, ident, jnp.roll(rv, 1, axis=0))
+    prev_f1 = jnp.where(row1 == 0, zero, jnp.roll(rf, 1, axis=0))
+    prev_v = jnp.broadcast_to(prev_v1, (blk, 128))
+    prev_f = jnp.broadcast_to(prev_f1, (blk, 128))
 
     # ---- fold in the inter-tile carry -----------------------------------
     @pl.when(pl.program_id(0) == 0)

@@ -1,0 +1,121 @@
+"""Exhaustive typed-operator tables: every builtin op executes for every
+registered dtype and returns its declared type (models reference
+test_operator_types.py)."""
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import binary, dtypes, indexunary, monoid, semiring, unary
+
+
+def _sample(dtype, positive=False):
+    if dtype._is_bool:
+        return np.array([True, False, True])
+    if dtype._is_complex:
+        return np.array([1 + 2j, 3 - 1j, 0.5j], dtype.np_type)
+    if dtype._is_float:
+        return np.array([0.5, 2.0, 3.5] if positive else [0.5, -2.0, 3.5], dtype.np_type)
+    if dtype._is_unsigned_int:
+        return np.array([1, 2, 5], dtype.np_type)
+    return np.array([1, -2, 5] if not positive else [1, 2, 5], dtype.np_type)
+
+
+_POSITIVE_ONLY = {"sqrt", "log", "log2", "log10", "log1p", "lgamma", "tgamma", "acosh"}
+
+
+def test_all_unary_types_execute():
+    import jax
+
+    for name, op in unary._ops.items():
+        if op.positional is not None:
+            continue
+        for dtype, ret in op.types.items():
+            typed = op[dtype]
+            x = _sample(dtype, positive=name in _POSITIVE_ONLY)
+            out = np.asarray(typed.fn(x.astype(typed.type_.np_type)))
+            assert out.dtype == ret.np_type, f"{name}[{dtype}] -> {out.dtype} != {ret}"
+
+
+def test_all_binary_types_execute():
+    for name, op in binary._ops.items():
+        if not hasattr(op, "positional") or op.positional is not None:
+            continue
+        for dtype, ret in op.types.items():
+            typed = op[dtype]
+            x = _sample(dtype, positive=True)
+            y = _sample(dtype, positive=True)
+            out = np.asarray(typed.fn(x.astype(typed.type_.np_type), y.astype(typed.type2.np_type)))
+            assert out.dtype == ret.np_type, f"{name}[{dtype}] -> {out.dtype} != {ret}"
+
+
+def test_all_monoid_types_closed():
+    for name, op in monoid._ops.items():
+        for dtype, ret in op.types.items():
+            assert ret is dtype, f"monoid {name}[{dtype}] not closed"
+            typed = op[dtype]
+            if name != "any":
+                assert typed.identity is not None
+                x = _sample(dtype, positive=True)
+                ident = np.full_like(x, typed.identity)
+                out = np.asarray(typed.fn(x, ident))
+                np.testing.assert_array_equal(out, x, err_msg=f"monoid {name}[{dtype}] identity")
+
+
+def test_unary_coercions_land_on_registered_types():
+    for name, op in unary._ops.items():
+        if not hasattr(op, "coercions"):
+            continue
+        for src, dst in op.coercions.items():
+            assert dst in op.types, f"{name}: coercion {src}->{dst} dangles"
+
+
+def test_binary_coercions_land_on_registered_types():
+    for name, op in binary._ops.items():
+        if not hasattr(op, "coercions"):
+            continue
+        for src, dst in op.coercions.items():
+            assert dst in op.types, f"{name}: coercion {src}->{dst} dangles"
+
+
+def test_semiring_typing_matrix():
+    """Typed semirings resolve for every (monoid, mul) combination whose
+    domains intersect, across representative dtypes."""
+    adds = ["min", "max", "plus", "times", "any", "lor", "land"]
+    muls = ["first", "second", "plus", "minus", "times", "min", "max", "pair", "land", "lor"]
+    test_dtypes = [dtypes.BOOL, dtypes.INT32, dtypes.INT64, dtypes.FP32, dtypes.FP64]
+    count = 0
+    for add in adds:
+        for mul in muls:
+            sr = getattr(semiring, f"{add}_{mul}")
+            for dt in test_dtypes:
+                try:
+                    typed = sr[dt]
+                except KeyError:
+                    continue
+                assert isinstance(typed.return_type, type(dtypes.FP64))
+                count += 1
+    assert count > 200
+
+
+def test_indexunary_thunk_types():
+    for name, op in indexunary._ops.items():
+        for dtype, ret in op.types.items():
+            typed = op[dtype]
+            x = _sample(dtype, positive=True)
+            i = np.arange(3, dtype=np.int64)
+            j = np.zeros(3, np.int64)
+            thunk = np.asarray(1, np.int64 if op._thunk_dtype is dtypes.INT64 else typed.type_.np_type)
+            out = np.asarray(typed.fn(x.astype(typed.type_.np_type), i, j, thunk))
+            assert out.dtype == ret.np_type, f"{name}[{dtype}]"
+
+
+def test_cross_dtype_ewise(rng):
+    """Mixed-dtype operands promote like numpy (reference unify semantics)."""
+    from graphblas_tpu import Vector
+
+    v32 = Vector.from_coo([0, 1], [1, 2], dtypes.INT32, size=3)
+    vf = Vector.from_coo([1, 2], [0.5, 1.5], dtypes.FP32, size=3)
+    out = v32.ewise_add(vf, binary.plus).new()
+    assert out.dtype == dtypes.FP64  # numpy promotion of int32 x float32
+    assert out.to_dict() == {0: 1.0, 1: 2.5, 2: 1.5}
