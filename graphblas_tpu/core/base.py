@@ -62,7 +62,9 @@ class BaseType:
                     accum = arg
                 else:
                     raise TypeError(f"Invalid item found in output params: {type(arg)}")
-        mask = _check_mask(mask, self) if mask is not None else None
+        # shape validation is deferred: assign allows region-shaped masks
+        # (e.g. a vector mask on C(vmask)[i, :] = v — GrB_Row_assign)
+        mask = _check_mask(mask, None) if mask is not None else None
         if input_mask is not None:
             input_mask = _check_mask(input_mask, None)
         if accum is not None:

@@ -154,59 +154,15 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
 
     def compute():
         v, s = _arrays_of(self)
-        v = v.astype(op_t.type_.np_type if right is not None else op_t.type2.np_type)
+        v = _cast_values(
+            v, op_t.type_.np_type if right is not None else op_t.type2.np_type, self.dtype
+        )
         b = bound._device_value(op_t.type2.np_type if right is not None else op_t.type_.np_type)
-        if right is not None:
-            bound_op = _BoundRight(op_t, b)
-        else:
-            bound_op = _BoundLeft(op_t, b)
-        return _dm.apply_unary(v, s, bound_op)
+        return _dm.apply_bound(v, s, op_t, b, "right" if right is not None else "left")
 
     return BaseExpression(
         "apply", out_cls, compute, op=op_t, dtype=op_t.return_type, shape=self.shape, args=(self,), opname=f"apply[{op_t.name}]"
     )
-
-
-class _BoundOpBase:
-    """Hashable wrapper so jit can cache on (op, bound-value is traced)."""
-
-    __slots__ = ("op_t", "b")
-
-    def __init__(self, op_t, b):
-        self.op_t = op_t
-        self.b = b
-
-    @property
-    def parent(self):
-        return self.op_t.parent
-
-    @property
-    def return_type(self):
-        return self.op_t.return_type
-
-    def __hash__(self):
-        return hash((type(self), self.op_t))
-
-    def __eq__(self, other):
-        return type(self) is type(other) and self.op_t is other.op_t
-
-
-class _BoundRight(_BoundOpBase):
-    __slots__ = ()
-
-    @property
-    def fn(self):
-        op_fn, b = self.op_t.fn, self.b
-        return lambda x: op_fn(x, b)
-
-
-class _BoundLeft(_BoundOpBase):
-    __slots__ = ()
-
-    @property
-    def fn(self):
-        op_fn, b = self.op_t.fn, self.b
-        return lambda x: op_fn(b, x)
 
 
 def select_expr(self, op, thunk=None):

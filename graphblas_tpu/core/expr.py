@@ -44,6 +44,8 @@ def _parse_one(index, dim_size, dim_name):
         return _DimIndex("array", arr, len(arr))
     if isinstance(index, (list, tuple, np.ndarray, range)):
         arr = np.asarray(index)
+        if arr.size == 0:
+            arr = arr.astype(np.int64)
         if arr.dtype == np.bool_:
             raise TypeError("Boolean indexing is not supported; use a mask instead")
         if not np.issubdtype(arr.dtype, np.integer):

@@ -188,6 +188,28 @@ def _deserialize_agg(name):
 # ---------------------------------------------------------------------------
 
 
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=None)
+def _cached_unary(name, fn_key):
+    """One registered op per (name) — re-registering per call would defeat
+    the engine's jit cache."""
+    from .unary import UnaryOp
+
+    fn = _CACHED_FNS[fn_key]
+    return UnaryOp.register_anonymous(fn, name)
+
+
+_CACHED_FNS = {}
+
+
+def _register_cached(name, fn):
+    if name not in _CACHED_FNS:
+        _CACHED_FNS[name] = fn
+    return _cached_unary(name, name)
+
+
 def _u(name, dtype_rule=None):
     """Pre-apply factory returning a typed builtin unary op for the parent dtype."""
 
@@ -203,41 +225,26 @@ def _u(name, dtype_rule=None):
 
 
 def _square(dtype):
-    import graphblas_tpu.binary as binary
-
     # x -> x*x, computed in the promoted dtype
     target = _dt.INT64 if dtype._is_int or dtype._is_bool else dtype
-    import graphblas_tpu.unary as unary
-    from .unary import UnaryOp
-
-    return UnaryOp.register_anonymous(lambda x: x * x, "square")[target]
+    return _register_cached("square", lambda x: x * x)[target]
 
 
 def _count_pre(dtype):
-    from .unary import UnaryOp
-
-    return UnaryOp.register_anonymous(lambda x: (x == x).astype(np.int64) * 0 + 1, "one_int64")[
-        _dt.INT64 if not dtype._is_complex else _dt.INT64
-    ]
+    return _register_cached("one_int64", lambda x: (x == x).astype(np.int64) * 0 + 1)[_dt.INT64]
 
 
 def _nonzero_pre(dtype):
-    from .unary import UnaryOp
-
-    return UnaryOp.register_anonymous(lambda x: (x != 0).astype(np.int64), "nonzero_int64")[dtype]
+    return _register_cached("nonzero_int64", lambda x: (x != 0).astype(np.int64))[dtype]
 
 
 def _zero_pre(dtype):
-    from .unary import UnaryOp
-
-    return UnaryOp.register_anonymous(lambda x: (x == 0).astype(np.int64), "zero_int64")[dtype]
+    return _register_cached("zero_int64", lambda x: (x == 0).astype(np.int64))[dtype]
 
 
 def _inv_pre(dtype):
-    from .unary import UnaryOp
-
     target = _float_ret(dtype)
-    return UnaryOp.register_anonymous(lambda x: 1.0 / x, "inv_float")[target]
+    return _register_cached("inv_float", lambda x: 1.0 / x)[target]
 
 
 def _abs_pre(dtype):
@@ -264,12 +271,14 @@ def _exp2_pre(dtype):
     return unary.exp2[_float_ret(dtype)]
 
 
+@_ft.lru_cache(maxsize=None)
 def _jnp_fin(fn_name):
     def fin(x):
         import jax.numpy as jnp
 
         return getattr(jnp, fn_name)(x)
 
+    fin.__name__ = f"agg_{fn_name}"
     return fin
 
 

@@ -140,17 +140,27 @@ def get_typed_op(op, dtype, dtype2=None, *, is_left_scalar=False, is_right_scala
         return op[dtype]
     if not isinstance(op, OpBase) and not hasattr(op, "__getitem__"):
         if callable(op):
-            # raw Python function: auto-register (reference: utils.py:134-151)
-            from .binary import BinaryOp
-            from .unary import UnaryOp
-
-            nargs = _count_args(op)
-            if nargs == 1:
-                op = UnaryOp.register_anonymous(op, getattr(op, "__name__", None))
-            elif nargs == 2:
-                op = BinaryOp.register_anonymous(op, getattr(op, "__name__", None))
+            # raw Python function: auto-register, memoized per function object
+            # (a fresh op per call would defeat the engine's jit cache)
+            cached = _autoreg_cache.get(op)
+            if cached is not None:
+                op = cached
             else:
-                raise TypeError(f"Unable to auto-register function with {nargs} args as an operator")
+                from .binary import BinaryOp
+                from .unary import UnaryOp
+
+                func = op
+                nargs = _count_args(func)
+                if nargs == 1:
+                    op = UnaryOp.register_anonymous(func, getattr(func, "__name__", None))
+                elif nargs == 2:
+                    op = BinaryOp.register_anonymous(func, getattr(func, "__name__", None))
+                else:
+                    raise TypeError(f"Unable to auto-register function with {nargs} args as an operator")
+                try:
+                    _autoreg_cache[func] = op
+                except TypeError:
+                    pass
         else:
             raise TypeError(f"Unable to get typed operator from object with type {type(op)}")
 
@@ -185,6 +195,9 @@ def _count_args(func):
     )
 
 
+import weakref
+
+_autoreg_cache = weakref.WeakKeyDictionary()
 _semiring_cache = {}
 
 

@@ -173,6 +173,21 @@ def apply_unary(values, struct, op):
     return canonical(out, struct)
 
 
+@_jit(static=("op", "side"))
+def apply_bound(values, struct, op, bound, side):
+    """Apply a binary op with one argument bound to a scalar.  ``bound`` is a
+    TRACED argument: closing over it under a static op would bake the first
+    value seen into the jit cache (GrB_apply_BinaryOp1st/2nd)."""
+    parent = getattr(op, "parent", None)
+    if parent is not None and getattr(parent, "_needs_safe_fill", False):
+        values = jnp.where(struct, values, np.asarray(1, values.dtype))
+    if side == "right":
+        out = op.fn(values, bound)
+    else:
+        out = op.fn(bound, values)
+    return canonical(out, struct)
+
+
 @_jit(static=("op", "offset"))
 def apply_positional_unary(values, struct, op, offset):
     which, delta = op.positional if not isinstance(op.positional, str) else (op.positional, 0)

@@ -225,18 +225,21 @@ def _no_x64(fn):
 def spmv(plan: SpmvPlan, x, add="plus", mul="times"):
     """y[d] = ADD over edges (s->d) of (x[s] MUL w).  add in {plus,min,max};
     mul in {times,plus,first,second}.  Absent/invalid edges contribute the
-    ADD identity."""
+    ADD identity.  The per-edge multiply + validity mask + segmented reduce
+    scan run as ONE fused Pallas kernel."""
+    from .pallas_scan import segmented_scan_contrib
+
     xe = _expand_src_sorted(x, plan.indptr_src, plan.e_pad)
     xe_dst = apply_plan(xe, plan.perm_plan)
-    w = plan.w_dst_order
-    if mul == "times":
-        contrib = xe_dst * w if w is not None else xe_dst
-    elif mul == "plus":
-        contrib = xe_dst + w if w is not None else xe_dst
-    elif mul == "first":
-        contrib = xe_dst
-    else:  # second
-        contrib = w if w is not None else xe_dst
-    ident = _ident_of(contrib.dtype, add)
-    contrib = jnp.where(plan.valid_dst_order, contrib, ident)
-    return _segment_reduce_dst(contrib, plan.indptr_dst, add)
+    w = plan.w_dst_order if mul in ("times", "plus", "second") else None
+    ends = plan.indptr_dst[1:]
+    starts = plan.indptr_dst[:-1]
+    seg_start = jnp.zeros(plan.e_pad, bool).at[starts].set(True)
+    op = {"plus": "add", "min": "min", "max": "max"}[add]
+    scanned = segmented_scan_contrib(
+        xe_dst, w, plan.valid_dst_order, seg_start, op, mul, interpret=_interpret_scan()
+    )
+    ident = _ident_of(scanned.dtype, add)
+    padded = jnp.concatenate([jnp.full((1,), ident, scanned.dtype), scanned])
+    out = padded[ends]
+    return jnp.where(starts == ends, ident, out)

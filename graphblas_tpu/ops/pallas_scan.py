@@ -50,13 +50,12 @@ def _ident(op, dtype):
     return np.asarray(info.max if op == "min" else info.min, dtype)[()]
 
 
-def _kernel(op, blk, v_ref, f_ref, o_ref, cv_ref, cf_ref):
+def _scan_tile(op, blk, v, f, cv_ref, cf_ref):
+    """Shared in-VMEM segmented-scan tile body; returns (out_v, out_f)."""
     import jax.experimental.pallas as pl
 
-    ident = _ident(op, v_ref.dtype)
+    ident = _ident(op, v.dtype)
     zero = jnp.int32(0)
-    v = v_ref[:, :]
-    f = f_ref[:, :]
 
     # ---- lane-direction inclusive segmented scan (7 log steps) ----------
     col = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 1)
@@ -95,11 +94,38 @@ def _kernel(op, blk, v_ref, f_ref, o_ref, cv_ref, cf_ref):
 
     # ---- final combine: prefix ∘ lane-scan ------------------------------
     out_v, out_f = _combine(op, pv, pf, v, f)
-    o_ref[:, :] = out_v
 
     # ---- update carry with this tile's total ----------------------------
     cv_ref[0, 0] = out_v[blk - 1, 127]
     cf_ref[0, 0] = out_f[blk - 1, 127]
+    return out_v, out_f
+
+
+def _kernel(op, blk, v_ref, f_ref, o_ref, cv_ref, cf_ref):
+    out_v, _ = _scan_tile(op, blk, v_ref[:, :], f_ref[:, :], cv_ref, cf_ref)
+    o_ref[:, :] = out_v
+
+
+def _fused_kernel(op, mul, blk, x_ref, w_ref, valid_ref, f_ref, o_ref, cv_ref, cf_ref):
+    """Per-edge semiring multiply + validity mask fused ahead of the scan
+    (saves two full HBM round trips in the SpMV pipeline)."""
+    ident = _ident(op, x_ref.dtype)
+    x = x_ref[:, :]
+    if w_ref is not None:
+        w = w_ref[:, :]
+        if mul == "times":
+            contrib = x * w
+        elif mul == "plus":
+            contrib = x + w
+        elif mul == "second":
+            contrib = w
+        else:  # first
+            contrib = x
+    else:
+        contrib = x
+    contrib = jnp.where(valid_ref[:, :] != 0, contrib, ident)
+    out_v, _ = _scan_tile(op, blk, contrib, f_ref[:, :], cv_ref, cf_ref)
+    o_ref[:, :] = out_v
 
 
 def _no_x64(fn):
@@ -152,3 +178,52 @@ def segmented_scan(values, flags, op, interpret=False):
         interpret=interpret,
     )(v2, f2)
     return out.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("op", "mul", "interpret"))
+@_no_x64
+def segmented_scan_contrib(xe, w, valid, flags, op, mul, interpret=False):
+    """Fused per-edge multiply+mask+segmented-scan (the SpMV reduce stage).
+    ``w`` may be None (structure-only multiplies)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = xe.shape[0]
+    r = n // 128
+    blk = min(_BLK, r)
+    assert n % 128 == 0 and r % blk == 0, "spmv e_pad sizes are block multiples"
+    x2 = xe.reshape(r, 128)
+    f2 = flags.astype(jnp.int32).reshape(r, 128)
+    v2 = valid.astype(jnp.int32).reshape(r, 128)
+    blockspec = pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if w is not None:
+        kernel = functools.partial(_fused_kernel, op, mul, blk)
+        args = (x2, w.reshape(r, 128), v2, f2)
+        in_specs = [blockspec] * 4
+    else:
+        kernel = functools.partial(
+            lambda op, mul, blk, x_ref, valid_ref, f_ref, o_ref, cv_ref, cf_ref: _fused_kernel(
+                op, mul, blk, x_ref, None, valid_ref, f_ref, o_ref, cv_ref, cf_ref
+            ),
+            op,
+            mul,
+            blk,
+        )
+        args = (x2, v2, f2)
+        in_specs = [blockspec] * 3
+    out = pl.pallas_call(
+        kernel,
+        grid=(r // blk,),
+        in_specs=in_specs,
+        out_specs=blockspec,
+        out_shape=jax.ShapeDtypeStruct((r, 128), xe.dtype),
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), xe.dtype),
+            pltpu.SMEM((1, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(-1)
