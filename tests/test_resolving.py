@@ -1,0 +1,137 @@
+"""Typing/updater resolution rules and error paths (models reference
+test_resolving.py)."""
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import Matrix, Scalar, Vector, binary, dtypes, monoid, semiring, unary
+
+
+@pytest.fixture
+def v():
+    return Vector.from_coo([0, 1], [1, 2], dtypes.INT64, size=3)
+
+
+@pytest.fixture
+def A():
+    return Matrix.from_coo([0, 1], [1, 0], [1, 2], dtypes.INT64, nrows=2, ncols=2)
+
+
+def test_update_shape_mismatch(v):
+    w = Vector(dtypes.INT64, 4)
+    with pytest.raises(gb.exceptions.DimensionMismatch):
+        w << v.apply(unary.one)
+
+
+def test_update_rank_mismatch(v, A):
+    with pytest.raises(TypeError):
+        v << A.mxm(A)
+    with pytest.raises(TypeError):
+        A << v
+
+
+def test_bare_scalar_update_rejected(v):
+    with pytest.raises(TypeError):
+        v << 5
+
+
+def test_multiple_masks_rejected(v):
+    with pytest.raises(TypeError):
+        v(v.S, v.S)
+
+
+def test_multiple_accum_rejected(v):
+    with pytest.raises(TypeError):
+        v(binary.plus, binary.times)
+
+
+def test_replace_without_mask(v):
+    with pytest.raises(ValueError):
+        v(replace=True) << v.apply(unary.one)
+
+
+def test_mxm_requires_semiring(A):
+    with pytest.raises(TypeError):
+        A.mxm(A, binary.plus).new()
+
+
+def test_reduce_binary_without_monoid(A):
+    with pytest.raises(gb.exceptions.DomainMismatch):
+        A.reduce_scalar(binary.minus).new()
+
+
+def test_apply_binary_without_bound(A):
+    with pytest.raises(TypeError):
+        A.apply(binary.plus).new()
+
+
+def test_apply_both_sides_rejected(A):
+    with pytest.raises(TypeError):
+        A.apply(binary.plus, right=1, left=2)
+
+
+def test_op_dtype_rejection(A):
+    f = A.dup(dtypes.FP64)
+    with pytest.raises(KeyError):
+        f.apply(unary.bnot).new()  # bnot is int-only
+
+
+def test_updater_call_then_update(v):
+    out = Vector(dtypes.INT64, 3)
+    out(accum=binary.plus).update(v.apply(unary.one))
+    assert out.to_dict() == {0: 1, 1: 1}
+    out(accum="plus") << v.apply(unary.one)  # accum as string
+    assert out.to_dict() == {0: 2, 1: 2}
+
+
+def test_autocompute_off_blocks_delegation(v):
+    with gb.config.set(autocompute=False):
+        expr = v.apply(unary.one)
+        with pytest.raises(TypeError):
+            expr.nvals
+    assert v.apply(unary.one).nvals == 2
+
+
+def test_expression_new_with_mask(v):
+    m = Vector.from_coo([0], [True], dtypes.BOOL, size=3)
+    out = v.apply(unary.one).new(mask=m.S)
+    assert out.to_dict() == {0: 1}
+
+
+def test_typed_op_pinning(v):
+    out = v.apply(binary.plus["FP64"], right=1).new()
+    assert out.dtype == dtypes.FP64
+
+
+def test_scalar_thunk_dtype(v):
+    out = v.select("valuegt", Scalar.from_value(1)).new()
+    assert out.to_dict() == {1: 2}
+
+
+def test_transposed_matrix_ops(A):
+    T = A.T
+    assert T.shape == (2, 2)
+    assert T.nvals == 2
+    C = T.mxm(A).new()  # materializes the view then multiplies
+    assert C.nvals == 2
+    assert T.T is A
+
+
+def test_indexing_errors(A):
+    with pytest.raises(TypeError):
+        A[0]  # matrix needs 2-tuple
+    with pytest.raises(gb.exceptions.IndexOutOfBound):
+        A[5, 0]
+    with pytest.raises(TypeError):
+        A[[0.5, 1], 0]
+    v = Vector(dtypes.INT64, 3)
+    with pytest.raises(TypeError):
+        v[0, 1]
+
+
+def test_wait_and_chaining(v):
+    assert v.wait() is v
+    w = Vector(dtypes.INT64, 3)
+    w.update(v.apply(unary.one))
+    assert w.nvals == 2
