@@ -57,7 +57,7 @@ def main():
     from graphblas_tpu.models import fast as mf
     from graphblas_tpu.ops.fastspmv import load_spmv_plan, spmv
 
-    scale = int(os.environ.get("GRAPHBLAS_BENCH_SCALE", "18"))
+    scale = int(os.environ.get("GRAPHBLAS_BENCH_SCALE", "19"))
     ef = int(os.environ.get("GRAPHBLAS_BENCH_EF", "16"))
     seed = 5
     cache = os.environ.get("GRAPHBLAS_BENCH_CACHE", tempfile.gettempdir())

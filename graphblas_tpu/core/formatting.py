@@ -15,7 +15,17 @@ def _grid_dataframe(obj, max_rows=_MAX_DISPLAY, max_cols=_MAX_DISPLAY):
         import pandas as pd
     except ImportError:
         return None
-    v = np.asarray(obj._values)
+    if isinstance(obj._values, dict):
+        # UDT: render per-element field tuples
+        fields = list(obj._values)
+        leaves = {f: np.asarray(a) for f, a in obj._values.items()}
+        v = np.empty(obj._struct.shape, object)
+        it = np.nditer(np.asarray(obj._struct), flags=["multi_index"])
+        for _ in it:
+            idx = it.multi_index
+            v[idx] = tuple(leaves[f][idx] for f in fields)
+    else:
+        v = np.asarray(obj._values)
     s = np.asarray(obj._struct)
     if obj.ndim == 1:
         v = v[None, :]

@@ -397,19 +397,23 @@ class Matrix(InfixMixin, BaseType):
         """Grow/shrink in place (reference: core/matrix.py:512)."""
         import jax.numpy as jnp
 
+        from ..ops import densemasked as _dmx
+
         nrows = ensure_int(nrows, "nrows")
         ncols = ensure_int(ncols, "ncols")
         v, s = self._values, self._struct
         if nrows < self.nrows:
-            v, s = v[:nrows], s[:nrows]
+            v, s = _dmx.tmap(lambda a: a[:nrows], v), s[:nrows]
         elif nrows > self.nrows:
-            v = jnp.pad(v, ((0, nrows - v.shape[0]), (0, 0)))
-            s = jnp.pad(s, ((0, nrows - s.shape[0]), (0, 0)))
+            pad_r = nrows - s.shape[0]
+            v = _dmx.tmap(lambda a: jnp.pad(a, ((0, pad_r), (0, 0))), v)
+            s = jnp.pad(s, ((0, pad_r), (0, 0)))
         if ncols < self.ncols:
-            v, s = v[:, :ncols], s[:, :ncols]
-        elif ncols > v.shape[1]:
-            v = jnp.pad(v, ((0, 0), (0, ncols - v.shape[1])))
-            s = jnp.pad(s, ((0, 0), (0, ncols - s.shape[1])))
+            v, s = _dmx.tmap(lambda a: a[:, :ncols], v), s[:, :ncols]
+        elif ncols > s.shape[1]:
+            pad_c = ncols - s.shape[1]
+            v = _dmx.tmap(lambda a: jnp.pad(a, ((0, 0), (0, pad_c))), v)
+            s = jnp.pad(s, ((0, 0), (0, pad_c)))
         self._set_arrays(v, s)
 
     def get(self, row, col, default=None):
@@ -604,7 +608,9 @@ class Matrix(InfixMixin, BaseType):
         """View an n-by-1 matrix as a vector (reference: core/matrix.py:227)."""
         if self.ncols != 1:
             raise _exc.DimensionMismatch("Matrix must have a single column to be cast to a Vector")
-        return Vector._from_arrays(self._values[:, 0], self._struct[:, 0], self._dtype, name=self.name)
+        return Vector._from_arrays(
+            _dm.tmap(lambda a: a[:, 0], self._values), self._struct[:, 0], self._dtype, name=self.name
+        )
 
     @property
     def tx(self):

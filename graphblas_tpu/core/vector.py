@@ -297,14 +297,16 @@ class Vector(InfixMixin, BaseType):
         import jax.numpy as jnp
 
         size = ensure_int(size, "size")
+        from ..ops import densemasked as _dmx
+
         cur = self.size
         if size == cur:
             return
         if size < cur:
-            self._set_arrays(self._values[:size], self._struct[:size])
+            self._set_arrays(_dmx.tmap(lambda a: a[:size], self._values), self._struct[:size])
         else:
             self._set_arrays(
-                jnp.pad(self._values, (0, size - cur)),
+                _dmx.tmap(lambda a: jnp.pad(a, (0, size - cur)), self._values),
                 jnp.pad(self._struct, (0, size - cur)),
             )
 
@@ -434,9 +436,12 @@ class Vector(InfixMixin, BaseType):
 
     def _as_matrix(self):
         """Zero-copy view as an n-by-1 matrix (reference: core/vector.py 'as matrix')."""
+        from ..ops import densemasked as _dmx
         from .matrix import Matrix
 
-        return Matrix._from_arrays(self._values[:, None], self._struct[:, None], self._dtype, name=self.name)
+        return Matrix._from_arrays(
+            _dmx.tmap(lambda a: a[:, None], self._values), self._struct[:, None], self._dtype, name=self.name
+        )
 
     @property
     def tx(self):

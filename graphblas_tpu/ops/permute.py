@@ -123,7 +123,7 @@ def _t_slotmap(n, level):
 def _apply_S_np(elem, idx):
     r = idx.shape[0]
     e2 = elem.reshape(r, 128)
-    return np.take_along_axis(e2, idx, axis=1).reshape(-1)
+    return np.take_along_axis(e2, idx.astype(np.int64), axis=1).reshape(-1)
 
 
 def _apply_T_np(elem, n, level):
@@ -165,10 +165,11 @@ def build_permutation_plan(perm, *, validate=True):
         cur_row = rows_all
         out_row = (te // (128 ** (lvl + 1))) * stride + cur_row % stride
         colors = euler_color(cur_row.astype(np.int32), out_row.astype(np.int32), r, 128)
-        idx = np.full((r, 128), -1, np.int32)
-        idx[cur_row, colors] = lanes_all.astype(np.int32)
+        idx = np.full((r, 128), -1, np.int16)
+        idx[cur_row, colors] = lanes_all.astype(np.int16)
         if validate and (idx < 0).any():
             raise AssertionError("invalid coloring: lane collision")
+        idx = idx.astype(np.int8)  # lanes < 128: int8 tables = 4x less traffic
         stages.append(("S", idx))
         elem = _apply_S_np(elem, idx)
         if lvl < L:
@@ -200,10 +201,11 @@ def build_permutation_plan(perm, *, validate=True):
         else:
             lvl = stage[1]
             req_lane = (t[elem] // (128**lvl)) % 128
-            idx = np.full((r, 128), -1, np.int32)
-            idx[rows_all, req_lane] = lanes_all.astype(np.int32)
+            idx = np.full((r, 128), -1, np.int16)
+            idx[rows_all, req_lane] = lanes_all.astype(np.int16)
             if validate and (idx < 0).any():
                 raise AssertionError(f"invalid S_post table at level {lvl}")
+            idx = idx.astype(np.int8)
             stages.append(("S", idx))
             elem = _apply_S_np(elem, idx)
 
@@ -244,9 +246,10 @@ def _pallas_shuffle(x2d, idx):
         blk = r  # fall back to single block for odd sizes
 
     def kernel(x_ref, i_ref, o_ref):
-        # keep indices int32 even when jax_enable_x64 is on (Mosaic is 32-bit)
+        # keep indices int32 even when jax_enable_x64 is on (Mosaic is 32-bit);
+        # tables arrive int8 (4x less HBM traffic) and upcast in VMEM
         with jax.enable_x64(False):
-            o_ref[:] = jnp.take_along_axis(x_ref[:], i_ref[:], axis=1)
+            o_ref[:] = jnp.take_along_axis(x_ref[:], i_ref[:].astype(jnp.int32), axis=1)
 
     return pl.pallas_call(
         kernel,
@@ -324,7 +327,7 @@ def apply_plan(x, plan, *, pallas=None):
             if pallas:
                 x = _pallas_shuffle(x2d, idx).reshape(-1)
             else:
-                x = jnp.take_along_axis(x2d, idx, axis=1).reshape(-1)
+                x = jnp.take_along_axis(x2d, idx.astype(jnp.int32), axis=1).reshape(-1)
         elif kind == "T":
             level = stage[1]
             M = 128**level

@@ -125,3 +125,19 @@ def test_udt_mxm_raises(Point):
     A = Matrix.from_coo([0], [0], vals, Point, nrows=2, ncols=2)
     with pytest.raises(NotImplementedError):
         A.mxm(A, "plus_times").new()
+
+
+def test_udt_resize_repr_asmatrix(Point):
+    vals = _pts([(1.0, 2.0)]).astype(Point.np_type)
+    v = Vector.from_coo([0], vals, Point, size=2)
+    v.resize(4)
+    assert v.size == 4 and v.nvals == 1
+    v.resize(1)
+    assert v.size == 1
+    m = v._as_matrix()
+    assert m.shape == (1, 1)
+    assert "nvals" in repr(v)
+    A = Matrix.from_coo([0], [0], vals, Point, nrows=2, ncols=2)
+    A.resize(3, 3)
+    assert A.shape == (3, 3) and A.nvals == 1
+    assert "nvals" in repr(A)
