@@ -284,11 +284,6 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
         raise _exc.DimensionMismatch(
             f"Dimensions not compatible for {method_name}: inner dims {k1} != {k2}"
         )
-    if a.dtype._is_udt or b.dtype._is_udt:
-        raise NotImplementedError(
-            "semiring matmul over UDTs is not supported yet (elementwise, apply, "
-            "and reduce work; blocked-SoA mxm arrives with the sparse container)"
-        )
     sr = get_typed_op(semiring_op, a.dtype, b.dtype, kind="semiring")
     _, opclass = find_opclass(sr)
     if opclass == "BinaryOp":
@@ -305,11 +300,13 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
     def compute():
         av, as_ = _arrays_of(a)
         bv, bs = _arrays_of(b)
-        av = av.astype(sr.binaryop.type_.np_type)
-        bv = bv.astype(sr.binaryop.type2.np_type)
+        av = _cast_values(av, sr.binaryop.type_.np_type, a.dtype)
+        bv = _cast_values(bv, sr.binaryop.type2.np_type, b.dtype)
         if a_is_vec and b_is_vec:
-            cv, cs = _dm.vxm(av, as_, bv[:, None], bs[:, None], sr, sr.return_type)
-            return cv[0], cs[0]
+            cv, cs = _dm.vxm(
+                av, as_, _dm.tmap(lambda x: x[:, None], bv), bs[:, None], sr, sr.return_type
+            )
+            return _dm.tmap(lambda x: x[0], cv), cs[0]
         if a_is_vec:
             return _dm.vxm(av, as_, bv, bs, sr, sr.return_type)
         if b_is_vec:

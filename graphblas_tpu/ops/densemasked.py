@@ -383,6 +383,67 @@ def _pallas_mxm_allowed(semiring, out_np, m, n):
     return is_tropical(add, mul, out_np)
 
 
+def _mxm_soa(av, as_, bv, bs, semiring, out_dtype):
+    """Generic semiring contraction over SoA (UDT) operands.
+
+    Chunks k with a static Python loop (unrolled; UDT collections live in
+    the dense-masked DSL at modest sizes): each chunk broadcasts the typed
+    multiply per field to (m, ck, n), present-aware monoid-reduces over k,
+    and chunks merge with the monoid.  Mirrors GrB_mxm over user-defined
+    types (reference: core/matrix.py:2264-2331 + core/operator/binary.py
+    UDT registration)."""
+    m, k = as_.shape
+    _, n = bs.shape
+    add = semiring.monoid
+    mul = semiring.binaryop
+    fn = add.fn if add.fn is not None else (lambda a, b: a)
+    chunk = min(_MXM_CHUNK, max(k, 1))
+    pad = (-k) % chunk if k else chunk
+    if pad or k == 0:
+        p = pad if k else chunk
+        av = tmap(lambda x: jnp.pad(x, ((0, 0), (0, p))), av)
+        as_ = jnp.pad(as_, ((0, 0), (0, p)))
+        bv = tmap(lambda x: jnp.pad(x, ((0, p), (0, 0))), bv)
+        bs = jnp.pad(bs, ((0, p), (0, 0)))
+    nchunks = as_.shape[1] // chunk
+
+    i_grid = jax.lax.broadcasted_iota(jnp.int64, (m, chunk, n), 0)
+    j_grid = jax.lax.broadcasted_iota(jnp.int64, (m, chunk, n), 2)
+    k_local = jax.lax.broadcasted_iota(jnp.int64, (m, chunk, n), 1)
+
+    cv = cs = None
+    for c in range(nchunks):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        a_b = tmap(lambda x: x[:, sl][:, :, None], av)
+        b_b = tmap(lambda x: x[sl][None, :, :], bv)
+        if mul.positional is None:
+            prod = mul.fn(a_b, b_b)
+        elif mul.positional == "indexbinary":
+            prod = mul.fn(a_b, i_grid, k_local + c * chunk, b_b, k_local + c * chunk, j_grid)
+        else:
+            which, delta = mul.positional
+            kk = k_local + c * chunk
+            idx = {"firsti": i_grid, "firstj": kk, "secondi": kk, "secondj": j_grid}[which]
+            prod = (idx + delta).astype(mul.return_type.np_type)
+        prod = tmap(lambda x: jnp.broadcast_to(x, (m, chunk, n)), prod)
+        pres = jnp.broadcast_to(as_[:, sl][:, :, None] & bs[sl][None, :, :], (m, chunk, n))
+        bv_red, bs_red = _pair_reduce(prod, pres, fn, (1,))
+        if cv is None:
+            cv, cs = bv_red, bs_red
+        else:
+            both = cs & bs_red
+            merged = fn(cv, bv_red)
+            keep_c = cs
+            cv = tmap(
+                lambda mg, a, b: jnp.where(both, mg, jnp.where(keep_c, a, b)),
+                merged,
+                cv,
+                bv_red,
+            )
+            cs = cs | bs_red
+    return canonical(cv, cs)
+
+
 @_jit(static=("semiring", "out_dtype"))
 def mxm(av, as_, bv, bs, semiring, out_dtype):
     """GrB_mxm over any semiring (reference: core/matrix.py:2264-2331).
@@ -393,7 +454,10 @@ def mxm(av, as_, bv, bs, semiring, out_dtype):
     Strategy 3: generic chunked semiring contraction — scan over k-chunks,
     each chunk does an (m, ck, n) broadcast multiply + present-aware monoid
     reduce on the VPU, chunks combine with the monoid.
+    Strategy 4: SoA per-field contraction for UDT operands (_mxm_soa).
     """
+    if _is_soa(av) or _is_soa(bv):
+        return _mxm_soa(av, as_, bv, bs, semiring, out_dtype)
     out_np = np.dtype(out_dtype.np_type)
     m, k = av.shape
     k2, n = bv.shape
@@ -457,15 +521,15 @@ def mxm(av, as_, bv, bs, semiring, out_dtype):
 def mxv(av, as_, xv, xs, semiring, out_dtype):
     """GrB_mxv (reference: core/matrix.py:2203).  Treats v as a column so
     positional multiplies see j = 0."""
-    cv, cs = mxm(av, as_, xv[:, None], xs[:, None], semiring, out_dtype)
-    return cv[:, 0], cs[:, 0]
+    cv, cs = mxm(av, as_, tmap(lambda x: x[:, None], xv), xs[:, None], semiring, out_dtype)
+    return tmap(lambda x: x[:, 0], cv), cs[:, 0]
 
 
 @_jit(static=("semiring", "out_dtype"))
 def vxm(xv, xs, bv, bs, semiring, out_dtype):
     """GrB_vxm (reference: core/vector.py:1309)."""
-    cv, cs = mxm(xv[None, :], xs[None, :], bv, bs, semiring, out_dtype)
-    return cv[0], cs[0]
+    cv, cs = mxm(tmap(lambda x: x[None, :], xv), xs[None, :], bv, bs, semiring, out_dtype)
+    return tmap(lambda x: x[0], cv), cs[0]
 
 
 @_jit(static=("op", "out_dtype"))

@@ -120,11 +120,79 @@ def test_udt_scalar(Point):
     assert t.dtype.np_type == Point.np_type
 
 
-def test_udt_mxm_raises(Point):
+def test_udt_mxm_builtin_semiring_raises(Point):
+    # builtin numeric multiplies don't auto-compile for UDTs
     vals = _pts([(1.0, 2.0)]).astype(Point.np_type)
     A = Matrix.from_coo([0], [0], vals, Point, nrows=2, ncols=2)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(KeyError):
         A.mxm(A, "plus_times").new()
+
+
+@pytest.fixture(scope="module")
+def padd_sr(Point):
+    from graphblas_tpu import semiring
+
+    def padd(a, b):
+        return {"x": a["x"] + b["x"], "y": a["y"] + b["y"]}
+
+    bop = binary.register_anonymous(padd, "padd_mxm")
+    mon = monoid.register_anonymous(padd, {"x": 0.0, "y": 0.0}, "padd_mxm_mon")
+    return semiring.register_anonymous(mon, bop, "padd_padd_mxm")
+
+
+def test_udt_mxm(Point, padd_sr):
+    """SoA semiring contraction (GrB_mxm over user-defined types;
+    reference: tests/test_op.py UDT semiring sections)."""
+    A = Matrix.from_coo(
+        [0, 0, 1], [0, 1, 1], _pts([(1, 2), (3, 4), (5, 6)]).astype(Point.np_type),
+        Point, nrows=2, ncols=2,
+    )
+    B = Matrix.from_coo(
+        [0, 1], [0, 0], _pts([(10, 20), (30, 40)]).astype(Point.np_type),
+        Point, nrows=2, ncols=2,
+    )
+    C = A.mxm(B, padd_sr).new()
+    r, c, out = C.to_coo()
+    assert list(zip(r.tolist(), c.tolist())) == [(0, 0), (1, 0)]
+    assert out["x"].tolist() == [44.0, 35.0]  # (1+10)+(3+30); (5+30)
+    assert out["y"].tolist() == [66.0, 46.0]
+
+
+def test_udt_mxv_vxm_inner(Point, padd_sr):
+    A = Matrix.from_coo(
+        [0, 0, 1], [0, 1, 1], _pts([(1, 2), (3, 4), (5, 6)]).astype(Point.np_type),
+        Point, nrows=2, ncols=2,
+    )
+    v = Vector.from_coo([0, 1], _pts([(100, 200), (1000, 2000)]).astype(Point.np_type), Point, size=2)
+    w = A.mxv(v, padd_sr).new()
+    _, out = w.to_coo()
+    assert out["x"].tolist() == [1104.0, 1005.0]
+    assert out["y"].tolist() == [2206.0, 2006.0]
+    u = v.vxm(A, padd_sr).new()
+    _, out = u.to_coo()
+    assert out["x"].tolist() == [101.0, 1108.0]
+    assert out["y"].tolist() == [202.0, 2210.0]
+    s = v.inner(v, padd_sr).new()
+    assert s.value["x"] == 2200.0 and s.value["y"] == 4400.0
+
+
+def test_udt_mxm_masked_accum(Point, padd_sr):
+    A = Matrix.from_coo(
+        [0, 0, 1], [0, 1, 1], _pts([(1, 2), (3, 4), (5, 6)]).astype(Point.np_type),
+        Point, nrows=2, ncols=2,
+    )
+    C = Matrix.from_coo([0, 1], [0, 0], _pts([(0.5, 0.5), (7, 7)]).astype(Point.np_type), Point, nrows=2, ncols=2)
+    mask = Matrix.from_coo([0], [0], [True], dtypes.BOOL, nrows=2, ncols=2)
+    C(mask.S, accum=binary.register_anonymous(lambda a, b: {"x": a["x"] + b["x"], "y": a["y"] + b["y"]}, "padd_acc")) << A.mxm(A, padd_sr)
+    r, c, out = C.to_coo()
+    # A@A over padd: [0,0]=(1+1)+(3+5)? -> A[0,0]+A[0,0] add A[0,1]+A[1,0] (absent) = (2,4); wait A[1,0] absent so only k=0 term
+    # masked to (0,0) only; accum adds existing 0.5
+    assert (0, 0) in list(zip(r.tolist(), c.tolist()))
+    got = C[0, 0].new().value
+    assert got["x"] == 2.5 and got["y"] == 4.5  # (1+1)+0.5, (2+2)+0.5
+    # unmasked position keeps prior value
+    kept = C[1, 0].new().value
+    assert kept["x"] == 7.0
 
 
 def test_udt_resize_repr_asmatrix(Point):
