@@ -20,4 +20,6 @@ from .pagerank import pagerank  # noqa: F401
 from .fastsv import connected_components  # noqa: F401
 from .triangle import triangle_count  # noqa: F401
 from .louvain import louvain  # noqa: F401
+from .centrality import betweenness_centrality  # noqa: F401
+from .ktruss import k_truss  # noqa: F401
 from . import fast  # noqa: F401

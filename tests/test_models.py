@@ -260,3 +260,76 @@ def test_fast_models_match_reference_models(rng):
         else:
             assert (p_fast[v], v) in edge_set
             assert lv[p_fast[v]] == lv[v] - 1
+
+
+def test_betweenness_centrality_vs_networkx():
+    nx = pytest.importorskip("networkx")
+    from graphblas_tpu.models import betweenness_centrality
+
+    rng = np.random.default_rng(3)
+    n = 40
+    src = rng.integers(0, n, 200).astype(np.int32)
+    dst = rng.integers(0, n, 200).astype(np.int32)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    g = Graph.from_arrays(src, dst, n=n)
+    bc = np.asarray(betweenness_centrality(g))
+    G = nx.DiGraph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(zip(src.tolist(), dst.tolist()))
+    ref = nx.betweenness_centrality(G, normalized=False)
+    assert np.allclose(bc, [ref[i] for i in range(n)], atol=1e-3)
+    # sampled-sources variant returns a per-vertex partial sum
+    assert np.asarray(betweenness_centrality(g, sources=[0, 5, 7])).shape == (n,)
+
+
+def test_betweenness_centrality_undirected_convention():
+    nx = pytest.importorskip("networkx")
+    from graphblas_tpu.models import betweenness_centrality
+
+    rng = np.random.default_rng(11)
+    n = 30
+    src = rng.integers(0, n, 120).astype(np.int32)
+    dst = rng.integers(0, n, 120).astype(np.int32)
+    keep = src != dst
+    und = np.unique(
+        np.stack([np.minimum(src[keep], dst[keep]), np.maximum(src[keep], dst[keep])], 1), axis=0
+    )
+    g = Graph.from_arrays(
+        np.concatenate([und[:, 0], und[:, 1]]).astype(np.int32),
+        np.concatenate([und[:, 1], und[:, 0]]).astype(np.int32),
+        n=n,
+    )
+    bc = np.asarray(betweenness_centrality(g)) / 2.0
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(und.tolist())
+    ref = nx.betweenness_centrality(G, normalized=False)
+    assert np.allclose(bc, [ref[i] for i in range(n)], atol=1e-3)
+
+
+def test_k_truss_vs_networkx():
+    nx = pytest.importorskip("networkx")
+    from graphblas_tpu.models import k_truss
+
+    rng = np.random.default_rng(3)
+    n = 40
+    src = rng.integers(0, n, 200).astype(np.int32)
+    dst = rng.integers(0, n, 200).astype(np.int32)
+    keep = src != dst
+    und = np.unique(
+        np.stack([np.minimum(src[keep], dst[keep]), np.maximum(src[keep], dst[keep])], 1), axis=0
+    )
+    g = Graph.from_arrays(und[:, 0].astype(np.int32), und[:, 1].astype(np.int32), n=n)
+    G = nx.Graph()
+    G.add_nodes_from(range(n))
+    G.add_edges_from(und.tolist())
+    for k in (3, 4, 5):
+        kt = k_truss(g, k)
+        s = np.asarray(kt.src)[np.asarray(kt.valid)]
+        d = np.asarray(kt.dst)[np.asarray(kt.valid)]
+        mine = {(a, b) for a, b in zip(s.tolist(), d.tolist()) if a < b}
+        theirs = {(min(a, b), max(a, b)) for a, b in nx.k_truss(G, k).edges()}
+        assert mine == theirs, k
+    with pytest.raises(ValueError):
+        k_truss(g, 2)
