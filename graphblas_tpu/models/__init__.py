@@ -22,4 +22,5 @@ from .triangle import triangle_count  # noqa: F401
 from .louvain import louvain  # noqa: F401
 from .centrality import betweenness_centrality  # noqa: F401
 from .ktruss import k_truss  # noqa: F401
+from .matching import maximal_matching  # noqa: F401
 from . import fast  # noqa: F401

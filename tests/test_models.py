@@ -333,3 +333,28 @@ def test_k_truss_vs_networkx():
         assert mine == theirs, k
     with pytest.raises(ValueError):
         k_truss(g, 2)
+
+
+def test_maximal_matching():
+    from graphblas_tpu.models import maximal_matching
+
+    rng = np.random.default_rng(5)
+    n = 50
+    src = rng.integers(0, n, 250).astype(np.int32)
+    dst = rng.integers(0, n, 250).astype(np.int32)
+    g = Graph.from_arrays(src, dst, n=n)
+    for seed in (0, 1, 2):
+        matched = np.asarray(maximal_matching(g, seed=seed))
+        s = np.asarray(g.src)
+        d = np.asarray(g.dst)
+        valid = np.asarray(g.valid)
+        ms, md = s[matched], d[matched]
+        # it's a matching: each vertex in at most one matched edge
+        touched = np.concatenate([ms, md])
+        assert len(touched) == len(np.unique(touched))
+        # maximal: every live edge has a matched endpoint
+        used = np.zeros(n, bool)
+        used[ms] = True
+        used[md] = True
+        live = valid & (s != d)
+        assert (used[s[live]] | used[d[live]]).all()
