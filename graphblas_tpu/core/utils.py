@@ -142,3 +142,34 @@ class class_property:
 
 def _autogenerate_code(*args, **kwargs):  # pragma: no cover - parity stub
     raise NotImplementedError("code autogeneration is not used in graphblas_tpu")
+
+
+def _udt_scalar(value, np_type):
+    """Coerce a tuple / dict / structured scalar to a 0-d structured scalar."""
+    if isinstance(value, np.void):
+        return value
+    if isinstance(value, dict):
+        value = tuple(value[f] for f in np_type.names)
+    elif not isinstance(value, (tuple, list)):
+        value = tuple(value for _ in np_type.names)
+    return np.asarray(tuple(value), np_type)[()]
+
+
+def udt_struct_from_missing(values, missing_value, np_type):
+    """Present-mask for a dense structured array: absent where every field
+    equals missing_value (GxB import semantics for UDTs)."""
+    if missing_value is None:
+        return np.ones(values.shape, bool)
+    mv = _udt_scalar(missing_value, np_type)
+    eq = np.logical_and.reduce([values[f] == mv[f] for f in np_type.names])
+    return ~eq
+
+
+def udt_fill_dense(values_dict, struct, np_type, fill_value):
+    """Dense structured array from SoA leaves; absent entries get fill_value."""
+    out = np.zeros(struct.shape, np_type)
+    for f in np_type.names:
+        out[f] = np.asarray(values_dict[f])
+    if fill_value is not None:
+        out[~struct] = _udt_scalar(fill_value, np_type)
+    return out

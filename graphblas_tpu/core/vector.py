@@ -205,6 +205,15 @@ class Vector(InfixMixin, BaseType):
         values, dtype = values_to_numpy_buffer(np.asarray(values), dtype)
         if values.ndim != 1:
             raise ValueError("values must be 1-dimensional for Vector.from_dense")
+        if dtype._is_udt:
+            from .utils import udt_struct_from_missing
+
+            struct = udt_struct_from_missing(values, missing_value, dtype.np_type)
+            dv = {
+                f: jnp.asarray(np.where(struct, values[f], np.zeros((), values.dtype[f])))
+                for f in dtype.np_type.names
+            }
+            return cls._from_arrays(dv, jnp.asarray(struct), dtype, name=name)
         if missing_value is None:
             struct = np.ones(values.shape, bool)
         else:
@@ -244,9 +253,17 @@ class Vector(InfixMixin, BaseType):
 
     def to_dense(self, fill_value=None, dtype=None, **opts):
         """Dense numpy array with absent entries filled (reference: core/vector.py:900)."""
+        if fill_value is None and self.nvals < self.size:
+            raise TypeError("fill_value must be given to to_dense when not all entries are present")
+        if self._dtype._is_udt:
+            from .utils import udt_fill_dense
+
+            if dtype is not None and _dt.lookup_dtype(dtype) is not self._dtype:
+                raise TypeError("to_dense cannot cast a UDT to another dtype")
+            return udt_fill_dense(
+                self._values, np.asarray(self._struct), self._dtype.np_type, fill_value
+            )
         if fill_value is None:
-            if self.nvals < self.size:
-                raise TypeError("fill_value must be given to to_dense when not all entries are present")
             fill_value = 0
         dtype = _dt.lookup_dtype(dtype) if dtype is not None else self._dtype
         v = np.asarray(self._values).astype(dtype.np_type)

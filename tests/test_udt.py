@@ -185,8 +185,8 @@ def test_udt_mxm_masked_accum(Point, padd_sr):
     mask = Matrix.from_coo([0], [0], [True], dtypes.BOOL, nrows=2, ncols=2)
     C(mask.S, accum=binary.register_anonymous(lambda a, b: {"x": a["x"] + b["x"], "y": a["y"] + b["y"]}, "padd_acc")) << A.mxm(A, padd_sr)
     r, c, out = C.to_coo()
-    # A@A over padd: [0,0]=(1+1)+(3+5)? -> A[0,0]+A[0,0] add A[0,1]+A[1,0] (absent) = (2,4); wait A[1,0] absent so only k=0 term
-    # masked to (0,0) only; accum adds existing 0.5
+    # (A@A)[0,0] has only the k=0 term (A[1,0] absent): A[0,0]+A[0,0] = (2, 4);
+    # the mask limits the merge to (0,0) and accum adds the existing 0.5
     assert (0, 0) in list(zip(r.tolist(), c.tolist()))
     got = C[0, 0].new().value
     assert got["x"] == 2.5 and got["y"] == 4.5  # (1+1)+0.5, (2+2)+0.5
@@ -209,3 +209,29 @@ def test_udt_resize_repr_asmatrix(Point):
     A.resize(3, 3)
     assert A.shape == (3, 3) and A.nvals == 1
     assert "nvals" in repr(A)
+
+
+def test_udt_dense_roundtrip(Point):
+    vals = _pts([(1.0, 2.0), (3.0, 4.0), (0.0, 0.0)]).astype(Point.np_type)
+    v = Vector.from_dense(vals, missing_value=(0.0, 0.0), dtype=Point)
+    assert v.nvals == 2
+    out = v.to_dense(fill_value=(-1.0, -1.0))
+    assert out.dtype == Point.np_type
+    assert out["x"].tolist() == [1.0, 3.0, -1.0]
+    assert out["y"].tolist() == [2.0, 4.0, -1.0]
+    # full vector round-trips without fill_value
+    full = Vector.from_dense(vals, dtype=Point)
+    assert full.nvals == 3
+    back = full.to_dense()
+    assert back["x"].tolist() == [1.0, 3.0, 0.0]
+    with pytest.raises(TypeError):
+        v.to_dense()  # not full, no fill
+    with pytest.raises(TypeError):
+        full.to_dense(dtype="FP64")  # UDT cannot cast
+
+    grid = np.zeros((2, 2), Point.np_type)
+    grid[0, 1] = (5.0, 6.0)
+    A = Matrix.from_dense(grid, missing_value=(0.0, 0.0), dtype=Point)
+    assert A.nvals == 1
+    out2 = A.to_dense(fill_value={"x": 9.0, "y": 9.5})
+    assert out2[0, 1]["x"] == 5.0 and out2[1, 1]["y"] == 9.5
