@@ -23,6 +23,28 @@ def _get_config():
     return graphblas_tpu.config
 
 
+def _engine_opts_ctx(opts):
+    """Apply per-call descriptor opts (reference: SuiteSparse descriptor
+    settings like ``nthreads``/``axb_method`` threaded through ``**opts``,
+    reference core/base.py:338-514) as a tx-config context around one
+    expression evaluation.  Unknown keys raise; known-but-non-engine keys
+    (sort, compression, ...) are accepted and ignored like the reference."""
+    import contextlib
+
+    if not opts:
+        return contextlib.nullcontext()
+    from ..tx import config as _txconfig
+    from .descriptor import _VALID_OPTS
+
+    unknown = set(opts) - _VALID_OPTS
+    if unknown:
+        raise ValueError(f"Unknown descriptor option(s): {sorted(unknown)}")
+    engine = {k: v for k, v in opts.items() if k in _txconfig}
+    if not engine:
+        return contextlib.nullcontext()
+    return _txconfig.set(engine)
+
+
 def record_call(opname, *args):
     def describe(a):
         if isinstance(a, BaseType):
@@ -137,7 +159,8 @@ class BaseType:
         if self._is_scalar:
             return self._update_from_expr(expr, accum)
 
-        zv, zs = expr._compute()
+        with _engine_opts_ctx(opts):
+            zv, zs = expr._compute()
         from ..ops import densemasked as _dm
 
         mask_bits = mask._bits() if mask is not None else None
@@ -431,11 +454,11 @@ class BaseExpression(_InfixMixin):
         out_dtype = _dt.lookup_dtype(dtype) if dtype is not None else self.dtype
         if self.op is not None and find_opclass(self.op)[1] == "Aggregator":
             out = self.output_type(out_dtype, *self._shape_args(), name=name)
-            upd = Updater(out, mask=_check_mask(mask, out) if mask is not None else None)
+            upd = Updater(out, mask=_check_mask(mask, out) if mask is not None else None, opts=opts)
             self.op._new(upd, self)
             return out
         out = self.output_type(out_dtype, *self._shape_args(), name=name)
-        out._update(self, mask=_check_mask(mask, out) if mask is not None else None)
+        out._update(self, mask=_check_mask(mask, out) if mask is not None else None, opts=opts)
         return out
 
     dup = new

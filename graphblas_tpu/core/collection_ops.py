@@ -298,20 +298,26 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
         out_cls, shape = Matrix, (a.shape[0], b.shape[1])
 
     def compute():
+        from ..tx import config as _txconfig
+
+        # read at compute time so per-call descriptor opts (applied as a
+        # config context by BaseType._update) take effect; passed statically
+        strategy = _txconfig.get("mxm_strategy", "auto")
         av, as_ = _arrays_of(a)
         bv, bs = _arrays_of(b)
         av = _cast_values(av, sr.binaryop.type_.np_type, a.dtype)
         bv = _cast_values(bv, sr.binaryop.type2.np_type, b.dtype)
         if a_is_vec and b_is_vec:
             cv, cs = _dm.vxm(
-                av, as_, _dm.tmap(lambda x: x[:, None], bv), bs[:, None], sr, sr.return_type
+                av, as_, _dm.tmap(lambda x: x[:, None], bv), bs[:, None], sr, sr.return_type,
+                strategy,
             )
             return _dm.tmap(lambda x: x[0], cv), cs[0]
         if a_is_vec:
-            return _dm.vxm(av, as_, bv, bs, sr, sr.return_type)
+            return _dm.vxm(av, as_, bv, bs, sr, sr.return_type, strategy)
         if b_is_vec:
-            return _dm.mxv(av, as_, bv, bs, sr, sr.return_type)
-        return _dm.mxm(av, as_, bv, bs, sr, sr.return_type)
+            return _dm.mxv(av, as_, bv, bs, sr, sr.return_type, strategy)
+        return _dm.mxm(av, as_, bv, bs, sr, sr.return_type, strategy)
 
     return BaseExpression(
         method_name,

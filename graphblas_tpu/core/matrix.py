@@ -17,7 +17,7 @@ from .expr import AmbiguousAssignOrExtract, IndexerResolver
 from .infixmethods import InfixMixin
 from .operator import get_typed_op
 from .scalar import Scalar, _as_scalar, _is_scalar_like
-from .utils import ensure_int, get_shape, values_to_numpy_buffer
+from .utils import device_asarray, ensure_int, get_shape, values_to_numpy_buffer
 from .vector import Vector, _apply_dup
 
 
@@ -44,7 +44,7 @@ class Matrix(InfixMixin, BaseType):
                 for f in self._dtype.np_type.names
             }
         else:
-            self._values = jnp.zeros((nrows, ncols), self._dtype.np_type)
+            self._values = device_asarray(np.zeros((nrows, ncols), self._dtype.np_type))
         self._struct = jnp.zeros((nrows, ncols), bool)
         self.name = name
 
@@ -156,7 +156,7 @@ class Matrix(InfixMixin, BaseType):
         if dtype._is_udt:
             dv = {f: jnp.asarray(dense_v[f]) for f in dtype.np_type.names}
         else:
-            dv = jnp.asarray(dense_v)
+            dv = device_asarray(dense_v)
         return cls._from_arrays(dv, jnp.asarray(dense_s), dtype, name=name)
 
     @classmethod
@@ -260,7 +260,7 @@ class Matrix(InfixMixin, BaseType):
         else:
             struct = values != missing_value
         v = np.where(struct, values, np.zeros((), dtype.np_type))
-        return cls._from_arrays(jnp.asarray(v), jnp.asarray(struct), dtype, name=name)
+        return cls._from_arrays(device_asarray(v), jnp.asarray(struct), dtype, name=name)
 
     @classmethod
     def from_dicts(cls, nested_dicts, dtype=None, *, order="rowwise", nrows=None, ncols=None, name=None):

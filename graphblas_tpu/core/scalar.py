@@ -112,7 +112,9 @@ class Scalar(BaseType):
             return {
                 f: jnp.asarray(self._values[f]) for f in self._dtype.np_type.names
             }
-        return jnp.asarray(self._values, np_dtype or self._dtype.np_type)
+        from .utils import device_asarray
+
+        return device_asarray(self._values, np_dtype or self._dtype.np_type)
 
     @property
     def is_empty(self):

@@ -173,3 +173,23 @@ def udt_fill_dense(values_dict, struct, np_type, fill_value):
     if fill_value is not None:
         out[~struct] = _udt_scalar(fill_value, np_type)
     return out
+
+
+def device_asarray(x, np_type=None):
+    """``jnp.asarray`` that commits complex arrays to the host CPU device:
+    XLA:TPU has no complex support (kernels return UNIMPLEMENTED), so
+    FC32/FC64 storage lives CPU-side and the engine keeps complex compute
+    there (see ops/densemasked._jit)."""
+    import jax
+    import jax.numpy as jnp
+
+    if np_type is not None:
+        x = np.asarray(x, np_type)
+    dt = getattr(x, "dtype", None)
+    if (
+        dt is not None
+        and np.issubdtype(dt, np.complexfloating)
+        and jax.default_backend() != "cpu"
+    ):
+        return jax.device_put(np.asarray(x), jax.devices("cpu")[0])
+    return jnp.asarray(x)

@@ -16,7 +16,7 @@ from .expr import AmbiguousAssignOrExtract, IndexerResolver
 from .infixmethods import InfixMixin
 from .operator import get_typed_op
 from .scalar import Scalar, _as_scalar, _is_scalar_like
-from .utils import ensure_int, values_to_numpy_buffer
+from .utils import device_asarray, ensure_int, values_to_numpy_buffer
 
 
 def _apply_dup(rows_or_idx, values, dup_op):
@@ -82,7 +82,7 @@ class Vector(InfixMixin, BaseType):
                 for f in self._dtype.np_type.names
             }
         else:
-            self._values = jnp.zeros((size,), self._dtype.np_type)
+            self._values = device_asarray(np.zeros((size,), self._dtype.np_type))
         self._struct = jnp.zeros((size,), bool)
         self.name = name
 
@@ -171,7 +171,7 @@ class Vector(InfixMixin, BaseType):
         if dtype._is_udt:
             dv = {f: jnp.asarray(dense_v[f]) for f in dtype.np_type.names}
         else:
-            dv = jnp.asarray(dense_v)
+            dv = device_asarray(dense_v)
         return cls._from_arrays(dv, jnp.asarray(dense_s), dtype, name=name)
 
     @classmethod
@@ -219,7 +219,7 @@ class Vector(InfixMixin, BaseType):
         else:
             struct = values != missing_value
         v = np.where(struct, values, np.zeros((), dtype.np_type))
-        return cls._from_arrays(jnp.asarray(v), jnp.asarray(struct), dtype, name=name)
+        return cls._from_arrays(device_asarray(v), jnp.asarray(struct), dtype, name=name)
 
     @classmethod
     def from_dict(cls, d, dtype=None, *, size=None, name=None):

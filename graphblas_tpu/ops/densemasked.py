@@ -32,10 +32,47 @@ import numpy as np
 _MXM_CHUNK = 128  # k-chunk for the generic semiring matmul (bounds memory to m*n*chunk)
 
 
+@functools.lru_cache(maxsize=1)
+def _cpu_device():
+    return jax.devices("cpu")[0]
+
+
+def _has_complex(tree):
+    for leaf in jax.tree_util.tree_leaves(tree):
+        dt = getattr(leaf, "dtype", None)
+        if dt is not None and jnp.issubdtype(dt, jnp.complexfloating):
+            return True
+    return False
+
+
 def _jit(fn=None, *, static=()):
+    """jax.jit wrapper for engine entry points.
+
+    Complex dtypes are routed to the host CPU backend: TPU hardware has no
+    complex support (XLA:TPU returns UNIMPLEMENTED), so FC32/FC64 collections
+    execute on the co-resident CPU device — same semantics, different device
+    (the reference relies on SuiteSparse CPU kernels for complex throughout).
+    Real-valued results migrate back to the default device; complex results
+    stay CPU-committed so follow-up complex ops don't bounce.
+    """
     if fn is None:
         return functools.partial(_jit, static=static)
-    return jax.jit(fn, static_argnames=static)
+    jfn = jax.jit(fn, static_argnames=static)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        if jax.default_backend() == "cpu" or not _has_complex((args, kwargs)):
+            return jfn(*args, **kwargs)
+        cpu = _cpu_device()
+        move = lambda x: jax.device_put(x, cpu) if isinstance(x, jax.Array) else x  # noqa: E731
+        out = jfn(*jax.tree_util.tree_map(move, args), **jax.tree_util.tree_map(move, kwargs))
+        if _has_complex(out):
+            return out
+        default = jax.devices()[0]
+        back = lambda x: jax.device_put(x, default) if isinstance(x, jax.Array) else x  # noqa: E731
+        return jax.tree_util.tree_map(back, out)
+
+    return wrapper
 
 
 def zero_of(dtype):
@@ -362,12 +399,9 @@ def _mul_values(avk, bvk, ik, kk, jk, mul):
     return (idx + delta).astype(mul.return_type.np_type)
 
 
-def _pallas_mxm_allowed(semiring, out_np, m, n):
+def _pallas_mxm_allowed(semiring, out_np, m, n, strategy):
     """Static decision: lower tropical-family semirings to the Pallas VPU
     kernel on TPU (ops/pallas_mxm)."""
-    from ..tx import config as _txconfig
-
-    strategy = _txconfig.get("mxm_strategy", "auto")
     if strategy not in {"auto", "pallas"}:
         return False
     if m * n < 128 * 128 and strategy != "pallas":
@@ -380,7 +414,13 @@ def _pallas_mxm_allowed(semiring, out_np, m, n):
 
     add = semiring.monoid.parent.name
     mul = semiring.binaryop.parent.name
-    return is_tropical(add, mul, out_np)
+    if not is_tropical(add, mul, out_np):
+        return False
+    # the kernel computes in f32; auto never downgrades f64 silently —
+    # strategy="pallas" is the explicit opt-in to f32 compute
+    if out_np != np.float32 and strategy != "pallas":
+        return False
+    return True
 
 
 def _mxm_soa(av, as_, bv, bs, semiring, out_dtype):
@@ -444,8 +484,8 @@ def _mxm_soa(av, as_, bv, bs, semiring, out_dtype):
     return canonical(cv, cs)
 
 
-@_jit(static=("semiring", "out_dtype"))
-def mxm(av, as_, bv, bs, semiring, out_dtype):
+@_jit(static=("semiring", "out_dtype", "strategy"))
+def mxm(av, as_, bv, bs, semiring, out_dtype, strategy="auto"):
     """GrB_mxm over any semiring (reference: core/matrix.py:2264-2331).
 
     Strategy 1: MXU matmul forms for plus_times-family semirings.
@@ -455,6 +495,11 @@ def mxm(av, as_, bv, bs, semiring, out_dtype):
     each chunk does an (m, ck, n) broadcast multiply + present-aware monoid
     reduce on the VPU, chunks combine with the monoid.
     Strategy 4: SoA per-field contraction for UDT operands (_mxm_soa).
+
+    ``strategy`` is the per-call descriptor override (tx.config
+    "mxm_strategy": auto | mxu | pallas | generic); it is a STATIC jit arg
+    so each strategy compiles its own kernel — reading mutable global config
+    inside the traced body would bake the first-seen value into the cache.
     """
     if _is_soa(av) or _is_soa(bv):
         return _mxm_soa(av, as_, bv, bs, semiring, out_dtype)
@@ -462,12 +507,12 @@ def mxm(av, as_, bv, bs, semiring, out_dtype):
     m, k = av.shape
     k2, n = bv.shape
     fast = None
-    if semiring.binaryop.positional is None:
+    if semiring.binaryop.positional is None and strategy in {"auto", "mxu"}:
         fast = _mxm_fast_path(av, as_, bv, bs, semiring, out_np)
     if fast is not None:
         cv, cs = fast
         return canonical(cv.astype(out_np), cs)
-    if semiring.binaryop.positional is None and _pallas_mxm_allowed(semiring, out_np, m, n):
+    if semiring.binaryop.positional is None and _pallas_mxm_allowed(semiring, out_np, m, n, strategy):
         from .pallas_mxm import tropical_mxm
 
         cv, cs = tropical_mxm(
@@ -517,18 +562,22 @@ def mxm(av, as_, bv, bs, semiring, out_dtype):
     return canonical(cv, cs)
 
 
-@_jit(static=("semiring", "out_dtype"))
-def mxv(av, as_, xv, xs, semiring, out_dtype):
+@_jit(static=("semiring", "out_dtype", "strategy"))
+def mxv(av, as_, xv, xs, semiring, out_dtype, strategy="auto"):
     """GrB_mxv (reference: core/matrix.py:2203).  Treats v as a column so
     positional multiplies see j = 0."""
-    cv, cs = mxm(av, as_, tmap(lambda x: x[:, None], xv), xs[:, None], semiring, out_dtype)
+    cv, cs = mxm(
+        av, as_, tmap(lambda x: x[:, None], xv), xs[:, None], semiring, out_dtype, strategy
+    )
     return tmap(lambda x: x[:, 0], cv), cs[:, 0]
 
 
-@_jit(static=("semiring", "out_dtype"))
-def vxm(xv, xs, bv, bs, semiring, out_dtype):
+@_jit(static=("semiring", "out_dtype", "strategy"))
+def vxm(xv, xs, bv, bs, semiring, out_dtype, strategy="auto"):
     """GrB_vxm (reference: core/vector.py:1309)."""
-    cv, cs = mxm(tmap(lambda x: x[None, :], xv), xs[None, :], bv, bs, semiring, out_dtype)
+    cv, cs = mxm(
+        tmap(lambda x: x[None, :], xv), xs[None, :], bv, bs, semiring, out_dtype, strategy
+    )
     return tmap(lambda x: x[0], cv), cs[0]
 
 

@@ -61,7 +61,9 @@ def _kernel(add_name, mul_name, nk_chunks, at_ref, b_ref, o_ref):
         red = jnp.min(part, axis=0) if add_name == "min" else jnp.max(part, axis=0)
         return add_fn(acc, red)
 
-    acc = jax.lax.fori_loop(0, nk_chunks, body, o_ref[:, :])
+    # int32 loop bounds: under enable_x64 a default fori_loop index is i64,
+    # which Mosaic rejects when it reaches the pl.ds offset arithmetic
+    acc = jax.lax.fori_loop(jnp.int32(0), jnp.int32(nk_chunks), body, o_ref[:, :])
     o_ref[:, :] = acc
 
 

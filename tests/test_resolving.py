@@ -135,3 +135,25 @@ def test_wait_and_chaining(v):
     w = Vector(dtypes.INT64, 3)
     w.update(v.apply(unary.one))
     assert w.nvals == 2
+
+
+def test_per_call_engine_opts(A):
+    import graphblas_tpu as gb
+
+    ref = A.mxm(A, "plus_times").new()
+    # per-call strategy override: every lowering computes the same result
+    for strat in ("auto", "mxu", "generic", "pallas"):
+        got = A.mxm(A, "plus_times").new(mxm_strategy=strat)
+        assert got.isequal(ref), strat
+    # via updater opts
+    out = Matrix(gb.dtypes.INT64, 2, 2)
+    out(mxm_strategy="generic") << A.mxm(A, "plus_times")
+    assert out.isequal(ref)
+    # accepted-but-ignored SuiteSparse-compat opts
+    assert A.mxm(A, "plus_times").new(nthreads=4, sort=True).isequal(ref)
+    # unknown opts are rejected
+    with pytest.raises(ValueError):
+        A.mxm(A, "plus_times").new(bogus_option=1)
+    # global config context still works
+    with gb.tx.config.set(mxm_strategy="generic"):
+        assert A.mxm(A, "plus_times").new().isequal(ref)
