@@ -1,0 +1,149 @@
+"""Property-based differential testing: random op chains vs the dict oracle.
+
+Models the reference's brute-force cross-validation style (reference
+graphblas/tests/test_mask.py parametrized sweeps) but as randomized chains:
+each chain threads one collection through a random sequence of masked /
+accumulated operations, checking the engine against tests/oracle.py after
+every step.  Integer dtypes + min_plus matmuls keep every step exact, so any
+mismatch is a real semantics bug, not tolerance noise.
+"""
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import Matrix, Vector, binary, dtypes, semiring
+
+import oracle
+
+N_CHAINS = 8
+N_STEPS = 7
+N = 5  # square so mxm composes
+
+_BINOPS = {
+    "plus": (binary.plus, lambda a, b: a + b),
+    "times": (binary.times, lambda a, b: a * b),
+    "min": (binary.min, min),
+    "max": (binary.max, max),
+    "first": (binary.first, lambda a, b: a),
+    "second": (binary.second, lambda a, b: b),
+    "minus": (binary.minus, lambda a, b: a - b),
+}
+
+
+def _rand_mask(rng, shape, ndim):
+    """Random (gb_mask, oracle_keys) or (None, None)."""
+    if rng.random() < 0.3:
+        return None, None, False
+    d = (
+        oracle.random_matrix_dict(rng, *shape, density=0.5, dtype=np.bool_)
+        if ndim == 2
+        else oracle.random_vector_dict(rng, shape[0], density=0.6, dtype=np.bool_)
+    )
+    holder = (
+        oracle.matrix_from_dict(gb, d, *shape, dtype=dtypes.BOOL)
+        if ndim == 2
+        else oracle.vector_from_dict(gb, d, shape[0], dtype=dtypes.BOOL)
+    )
+    structural = bool(rng.random() < 0.5)
+    complement = bool(rng.random() < 0.3)
+    m = holder.S if structural else holder.V
+    if complement:
+        m = ~m
+    keys = oracle.mask_bits(d, shape, structural=structural, complement=complement, ndim=ndim)
+    replace = bool(rng.random() < 0.3)
+    return m, keys, replace
+
+
+def _rand_accum(rng):
+    if rng.random() < 0.5:
+        return None, None
+    name = rng.choice(["plus", "min", "max", "second"])
+    return _BINOPS[name][0], _BINOPS[name][1]
+
+
+def _step_matrix(rng, C, cd):
+    """One random mutating step applied to both the Matrix and the oracle."""
+    kind = rng.choice(["ewise_add", "ewise_mult", "mxm", "apply", "select"])
+    od = oracle.random_matrix_dict(rng, N, N, density=0.4, dtype=np.int64, low=-3, high=4)
+    other = oracle.matrix_from_dict(gb, od, N, N, dtype=dtypes.INT64)
+    opname = rng.choice(["plus", "min", "max", "first", "minus"])
+    op, fn = _BINOPS[opname]
+    if kind == "ewise_add":
+        expr = C.ewise_add(other, op)
+        z = oracle.ewise_add(cd, od, fn)
+    elif kind == "ewise_mult":
+        expr = C.ewise_mult(other, op)
+        z = oracle.ewise_mult(cd, od, fn)
+    elif kind == "mxm":
+        expr = C.mxm(other, semiring.min_plus)
+        z = oracle.mxm(cd, od, min, oracle.simple_mul(lambda a, b: a + b))
+    elif kind == "apply":
+        c = int(rng.integers(-3, 4))
+        expr = C.apply(op, right=c)
+        z = {k: fn(v, c) for k, v in cd.items()}
+    else:  # select
+        c = int(rng.integers(-5, 6))
+        expr = C.select("valuegt", c)
+        z = {k: v for k, v in cd.items() if v > c}
+    mask, mask_keys, replace = _rand_mask(rng, (N, N), 2)
+    accum, accum_fn = _rand_accum(rng)
+    C(mask=mask, accum=accum, replace=replace if mask is not None else False) << expr
+    return oracle.merge(
+        cd, z, mask_keys=mask_keys, accum=accum_fn, replace=replace if mask_keys is not None else False
+    )
+
+
+def _step_vector(rng, v, vd, ad):
+    A = oracle.matrix_from_dict(gb, ad, N, N, dtype=dtypes.INT64)
+    kind = rng.choice(["ewise_add", "ewise_mult", "vxm", "apply", "select"])
+    od = oracle.random_vector_dict(rng, N, density=0.5, dtype=np.int64, low=-3, high=4)
+    other = oracle.vector_from_dict(gb, od, N, dtype=dtypes.INT64)
+    opname = rng.choice(["plus", "min", "max", "second", "minus"])
+    op, fn = _BINOPS[opname]
+    if kind == "ewise_add":
+        expr = v.ewise_add(other, op)
+        z = oracle.ewise_add(vd, od, fn)
+    elif kind == "ewise_mult":
+        expr = v.ewise_mult(other, op)
+        z = oracle.ewise_mult(vd, od, fn)
+    elif kind == "vxm":
+        expr = v.vxm(A, semiring.min_plus)
+        a2 = {(0, i): val for i, val in vd.items()}
+        z2 = oracle.mxm(a2, ad, min, oracle.simple_mul(lambda a, b: a + b))
+        z = {j: val for (_, j), val in z2.items()}
+    elif kind == "apply":
+        c = int(rng.integers(-3, 4))
+        expr = v.apply(op, right=c)
+        z = {k: fn(val, c) for k, val in vd.items()}
+    else:
+        c = int(rng.integers(-5, 6))
+        expr = v.select("valuele", c)
+        z = {k: val for k, val in vd.items() if val <= c}
+    mask, mask_keys, replace = _rand_mask(rng, (N,), 1)
+    accum, accum_fn = _rand_accum(rng)
+    v(mask=mask, accum=accum, replace=replace if mask is not None else False) << expr
+    return oracle.merge(
+        vd, z, mask_keys=mask_keys, accum=accum_fn, replace=replace if mask_keys is not None else False
+    )
+
+
+@pytest.mark.parametrize("seed", range(N_CHAINS))
+def test_random_matrix_chain(seed):
+    rng = np.random.default_rng(1000 + seed)
+    cd = oracle.random_matrix_dict(rng, N, N, density=0.4, dtype=np.int64, low=-3, high=4)
+    C = oracle.matrix_from_dict(gb, cd, N, N, dtype=dtypes.INT64)
+    for step in range(N_STEPS):
+        cd = _step_matrix(rng, C, cd)
+        oracle.assert_equal_dicts(oracle.to_dict(C), cd), f"seed={seed} step={step}"
+
+
+@pytest.mark.parametrize("seed", range(N_CHAINS))
+def test_random_vector_chain(seed):
+    rng = np.random.default_rng(2000 + seed)
+    vd = oracle.random_vector_dict(rng, N, density=0.5, dtype=np.int64, low=-3, high=4)
+    v = oracle.vector_from_dict(gb, vd, N, dtype=dtypes.INT64)
+    ad = oracle.random_matrix_dict(rng, N, N, density=0.4, dtype=np.int64, low=-3, high=4)
+    for step in range(N_STEPS):
+        vd = _step_vector(rng, v, vd, ad)
+        oracle.assert_equal_dicts(oracle.to_dict(v), vd), f"seed={seed} step={step}"
