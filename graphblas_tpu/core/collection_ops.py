@@ -46,36 +46,63 @@ def ewise_expr(self, other, op, how, *, left_default=None, right_default=None):
         within=f"ewise_{how}",
         argname="other",
     )
+    # mixed-rank broadcast recipes (reference: core/vector.py:47-67 _v_add_m/
+    # _v_mult_m and core/matrix.py:63-86 _m_add_v/_m_mult_v): a Vector on the
+    # left broadcasts v[i] across row i; on the right, v[j] across column j.
+    vec_left = vec_right = False
     if other.ndim != self.ndim:
-        raise TypeError(f"ewise_{how} requires matching ranks; got {self.ndim}D and {other.ndim}D")
-    _check_same_shape(self, other, f"ewise_{how}")
+        if self.ndim == 1 and other.ndim == 2:
+            if self.shape[0] != other.shape[0]:
+                raise _exc.DimensionMismatch(
+                    f"ewise_{how} broadcast: vector size {self.shape[0]} != nrows {other.shape[0]}"
+                )
+            vec_left = True
+        else:
+            if other.shape[0] != self.shape[1]:
+                raise _exc.DimensionMismatch(
+                    f"ewise_{how} broadcast: vector size {other.shape[0]} != ncols {self.shape[1]}"
+                )
+            vec_right = True
+        out_shape = other.shape if vec_left else self.shape
+    else:
+        _check_same_shape(self, other, f"ewise_{how}")
+        out_shape = self.shape
     op_t = get_typed_op(op, self.dtype, other.dtype, kind="binary")
     _, opclass = find_opclass(op_t)
     if opclass == "Semiring":
         # reference allows semirings in ewise by taking the multiply op for
         # mult and the add monoid for add
         op_t = op_t.binaryop if how == "mult" else op_t.monoid
-    out_cls = Matrix if self.ndim == 2 else Vector
+    out_cls = Matrix if len(out_shape) == 2 else Vector
+
+    def _operands():
+        import jax.numpy as jnp
+
+        av, as_ = _arrays_of(self)
+        bv, bs = _arrays_of(other)
+        av = _cast_values(av, op_t.type_.np_type, self.dtype)
+        bv = _cast_values(bv, op_t.type2.np_type, other.dtype)
+        if vec_left:
+            av = _dm.tmap(lambda x: jnp.broadcast_to(x[:, None], out_shape), av)
+            as_ = jnp.broadcast_to(as_[:, None], out_shape)
+        elif vec_right:
+            bv = _dm.tmap(lambda x: jnp.broadcast_to(x[None, :], out_shape), bv)
+            bs = jnp.broadcast_to(bs[None, :], out_shape)
+        return av, as_, bv, bs
 
     if how == "union":
         ld = _as_scalar(left_default)
         rd = _as_scalar(right_default)
 
         def compute():
-            av, as_ = _arrays_of(self)
-            bv, bs = _arrays_of(other)
-            av = _cast_values(av, op_t.type_.np_type, self.dtype)
-            bv = _cast_values(bv, op_t.type2.np_type, other.dtype)
+            av, as_, bv, bs = _operands()
             return _dm.ewise_union(av, as_, bv, bs, op_t, ld._device_value(op_t.type_.np_type), rd._device_value(op_t.type2.np_type))
 
     else:
         engine = _dm.ewise_mult if how == "mult" else _dm.ewise_add
 
         def compute():
-            av, as_ = _arrays_of(self)
-            bv, bs = _arrays_of(other)
-            av = _cast_values(av, op_t.type_.np_type, self.dtype)
-            bv = _cast_values(bv, op_t.type2.np_type, other.dtype)
+            av, as_, bv, bs = _operands()
             return engine(av, as_, bv, bs, op_t)
 
     return BaseExpression(
@@ -84,7 +111,7 @@ def ewise_expr(self, other, op, how, *, left_default=None, right_default=None):
         compute,
         op=op_t,
         dtype=op_t.return_type,
-        shape=self.shape,
+        shape=out_shape,
         args=(self, other),
         opname=f"ewise_{how}[{op_t.name}]",
     )

@@ -174,7 +174,13 @@ def ewise_infix(left, right, how):
     left = _normalize_operand(left)
     right = _normalize_operand(right)
     if left.shape != right.shape:
-        raise _exc.DimensionMismatch(f"shapes do not match for infix: {left.shape} != {right.shape}")
+        # mixed-rank vector<->matrix broadcast is handled by ewise_expr
+        # (reference: core/vector.py:47-67, core/matrix.py:63-86)
+        compatible = (
+            left.ndim == 1 and right.ndim == 2 and left.shape[0] == right.shape[0]
+        ) or (left.ndim == 2 and right.ndim == 1 and left.shape[1] == right.shape[0])
+        if not compatible:
+            raise _exc.DimensionMismatch(f"shapes do not match for infix: {left.shape} != {right.shape}")
     return EwiseInfixExpr(left, right, how)
 
 

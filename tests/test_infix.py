@@ -111,3 +111,25 @@ def test_shape_mismatch():
     A = Matrix(dtypes.INT64, 3, 4)
     with pytest.raises(gb.exceptions.DimensionMismatch):
         A @ A
+
+
+def test_vector_matrix_broadcast_ewise():
+    """Mixed-rank ewise recipes (reference core/vector.py:47-67 _v_add_m /
+    _v_mult_m, core/matrix.py:63-86 _m_add_v / _m_mult_v)."""
+    A = Matrix.from_coo([0, 0, 1], [0, 1, 1], [10, 20, 30], dtypes.INT64, nrows=2, ncols=3)
+    v = Vector.from_coo([0], [1], dtypes.INT64, size=2)   # broadcasts across rows
+    w = Vector.from_coo([0, 2], [5, 7], dtypes.INT64, size=3)  # across columns
+
+    assert v.ewise_add(A, binary.plus).new().to_dicts() == {0: {0: 11, 1: 21, 2: 1}, 1: {1: 30}}
+    assert A.ewise_mult(w, binary.plus).new().to_dicts() == {0: {0: 15}}
+    assert binary.plus(v | A).new().to_dicts() == {0: {0: 11, 1: 21, 2: 1}, 1: {1: 30}}
+    assert binary.plus(A & w).new().to_dicts() == {0: {0: 15}}
+    got = A.ewise_union(w, binary.plus, left_default=100, right_default=200).new()
+    assert got.to_dicts() == {
+        0: {0: 15, 1: 220, 2: 107},
+        1: {0: 105, 1: 230, 2: 107},
+    }
+    with pytest.raises(gb.exceptions.DimensionMismatch):
+        Vector(dtypes.INT64, 5).ewise_add(A, binary.plus).new()
+    with pytest.raises(gb.exceptions.DimensionMismatch):
+        (A & Vector(dtypes.INT64, 5)).new()
