@@ -172,6 +172,20 @@ def import_bitmapr(*, bitmap, values, dtype=None, name=None, **opts):
     return m
 
 
+def import_hypercsr(*, rows, indptr, col_indices, values, nrows=None, ncols=None, dtype=None, name=None, **opts):
+    """Hypersparse-CSR import (reference: core/ss/matrix.py import_hypercsr)."""
+    from ..core.matrix import Matrix
+
+    return Matrix.from_dcsr(rows, indptr, col_indices, values, dtype, nrows=nrows, ncols=ncols, name=name)
+
+
+def import_hypercsc(*, cols, indptr, row_indices, values, nrows=None, ncols=None, dtype=None, name=None, **opts):
+    """Hypersparse-CSC import (reference: core/ss/matrix.py import_hypercsc)."""
+    from ..core.matrix import Matrix
+
+    return Matrix.from_dcsc(cols, indptr, row_indices, values, dtype, nrows=nrows, ncols=ncols, name=name)
+
+
 def import_sparse_vector(*, indices, values, size=None, dtype=None, name=None, **opts):
     from ..core.vector import Vector
 

@@ -267,7 +267,8 @@ class MatrixTx:
     def export(self, format=None, *, sort=False, give_ownership=False, raw=False):
         """Export raw buffers (reference: zero-copy export core/ss/matrix.py:537+).
 
-        Supported formats: coo/coor/cooc, csr, csc, fullr, fullc, densemasked.
+        Supported formats: coo/coor/cooc, csr, csc, hypercsr, hypercsc,
+        fullr, fullc, densemasked.
         """
         p = self._parent
         format = (format or "coo").lower()
@@ -280,6 +281,12 @@ class MatrixTx:
         if format == "csc":
             indptr, row_indices, values = p.to_csc()
             return {"format": "csc", "indptr": indptr, "row_indices": row_indices, "values": values, "nrows": p.nrows, "ncols": p.ncols}
+        if format == "hypercsr":
+            rows, indptr, col_indices, values = p.to_dcsr()
+            return {"format": "hypercsr", "rows": rows, "indptr": indptr, "col_indices": col_indices, "values": values, "nrows": p.nrows, "ncols": p.ncols}
+        if format == "hypercsc":
+            cols, indptr, row_indices, values = p.to_dcsc()
+            return {"format": "hypercsc", "cols": cols, "indptr": indptr, "row_indices": row_indices, "values": values, "nrows": p.nrows, "ncols": p.ncols}
         if format in {"fullr", "fullc"}:
             return {"format": format, "values": p.to_dense(fill_value=0), "nrows": p.nrows, "ncols": p.ncols}
         if format == "densemasked":

@@ -26,6 +26,17 @@ def pytest_addoption(parser):
     parser.addoption("--record", action="store_true", default=False, help="record engine calls")
 
 
+def pytest_configure(config):
+    # Randomized-config axis (reference: graphblas/tests/conftest.py backend
+    # randomization): GRAPHBLAS_TEST_MXM_STRATEGY=auto|mxu|generic|pallas
+    # forces every mxm in the suite through one lowering.
+    strategy = os.environ.get("GRAPHBLAS_TEST_MXM_STRATEGY")
+    if strategy:
+        from graphblas_tpu.tx import config as txconfig
+
+        txconfig["mxm_strategy"] = strategy
+
+
 def pytest_collection_modifyitems(config, items):
     if config.getoption("--runslow"):
         return

@@ -97,3 +97,22 @@ def test_export_formats(A):
     assert B.isequal(A)
     d = A.tx.export("densemasked")
     assert d["values"].shape == (3, 3)
+
+
+def test_tx_hyper_import_export():
+    from graphblas_tpu import tx
+
+    A = Matrix.from_coo([0, 0, 5], [1, 2, 0], [1.0, 2.0, 3.0], nrows=6, ncols=3)
+    d = A.tx.export("hypercsr")
+    assert d["rows"].tolist() == [0, 5]
+    B = tx.import_hypercsr(
+        rows=d["rows"], indptr=d["indptr"], col_indices=d["col_indices"],
+        values=d["values"], nrows=d["nrows"], ncols=d["ncols"],
+    )
+    assert B.isequal(A)
+    d2 = A.tx.export("hypercsc")
+    C = tx.import_hypercsc(
+        cols=d2["cols"], indptr=d2["indptr"], row_indices=d2["row_indices"],
+        values=d2["values"], nrows=d2["nrows"], ncols=d2["ncols"],
+    )
+    assert C.isequal(A)
