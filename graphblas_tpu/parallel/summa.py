@@ -18,16 +18,35 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..ops import densemasked as _dm
 
 
+def _pad_dim(v, s, axis, mult):
+    """Pad (values, struct) along ``axis`` to a multiple of ``mult``.
+
+    Padding carries struct=False, so it is semantically absent — every
+    masked-engine op ignores it and the add-monoid combines skip it.
+    """
+    size = v.shape[axis]
+    target = -(-size // mult) * mult
+    if target == size:
+        return v, s
+    widths = [(0, 0)] * v.ndim
+    widths[axis] = (0, target - size)
+    return jnp.pad(v, widths), jnp.pad(s, widths)
+
+
 def summa_mxm(A, B, semiring_typed, out_dtype, mesh, *, axis_names=("i", "j")):
     """Sharded semiring mxm of two dense-masked Matrix objects.
 
     A shards P(i, j); B shards P(j, None).  Each device computes its local
     (m/pi, k/pj) x (k/pj, n) semiring block product, then partials combine
     over axis j with the add monoid.  Returns (values, struct) sharded P(i,).
+    Shapes not divisible by the mesh are padded with absent entries and the
+    result is sliced back.
     """
     ai, aj = axis_names
-    av, as_ = A._values, A._struct
-    bv, bs = B._values, B._struct
+    pi, pj = mesh.shape[ai], mesh.shape[aj]
+    m, k = A._values.shape
+    av, as_ = _pad_dim(*_pad_dim(A._values, A._struct, 0, pi), 1, pj)
+    bv, bs = _pad_dim(B._values, B._struct, 0, pj)
     add = semiring_typed.monoid
     add_name = add.parent.name if hasattr(add, "parent") else None
     out_np = np.dtype(out_dtype.np_type)
@@ -68,12 +87,22 @@ def summa_mxm(A, B, semiring_typed, out_dtype, mesh, *, axis_names=("i", "j")):
     as_ = jax.device_put(as_, NamedSharding(mesh, P(ai, aj)))
     bv = jax.device_put(bv.astype(semiring_typed.binaryop.type2.np_type), NamedSharding(mesh, P(aj, None)))
     bs = jax.device_put(bs, NamedSharding(mesh, P(aj, None)))
-    return jax.jit(fn)(av, as_, bv, bs)
+    cv, cs = jax.jit(fn)(av, as_, bv, bs)
+    if cv.shape[0] != m:
+        cv, cs = cv[:m], cs[:m]
+    return cv, cs
 
 
 def summa_mxv(A, x, semiring_typed, out_dtype, mesh, *, axis_names=("i", "j")):
-    """Sharded semiring mxv: A P(i, j), x sharded over j; result P(i,)."""
+    """Sharded semiring mxv: A P(i, j), x sharded over j; result P(i,).
+
+    Non-divisible shapes are padded with absent entries and sliced back.
+    """
     ai, aj = axis_names
+    pi, pj = mesh.shape[ai], mesh.shape[aj]
+    m = A._values.shape[0]
+    av_p, as_p = _pad_dim(*_pad_dim(A._values, A._struct, 0, pi), 1, pj)
+    xv_p, xs_p = _pad_dim(x._values, x._struct, 0, pj)
     from jax import shard_map
 
     add = semiring_typed.monoid
@@ -103,12 +132,15 @@ def summa_mxv(A, x, semiring_typed, out_dtype, mesh, *, axis_names=("i", "j")):
         check_vma=False,
     )
     av = jax.device_put(
-        A._values.astype(semiring_typed.binaryop.type_.np_type), NamedSharding(mesh, P(ai, aj))
+        av_p.astype(semiring_typed.binaryop.type_.np_type), NamedSharding(mesh, P(ai, aj))
     )
-    as_ = jax.device_put(A._struct, NamedSharding(mesh, P(ai, aj)))
-    xv = jax.device_put(x._values.astype(semiring_typed.binaryop.type2.np_type), NamedSharding(mesh, P(aj)))
-    xs = jax.device_put(x._struct, NamedSharding(mesh, P(aj)))
-    return jax.jit(fn)(av, as_, xv, xs)
+    as_ = jax.device_put(as_p, NamedSharding(mesh, P(ai, aj)))
+    xv = jax.device_put(xv_p.astype(semiring_typed.binaryop.type2.np_type), NamedSharding(mesh, P(aj)))
+    xs = jax.device_put(xs_p, NamedSharding(mesh, P(aj)))
+    yv, ys = jax.jit(fn)(av, as_, xv, xs)
+    if yv.shape[0] != m:
+        yv, ys = yv[:m], ys[:m]
+    return yv, ys
 
 
 def sharded_spmv_step(mesh, n, *, axis_names=("i", "j")):

@@ -1,0 +1,164 @@
+"""Numeric tests for the distribution layer on the 8-virtual-device CPU mesh.
+
+The conftest forces ``--xla_force_host_platform_device_count=8``, so every
+test here runs SUMMA / sharded-SpMV collectives for real across 8 devices
+(driver contract: multi-chip shardings must be validated without hardware).
+Reference analogue: the reference has no distributed layer (SURVEY.md §2.2);
+these validate the new TPU-native design against the single-device oracle.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from graphblas_tpu import Matrix, Vector, dtypes, semiring
+from graphblas_tpu.core.operator import get_typed_op
+from graphblas_tpu.parallel import (
+    Context,
+    replicate,
+    shard_matrix,
+    shard_vector,
+    sharded_spmv_step,
+    summa_mxm,
+    summa_mxv,
+)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devices = jax.devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return Context(devices=devices[:8]).mesh
+
+
+def _rand_masked(rng, shape, density=0.7):
+    vals = rng.random(shape)
+    struct = rng.random(shape) < density
+    return vals, struct
+
+
+def _dense_matrix(vals, struct):
+    A = Matrix.from_dense(np.where(struct, vals, 0.0), dtype=dtypes.FP64)
+    A._struct = jnp.asarray(struct)
+    return A
+
+
+def _dense_vector(vals, struct):
+    v = Vector.from_dense(np.where(struct, vals, 0.0))
+    v._struct = jnp.asarray(struct)
+    return v
+
+
+def test_summa_mxm_plus_times(mesh, rng):
+    m, k, n = 16, 32, 12
+    av, as_ = _rand_masked(rng, (m, k))
+    bv, bs = _rand_masked(rng, (k, n))
+    A = _dense_matrix(av, as_)
+    B = _dense_matrix(bv, bs)
+    sr = get_typed_op(semiring.plus_times, dtypes.FP64, dtypes.FP64, kind="semiring")
+    cv, cs = summa_mxm(A, B, sr, dtypes.FP64, mesh)
+    expected = (np.where(as_, av, 0.0)) @ (np.where(bs, bv, 0.0))
+    exp_s = (as_.astype(int) @ bs.astype(int)) > 0
+    np.testing.assert_array_equal(np.asarray(cs), exp_s)
+    np.testing.assert_allclose(np.asarray(cv)[exp_s], expected[exp_s], rtol=1e-12)
+
+
+def test_summa_mxm_min_plus_generic_monoid(mesh, rng):
+    # min is not plus: exercises the all_gather + monoid-tree combine path
+    m, k, n = 8, 16, 8
+    av, as_ = _rand_masked(rng, (m, k))
+    bv, bs = _rand_masked(rng, (k, n))
+    A = _dense_matrix(av, as_)
+    B = _dense_matrix(bv, bs)
+    sr = get_typed_op(semiring.min_plus, dtypes.FP64, dtypes.FP64, kind="semiring")
+    cv, cs = summa_mxm(A, B, sr, dtypes.FP64, mesh)
+    expected = np.full((m, n), np.inf)
+    for i in range(m):
+        for j in range(n):
+            for t in range(k):
+                if as_[i, t] and bs[t, j]:
+                    expected[i, j] = min(expected[i, j], av[i, t] + bv[t, j])
+    exp_s = np.isfinite(expected)
+    np.testing.assert_array_equal(np.asarray(cs), exp_s)
+    np.testing.assert_allclose(np.asarray(cv)[exp_s], expected[exp_s], rtol=1e-12)
+
+
+def test_summa_mxm_nondivisible_shapes(mesh, rng):
+    # 7x13x5 is divisible by no mesh axis: exercises the padding path
+    m, k, n = 7, 13, 5
+    av, as_ = _rand_masked(rng, (m, k), density=0.9)
+    bv, bs = _rand_masked(rng, (k, n), density=0.9)
+    A = _dense_matrix(av, as_)
+    B = _dense_matrix(bv, bs)
+    sr = get_typed_op(semiring.plus_times, dtypes.FP64, dtypes.FP64, kind="semiring")
+    cv, cs = summa_mxm(A, B, sr, dtypes.FP64, mesh)
+    assert cv.shape == (m, n)
+    expected = (np.where(as_, av, 0.0)) @ (np.where(bs, bv, 0.0))
+    exp_s = (as_.astype(int) @ bs.astype(int)) > 0
+    np.testing.assert_array_equal(np.asarray(cs), exp_s)
+    np.testing.assert_allclose(np.asarray(cv)[exp_s], expected[exp_s], rtol=1e-12)
+
+
+def test_summa_mxv_plus_times(mesh, rng):
+    m, k = 16, 24
+    av, as_ = _rand_masked(rng, (m, k))
+    xv, xs = _rand_masked(rng, (k,))
+    A = _dense_matrix(av, as_)
+    x = _dense_vector(xv, xs)
+    sr = get_typed_op(semiring.plus_times, dtypes.FP64, dtypes.FP64, kind="semiring")
+    yv, ys = summa_mxv(A, x, sr, dtypes.FP64, mesh)
+    both = as_ & xs[None, :]
+    expected = (np.where(both, av * xv[None, :], 0.0)).sum(axis=1)
+    exp_s = both.any(axis=1)
+    np.testing.assert_array_equal(np.asarray(ys), exp_s)
+    np.testing.assert_allclose(np.asarray(yv)[exp_s], expected[exp_s], rtol=1e-12)
+
+
+def test_summa_mxv_min_plus(mesh, rng):
+    m, k = 11, 9  # also non-divisible
+    av, as_ = _rand_masked(rng, (m, k))
+    xv, xs = _rand_masked(rng, (k,))
+    A = _dense_matrix(av, as_)
+    x = _dense_vector(xv, xs)
+    sr = get_typed_op(semiring.min_plus, dtypes.FP64, dtypes.FP64, kind="semiring")
+    yv, ys = summa_mxv(A, x, sr, dtypes.FP64, mesh)
+    both = as_ & xs[None, :]
+    expected = np.where(both, av + xv[None, :], np.inf).min(axis=1)
+    exp_s = both.any(axis=1)
+    np.testing.assert_array_equal(np.asarray(ys), exp_s)
+    np.testing.assert_allclose(np.asarray(yv)[exp_s], expected[exp_s], rtol=1e-12)
+
+
+def test_sharded_spmv_step(mesh, rng):
+    n = 64
+    ne = 8 * 37  # divisible by the 8-device flattened mesh
+    src = rng.integers(0, n, ne)
+    dst = rng.integers(0, n, ne)
+    w = rng.random(ne)
+    valid = rng.random(ne) < 0.8
+    x = rng.random(n)
+    step = sharded_spmv_step(mesh, n)
+    y = step(
+        jnp.asarray(src, jnp.int32),
+        jnp.asarray(dst, jnp.int32),
+        jnp.asarray(w),
+        jnp.asarray(valid),
+        jnp.asarray(x),
+    )
+    expected = np.zeros(n)
+    np.add.at(expected, dst[valid], w[valid] * x[src[valid]])
+    np.testing.assert_allclose(np.asarray(y), expected, rtol=1e-10)
+
+
+def test_shard_annotations_roundtrip(mesh, rng):
+    with Context(mesh=mesh):
+        A = Matrix.from_dense(rng.random((8, 8)), dtype=dtypes.FP64)
+        shard_matrix(A)
+        v = Vector.from_dense(rng.random(8))
+        shard_vector(v)
+        replicate(v)
+        assert A.nvals == 64
+        assert v.nvals == 8
