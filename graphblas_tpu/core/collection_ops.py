@@ -528,6 +528,13 @@ def do_delete(self, resolved, mask=None):
     """del C[idx] — remove entries in the region (reference: __delitem__)."""
     import jax.numpy as jnp
 
+    if mask is not None:
+        # Masked delete == masked assign of an empty scalar (the reference's
+        # recipe): only masked positions within the region are cleared.
+        empty = Scalar(self.dtype)
+        return do_assign(
+            self, resolved, empty, mask=mask, accum=None, replace=False, is_submask=False
+        )
     indices = resolved.indices
     cv, cs = self._values, self._struct
     if self.ndim == 1:

@@ -474,17 +474,39 @@ class Matrix(InfixMixin, BaseType):
                 raise _exc.DimensionMismatch(f"setdiag vector size {values.size} != diagonal length {diag_len}")
             vv = values._values.astype(self.dtype.np_type)
             vs = values._struct
-        if accum is not None:
-            accum_t = get_typed_op(accum, self.dtype, kind="binary")
+        mbits = None
+        if mask is not None:
+            # Reference semantics (core/matrix.py:2982-3007): a Vector mask is
+            # diag-length; a Matrix mask must match self, only its diagonal used.
+            mp = mask.parent
+            if mp.ndim == 2:
+                if mp.shape != self.shape:
+                    raise _exc.DimensionMismatch(
+                        f"Matrix mask in setdiag is the wrong shape; expected {self.shape}, got {mp.shape}"
+                    )
+                mbits = mask._bits()[rows, cols]
+            else:
+                if mp.shape[0] != diag_len:
+                    raise _exc.DimensionMismatch(
+                        f"Vector mask in setdiag is the wrong length; expected {diag_len}, got {mp.shape[0]}"
+                    )
+                mbits = mask._bits()
+        new_v, new_s = vv, vs
+        if accum is not None or mbits is not None:
             old_v = self._values[rows, cols]
             old_s = self._struct[rows, cols]
-            both = old_s & vs
-            merged = jnp.where(both, accum_t.fn(old_v, vv).astype(old_v.dtype), jnp.where(vs, vv, old_v))
-            cv = self._values.at[rows, cols].set(merged)
-            cs = self._struct.at[rows, cols].set(old_s | vs)
-        else:
-            cv = self._values.at[rows, cols].set(vv)
-            cs = self._struct.at[rows, cols].set(vs)
+            if accum is not None:
+                accum_t = get_typed_op(accum, self.dtype, kind="binary")
+                both = old_s & vs
+                new_v = jnp.where(
+                    both, accum_t.fn(old_v, vv).astype(old_v.dtype), jnp.where(vs, vv, old_v)
+                )
+                new_s = old_s | vs
+            if mbits is not None:
+                new_v = jnp.where(mbits, new_v, old_v)
+                new_s = jnp.where(mbits, new_s, old_s)
+        cv = self._values.at[rows, cols].set(new_v)
+        cs = self._struct.at[rows, cols].set(new_s)
         self._set_arrays(*_dm.canonical(cv, cs))
 
     # -- indexing ----------------------------------------------------------------

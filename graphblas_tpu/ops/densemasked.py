@@ -349,7 +349,18 @@ def _mxm_fast_path(av, as_, bv, bs, semiring, out_np_dtype):
         acc_dtype = np.int32
 
     def mm(x, y):
-        return jnp.matmul(x, y, preferred_element_type=jnp.dtype(acc_dtype))
+        # HIGHEST: the TPU MXU's default precision computes f32 products via
+        # bf16 passes — silent ~16-bit mantissa loss vs the reference's exact
+        # CPU semirings.  bf16 multiplies are an explicit opt-in (mxm_strategy),
+        # never an implicit downgrade.
+        prec = (
+            jax.lax.Precision.HIGHEST
+            if jnp.issubdtype(jnp.dtype(acc_dtype), jnp.floating)
+            else None
+        )
+        return jnp.matmul(
+            x, y, preferred_element_type=jnp.dtype(acc_dtype), precision=prec
+        )
 
     overlap = None
 

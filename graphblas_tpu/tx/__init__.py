@@ -196,11 +196,13 @@ def deserialize(data):
     """Inverse of Matrix.tx.serialize / Vector.tx.serialize."""
     import pickle as _pickle
 
-    import zstandard
-
     tag, raw = data[:4], data[4:]
     if tag == b"ZSTD":
+        import zstandard  # only required for compressed payloads
+
         raw = zstandard.ZstdDecompressor().decompress(raw)
+    elif tag != b"RAW0":
+        raise ValueError(f"unknown serialization tag: {tag!r}")
     payload = _pickle.loads(raw)
     if payload["kind"] == "Matrix":
         from .matrix import deserialize_matrix

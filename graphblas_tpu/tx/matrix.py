@@ -73,6 +73,27 @@ class MatrixTx:
 
     # -- scans and sorts (reference: core/ss/matrix.py:3689,3983) ----------------
 
+    @staticmethod
+    def _present_order(v, s, axis, *, descending=False, by_value=True):
+        """Stable order along ``axis`` with present entries first.
+
+        Two stable argsort passes: first by key (value or position — with
+        ``descending=True`` passed to argsort, never by negating keys, which
+        wraps unsigned dtypes so a present 0 outranks 200), then by presence,
+        pushing absent slots to the end without displacing present entries
+        that happen to tie with any fill value.
+        """
+        import jax.numpy as jnp
+
+        if by_value:
+            key = v.astype(jnp.uint8) if v.dtype == jnp.bool_ else v
+        else:
+            key = jax_broadcasted_iota(s.shape, axis)
+        order1 = jnp.argsort(key, axis=axis, stable=True, descending=descending)
+        s1 = jnp.take_along_axis(s, order1, axis=axis)
+        order2 = jnp.argsort(~s1, axis=axis, stable=True)
+        return jnp.take_along_axis(order1, order2, axis=axis)
+
     def scan(self, op="plus", order="rowwise", *, name=None):
         """Prefix scan over present entries (reference: Matrix.ss.scan :3689)."""
         from ..core.matrix import Matrix
@@ -95,17 +116,7 @@ class MatrixTx:
         axis = 1 if order in {"rowwise", "row"} else 0
         opname = op if isinstance(op, str) else getattr(op, "name", "lt")
         descending = opname in {"gt", "ge"}
-        n = p.shape[axis]
-        if jnp.issubdtype(p._values.dtype, jnp.floating):
-            big = jnp.asarray(np.inf, p._values.dtype)
-        elif p._values.dtype == jnp.bool_:
-            big = True
-        else:
-            big = jnp.asarray(np.iinfo(np.dtype(p._values.dtype)).max, p._values.dtype)
-        fill = -big if descending and p._values.dtype != jnp.bool_ else big
-        filled = jnp.where(p._struct, p._values, fill)
-        key = -filled if descending and p._values.dtype != jnp.bool_ else filled
-        order_idx = jnp.argsort(key, axis=axis, stable=True)
+        order_idx = self._present_order(p._values, p._struct, axis, descending=descending)
         sorted_v = jnp.take_along_axis(p._values, order_idx, axis=axis)
         sorted_s = jnp.take_along_axis(p._struct, order_idx, axis=axis)
         # compact: present entries first in sort order
@@ -131,18 +142,10 @@ class MatrixTx:
         p = self._parent
         s = p._struct
         v = p._values
-        ncols = p.ncols
-        pos = jax_broadcasted_iota(s.shape, 1)
         if how in {"first", "last"}:
-            key = jnp.where(s, pos, ncols if how == "first" else -1)
-            order = jnp.argsort(key if how == "first" else -key, axis=1, stable=True)
+            order = self._present_order(v, s, 1, by_value=False, descending=how == "last")
         elif how in {"smallest", "largest"}:
-            if jnp.issubdtype(v.dtype, jnp.floating):
-                big = jnp.asarray(np.inf, v.dtype)
-            else:
-                big = jnp.asarray(np.iinfo(np.dtype(v.dtype)).max, v.dtype)
-            key = jnp.where(s, v, big if how == "smallest" else -big)
-            order = jnp.argsort(key if how == "smallest" else -key, axis=1, stable=True)
+            order = self._present_order(v, s, 1, descending=how == "largest")
         else:
             raise ValueError(f"Invalid `how` for selectk: {how}")
         rank = jnp.argsort(order, axis=1, stable=True)
@@ -160,21 +163,11 @@ class MatrixTx:
         out_cols = p.ncols if ncols is None else int(ncols)
         reverse = how in {"last", "largest"}
         if how in {"first", "last"}:
-            key = jax_broadcasted_iota(s.shape, 1)
-            key = jnp.where(s, key, p.ncols)
-            if reverse:
-                key = jnp.where(s, -key, 1)
+            order = self._present_order(v, s, 1, by_value=False, descending=reverse)
         elif how in {"smallest", "largest"}:
-            if jnp.issubdtype(v.dtype, jnp.floating):
-                big = jnp.asarray(np.inf, v.dtype)
-            else:
-                big = jnp.asarray(np.iinfo(np.dtype(v.dtype)).max, v.dtype)
-            key = jnp.where(s, v, big)
-            if reverse:
-                key = jnp.where(s, -v, big)
+            order = self._present_order(v, s, 1, descending=reverse)
         else:
             raise ValueError(f"Invalid `how` for compactify: {how}")
-        order = jnp.argsort(key, axis=1, stable=True)
         sorted_v = jnp.take_along_axis(v, order, axis=1)
         sorted_s = jnp.take_along_axis(s, order, axis=1)
         counts = jnp.sum(s, axis=1, keepdims=True)

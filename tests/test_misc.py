@@ -181,3 +181,65 @@ def test_exceptions_hierarchy():
         a = Vector(dtypes.FP64, 3)
         b = Vector(dtypes.FP64, 4)
         a.ewise_add(b, binary.plus).new()
+
+
+def test_setdiag_masked():
+    # ADVICE r1: setdiag must honor mask (reference: core/matrix.py:2982-3007)
+    A = Matrix.from_dense(np.zeros((3, 3)), dtype=dtypes.FP64)
+    m = Vector.from_coo([0, 2], [True, True], size=3)
+    A.setdiag(99.0, mask=m.S)
+    d = A.diag().to_dict()
+    assert d == {0: 99.0, 1: 0.0, 2: 99.0}
+    # Matrix mask: only its diagonal is consulted
+    A2 = Matrix.from_dense(np.ones((3, 3)), dtype=dtypes.FP64)
+    M = Matrix.from_coo([1], [1], [True], nrows=3, ncols=3)
+    A2.setdiag(7.0, mask=M.S)
+    assert A2.diag().to_dict() == {0: 1.0, 1: 7.0, 2: 1.0}
+    # masked + accum combine
+    A3 = Matrix.from_dense(np.full((3, 3), 2.0), dtype=dtypes.FP64)
+    A3.setdiag(10.0, mask=m.S, accum=binary.plus)
+    assert A3.diag().to_dict() == {0: 12.0, 1: 2.0, 2: 12.0}
+    with pytest.raises(gb.exceptions.DimensionMismatch):
+        A3.setdiag(1.0, mask=Vector.from_coo([0], [True], size=7).S)
+
+
+def test_masked_region_delete():
+    # ADVICE r1: del v(m.S)[0:3] deletes only masked entries in the region
+    v = Vector.from_coo([0, 1, 2, 3], [1.0, 2.0, 3.0, 4.0])
+    m = Vector.from_coo([0], [True], size=4)
+    del v(m.S)[0:3]
+    assert v.to_dict() == {1: 2.0, 2: 3.0, 3: 4.0}
+    A = Matrix.from_dense(np.arange(9.0).reshape(3, 3) + 1, dtype=dtypes.FP64)
+    Mm = Matrix.from_coo([0, 1], [0, 1], [True, True], nrows=3, ncols=3)
+    del A(Mm.S)[0:2, 0:2]
+    assert A.to_dicts() == {
+        0: {1: 2.0, 2: 3.0},
+        1: {0: 4.0, 2: 6.0},
+        2: {0: 7.0, 1: 8.0, 2: 9.0},
+    }
+
+
+def test_tx_descending_unsigned():
+    # ADVICE r1: descending order must not negate unsigned keys (wraps)
+    A = Matrix.from_coo([0, 0, 0], [0, 1, 2], [0, 200, 100], dtype=dtypes.UINT8, nrows=1, ncols=3)
+    top = A.tx.selectk("largest", 1)
+    assert top.to_dicts() == {0: {1: 200}}
+    comp = A.tx.compactify("largest")
+    assert list(comp.to_dicts()[0].values()) == [200, 100, 0]
+    sv = A.tx.sort("gt", permutation=False)
+    assert list(sv.to_dicts()[0].values()) == [200, 100, 0]
+    # signed with a present minimum that ties the old fill
+    B = Matrix.from_coo([0, 0], [1, 3], [127, -5], dtype=dtypes.INT8, nrows=1, ncols=4)
+    assert B.tx.selectk("largest", 1).to_dicts() == {0: {1: 127}}
+    assert B.tx.selectk("smallest", 1).to_dicts() == {0: {3: -5}}
+
+
+def test_deserialize_tags():
+    from graphblas_tpu import tx
+
+    v = Vector.from_coo([0, 2], [1.5, 2.5], size=4)
+    data = v.tx.serialize(compression=None)
+    w = tx.deserialize(bytes(data))
+    assert w.to_dict() == v.to_dict()
+    with pytest.raises(ValueError, match="unknown serialization tag"):
+        tx.deserialize(b"XXXXjunk")
