@@ -159,6 +159,22 @@ class BaseType:
         if self._is_scalar:
             return self._update_from_expr(expr, accum)
 
+        # sparse-format producer into an unmasked, unaccumulated target:
+        # adopt the sparse result wholesale (no densify anywhere)
+        if (
+            getattr(expr, "_sparse_compute", None) is not None
+            and mask is None
+            and accum is None
+            and hasattr(self, "_adopt_sparse")
+        ):
+            with _engine_opts_ctx(opts):
+                result = expr._sparse_compute()
+            sp = result._sparse
+            if result.dtype is not self.dtype:
+                sp.vals = sp.vals.astype(self.dtype.np_type)
+            self._adopt_sparse(sp)
+            return
+
         with _engine_opts_ctx(opts):
             zv, zs = expr._compute()
         from ..ops import densemasked as _dm
@@ -192,6 +208,13 @@ class BaseType:
 
     def _as_expression(self):
         """Wrap a plain collection as an identity expression."""
+        sparse_compute = None
+        sp0 = getattr(self, "_sparse", None)
+        if sp0 is not None:
+
+            def sparse_compute(sp=sp0):
+                return type(self)._from_sparse(sp.copy(vals=sp.vals.copy()), self.dtype)
+
         return BaseExpression(
             "identity",
             type(self),
@@ -200,6 +223,7 @@ class BaseType:
             dtype=self.dtype,
             shape=self.shape,
             args=(self,),
+            sparse_compute=sparse_compute,
         )
 
     @property
@@ -402,7 +426,19 @@ class BaseExpression(_InfixMixin):
 
     output_type = None  # set per-instance
 
-    def __init__(self, method_name, output_cls, compute, *, op=None, dtype=None, shape=None, args=(), opname=None):
+    def __init__(
+        self,
+        method_name,
+        output_cls,
+        compute,
+        *,
+        op=None,
+        dtype=None,
+        shape=None,
+        args=(),
+        opname=None,
+        sparse_compute=None,
+    ):
         self.method_name = method_name
         self.output_type = output_cls
         self._compute_fn = compute
@@ -412,6 +448,9 @@ class BaseExpression(_InfixMixin):
         self.args = args
         self.opname = opname or method_name
         self._value = None  # autocompute cache (reference: core/base.py:586-601)
+        # optional sparse-format producer: () -> Matrix with _sparse storage
+        # (used when operands are sparse so results never densify)
+        self._sparse_compute = sparse_compute
 
     # -- introspection -------------------------------------------------------
 
@@ -456,6 +495,13 @@ class BaseExpression(_InfixMixin):
             out = self.output_type(out_dtype, *self._shape_args(), name=name)
             upd = Updater(out, mask=_check_mask(mask, out) if mask is not None else None, opts=opts)
             self.op._new(upd, self)
+            return out
+        if self._sparse_compute is not None and mask is None:
+            out = self._sparse_compute()
+            if dtype is not None and out_dtype is not out.dtype:
+                out._sparse.vals = out._sparse.vals.astype(out_dtype.np_type)
+                out._dtype = out_dtype
+            out.name = name
             return out
         out = self.output_type(out_dtype, *self._shape_args(), name=name)
         out._update(self, mask=_check_mask(mask, out) if mask is not None else None, opts=opts)

@@ -21,6 +21,15 @@ def _arrays_of(obj):
     return obj._values, obj._struct
 
 
+def _sparse_of(obj):
+    """(SparseMatrixData, is_transposed) for sparse-format operands, else (None, False)."""
+    from .matrix import TransposedMatrix
+
+    if isinstance(obj, TransposedMatrix):
+        return getattr(obj._matrix, "_sparse", None), True
+    return getattr(obj, "_sparse", None), False
+
+
 def _cast_values(v, np_type, dtype):
     """Cast engine values to an op's input dtype; UDTs are never cast."""
     if dtype._is_udt or isinstance(v, dict):
@@ -141,8 +150,21 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
             v = _cast_values(v, op_t.type_.np_type, self.dtype)
             return _dm.apply_indexunary(v, s, op_t, thunk_s._device_value())
 
+        sparse_fn = None
+        sp, transposed = _sparse_of(self)
+        if sp is not None and not transposed:
+
+            def sparse_fn():
+                from .matrix import Matrix
+                from .sparse import sparse_apply_indexunary
+
+                sp2 = sparse_apply_indexunary(
+                    sp, op_t, thunk_s._device_value(), np.dtype(op_t.return_type.np_type)
+                )
+                return Matrix._from_sparse(sp2, op_t.return_type)
+
         return BaseExpression(
-            "apply", out_cls, compute, op=op_t, dtype=op_t.return_type, shape=self.shape, args=(self,), opname=f"apply[{op_t.name}]"
+            "apply", out_cls, compute, op=op_t, dtype=op_t.return_type, shape=self.shape, args=(self,), opname=f"apply[{op_t.name}]", sparse_compute=sparse_fn
         )
 
     if right is None and left is None and thunk is None:
@@ -153,10 +175,25 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
                 f"Binary op {op_t.name} passed to apply without left or right; "
                 "provide `left=` or `right=` to bind one argument"
             )
+        sp, transposed = _sparse_of(self)
+        sparse_fn = None
         if getattr(op_t, "positional", None) is not None:
             def compute():
                 v, s = _arrays_of(self)
                 return _dm.apply_positional_unary(v, s, op_t, 0)
+
+            if sp is not None and not transposed:
+
+                def sparse_fn():
+                    from .matrix import Matrix
+                    from .sparse import sparse_apply_positional
+
+                    pos = op_t.positional
+                    which, delta = pos if not isinstance(pos, str) else (pos, 0)
+                    sp2 = sparse_apply_positional(
+                        sp, which, delta, np.dtype(op_t.return_type.np_type)
+                    )
+                    return Matrix._from_sparse(sp2, op_t.return_type)
 
         else:
             def compute():
@@ -164,8 +201,22 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
                 v = _cast_values(v, op_t.type_.np_type, self.dtype)
                 return _dm.apply_unary(v, s, op_t)
 
+            if sp is not None and not transposed:
+
+                def sparse_fn():
+                    from .matrix import Matrix
+                    from .sparse import sparse_apply_values
+
+                    in_np = np.dtype(op_t.type_.np_type)
+                    sp2 = sparse_apply_values(
+                        sp,
+                        lambda v: op_t.fn(v.astype(in_np)),
+                        np.dtype(op_t.return_type.np_type),
+                    )
+                    return Matrix._from_sparse(sp2, op_t.return_type)
+
         return BaseExpression(
-            "apply", out_cls, compute, op=op_t, dtype=op_t.return_type, shape=self.shape, args=(self,), opname=f"apply[{op_t.name}]"
+            "apply", out_cls, compute, op=op_t, dtype=op_t.return_type, shape=self.shape, args=(self,), opname=f"apply[{op_t.name}]", sparse_compute=sparse_fn
         )
 
     if right is not None and left is not None:
@@ -187,8 +238,27 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
         b = bound._device_value(op_t.type2.np_type if right is not None else op_t.type_.np_type)
         return _dm.apply_bound(v, s, op_t, b, "right" if right is not None else "left")
 
+    sparse_fn = None
+    sp, transposed = _sparse_of(self)
+    if sp is not None and not transposed and getattr(op_t, "positional", None) is None:
+
+        def sparse_fn():
+            from .matrix import Matrix
+            from .sparse import sparse_apply_values
+
+            in_np = np.dtype((op_t.type_ if right is not None else op_t.type2).np_type)
+            b = bound._device_value(
+                (op_t.type2 if right is not None else op_t.type_).np_type
+            )
+            if right is not None:
+                fn = lambda v: op_t.fn(v.astype(in_np), b)  # noqa: E731
+            else:
+                fn = lambda v: op_t.fn(b, v.astype(in_np))  # noqa: E731
+            sp2 = sparse_apply_values(sp, fn, np.dtype(op_t.return_type.np_type))
+            return Matrix._from_sparse(sp2, op_t.return_type)
+
     return BaseExpression(
-        "apply", out_cls, compute, op=op_t, dtype=op_t.return_type, shape=self.shape, args=(self,), opname=f"apply[{op_t.name}]"
+        "apply", out_cls, compute, op=op_t, dtype=op_t.return_type, shape=self.shape, args=(self,), opname=f"apply[{op_t.name}]", sparse_compute=sparse_fn
     )
 
 
@@ -207,8 +277,19 @@ def select_expr(self, op, thunk=None):
         v, s = _arrays_of(self)
         return _dm.select_op(v, s, op_t, thunk_s._device_value())
 
+    sparse_fn = None
+    sp, transposed = _sparse_of(self)
+    if sp is not None and not transposed:
+
+        def sparse_fn():
+            from .matrix import Matrix
+            from .sparse import sparse_select
+
+            sp2 = sparse_select(sp, op_t, thunk_s._device_value())
+            return Matrix._from_sparse(sp2, self.dtype)
+
     return BaseExpression(
-        "select", out_cls, compute, op=op_t, dtype=self.dtype, shape=self.shape, args=(self,), opname=f"select[{op_t.name}]"
+        "select", out_cls, compute, op=op_t, dtype=self.dtype, shape=self.shape, args=(self,), opname=f"select[{op_t.name}]", sparse_compute=sparse_fn
     )
 
 
@@ -239,10 +320,21 @@ def reduce_axis_expr(self, monoid, axis, method_name):
             method_name, Vector, None, op=monoid_t, dtype=monoid_t.return_type, shape=(out_size,), args=(self,), opname=method_name
         )
 
-    def compute():
-        v, s = _arrays_of(self)
-        v = _cast_values(v, monoid_t.type_.np_type, self.dtype)
-        return _dm.reduce_axis(v, s, monoid_t, axis)
+    sp, transposed = _sparse_of(self)
+    if sp is not None:
+        sp_axis = (1 - axis) if transposed else axis
+
+        def compute():
+            from .sparse import sparse_reduce_axis
+
+            return sparse_reduce_axis(sp, monoid_t, sp_axis)
+
+    else:
+
+        def compute():
+            v, s = _arrays_of(self)
+            v = _cast_values(v, monoid_t.type_.np_type, self.dtype)
+            return _dm.reduce_axis(v, s, monoid_t, axis)
 
     return BaseExpression(
         method_name, Vector, compute, op=monoid_t, dtype=monoid_t.return_type, shape=(out_size,), args=(self,), opname=f"{method_name}[{monoid_t.name}]"
@@ -257,10 +349,17 @@ def reduce_scalar_expr(self, monoid, allow_empty, method_name="reduce_scalar"):
             method_name, Scalar, None, op=monoid_t, dtype=monoid_t.return_type, shape=(), args=(self,), opname=method_name
         )
 
+    sp, _ = _sparse_of(self)
+
     def compute():
-        v, s = _arrays_of(self)
-        v = _cast_values(v, monoid_t.type_.np_type, self.dtype)
-        val, present = _dm.reduce_all(v, s, monoid_t)
+        if sp is not None:
+            from .sparse import sparse_reduce_scalar
+
+            val, present = sparse_reduce_scalar(sp, monoid_t)
+        else:
+            v, s = _arrays_of(self)
+            v = _cast_values(v, monoid_t.type_.np_type, self.dtype)
+            val, present = _dm.reduce_all(v, s, monoid_t)
         if not allow_empty:
             import jax.numpy as jnp
 
@@ -323,6 +422,39 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
         out_cls, shape = Vector, (a.shape[0],)
     else:
         out_cls, shape = Matrix, (a.shape[0], b.shape[1])
+
+    # sparse matrix-vector products run the O(E) sparse engine (fastspmv plan
+    # or gather+segment generic path) — never densifying the matrix
+    a_sp, a_t = _sparse_of(a) if not a_is_vec else (None, False)
+    b_sp, b_t = _sparse_of(b) if not b_is_vec else (None, False)
+    sparse_mv = None
+    if a_sp is not None and b_is_vec:
+
+        def sparse_mv():  # GrB_mxv: y = A (.) x ; A.T flips to the push direction
+            from .sparse import sparse_mxv
+
+            xv, xs = _arrays_of(b)
+            return sparse_mxv(a_sp, not a_t, True, xv, xs, sr, sr.return_type)
+
+    elif b_sp is not None and a_is_vec:
+
+        def sparse_mv():  # GrB_vxm: w = x (.) A ; the vector is the op's first arg
+            from .sparse import sparse_mxv
+
+            xv, xs = _arrays_of(a)
+            return sparse_mxv(b_sp, b_t, False, xv, xs, sr, sr.return_type)
+
+    if sparse_mv is not None:
+        return BaseExpression(
+            method_name,
+            out_cls,
+            sparse_mv,
+            op=sr,
+            dtype=sr.return_type,
+            shape=shape,
+            args=(a, b),
+            opname=f"{method_name}[{sr.name}]",
+        )
 
     def compute():
         from ..tx import config as _txconfig

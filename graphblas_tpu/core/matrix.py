@@ -21,10 +21,24 @@ from .utils import device_asarray, ensure_int, get_shape, values_to_numpy_buffer
 from .vector import Vector, _apply_dup
 
 
-class Matrix(InfixMixin, BaseType):
-    """A 2-D collection of ((row, col), value) entries over a dtype domain."""
+def _sparse_mod_limit():
+    from .sparse import _dense_limit
 
-    __slots__ = ()
+    return _dense_limit()
+
+
+class Matrix(InfixMixin, BaseType):
+    """A 2-D collection of ((row, col), value) entries over a dtype domain.
+
+    Two storage formats: dense-masked (values + struct device arrays — the
+    default below ``tx.config['dense_limit']`` cells) and sparse analyzed COO
+    (``core/sparse.SparseMatrixData`` — the scalable format, analogue of the
+    reference's CSR/hypersparse storage, core/ss/matrix.py:537+).  Sparse
+    matrices materialize dense arrays on demand (guarded by the limit); the
+    op layer dispatches mxv/vxm/reduce/apply/select sparsely first.
+    """
+
+    __slots__ = ("_sparse",)
     ndim = 2
     _output_type = None
 
@@ -37,6 +51,19 @@ class Matrix(InfixMixin, BaseType):
         self._dtype = _dt.lookup_dtype(dtype)
         nrows = ensure_int(nrows, "nrows")
         ncols = ensure_int(ncols, "ncols")
+        self._sparse = None
+        if not self._dtype._is_udt and nrows * ncols > _sparse_mod_limit():
+            from .sparse import SparseMatrixData
+
+            self._sparse = SparseMatrixData(
+                np.empty(0, np.int64),
+                np.empty(0, np.int64),
+                np.empty(0, self._dtype.np_type),
+                nrows,
+                ncols,
+            )
+            self.name = name
+            return
         if self._dtype._is_udt:
             # UDT storage is struct-of-arrays: one leaf array per field
             self._values = {
@@ -52,24 +79,110 @@ class Matrix(InfixMixin, BaseType):
     def _from_arrays(cls, values, struct, dtype, name=None):
         obj = cls.__new__(cls)
         obj._dtype = _dt.lookup_dtype(dtype)
+        obj._sparse = None
         obj._values = values
         obj._struct = struct
         obj.name = name
         return obj
 
+    @classmethod
+    def _from_sparse(cls, sp, dtype, name=None):
+        """Wrap a SparseMatrixData as a sparse-format Matrix."""
+        obj = cls.__new__(cls)
+        obj._dtype = _dt.lookup_dtype(dtype)
+        obj._sparse = sp
+        obj.name = name
+        return obj
+
+    def __getattr__(self, name):
+        # sparse-format matrices leave the dense slots unset; first dense
+        # touch materializes (guarded by tx.config['dense_limit'])
+        if name in ("_values", "_struct"):
+            try:
+                sp = BaseType.__getattribute__(self, "_sparse")
+            except AttributeError:
+                sp = None
+            if sp is not None:
+                v, s = sp.densify(self._dtype.np_type)
+                self._values = v
+                self._struct = s
+                self._sparse = None
+                return v if name == "_values" else s
+        raise AttributeError(name)
+
+    def _set_arrays(self, values, struct):
+        self._sparse = None
+        self._values = values
+        self._struct = struct
+
+    def _adopt_sparse(self, sp):
+        """Switch this Matrix to sparse storage (dropping dense arrays)."""
+        for slot in ("_values", "_struct"):
+            try:
+                delattr(self, slot)
+            except AttributeError:
+                pass
+        self._sparse = sp
+
     # -- introspection -----------------------------------------------------------
 
     @property
     def nrows(self):
-        return self._struct.shape[0]
+        sp = self._sparse
+        return sp.nrows if sp is not None else self._struct.shape[0]
 
     @property
     def ncols(self):
-        return self._struct.shape[1]
+        sp = self._sparse
+        return sp.ncols if sp is not None else self._struct.shape[1]
 
     @property
     def shape(self):
-        return self._struct.shape
+        sp = self._sparse
+        return (sp.nrows, sp.ncols) if sp is not None else self._struct.shape
+
+    @property
+    def nvals(self):
+        sp = self._sparse
+        if sp is not None:
+            return sp.nvals
+        return BaseType.nvals.fget(self)
+
+    def clear(self):
+        sp = self._sparse
+        if sp is not None:
+            self._adopt_sparse(
+                type(sp)(
+                    np.empty(0, np.int64),
+                    np.empty(0, np.int64),
+                    np.empty(0, sp.vals.dtype),
+                    sp.nrows,
+                    sp.ncols,
+                )
+            )
+            return
+        BaseType.clear(self)
+
+    def wait(self, how="materialize"):
+        if self._sparse is not None:
+            return self  # host-canonical storage has nothing pending
+        return BaseType.wait(self, how)
+
+    def isequal(self, other, *, check_dtype=False):
+        if self._sparse is not None or getattr(other, "_sparse", None) is not None:
+            other = self._expect_type(other, type(self), within="isequal", argname="other")
+            if check_dtype and self.dtype != other.dtype:
+                return False
+            if self.shape != other.shape:
+                return False
+            r1, c1, v1 = self.to_coo()
+            r2, c2, v2 = other.to_coo()
+            return (
+                np.array_equal(r1, r2)
+                and np.array_equal(c1, c2)
+                and np.array_equal(v1, v2)
+            )
+        return BaseType.isequal(self, other, check_dtype=check_dtype)
 
     @property
     def T(self):
@@ -87,6 +200,9 @@ class Matrix(InfixMixin, BaseType):
         return format_matrix_html(self)
 
     def __sizeof__(self):
+        sp = self._sparse
+        if sp is not None:
+            return object.__sizeof__(self) + sp.rows.nbytes + sp.cols.nbytes + sp.vals.nbytes
         vb = (
             sum(a.nbytes for a in self._values.values())
             if isinstance(self._values, dict)
@@ -94,11 +210,23 @@ class Matrix(InfixMixin, BaseType):
         )
         return object.__sizeof__(self) + vb + self._struct.nbytes
 
+    def _sparse_find(self, r, c):
+        """Index into sparse storage for entry (r, c), or -1 (host binary search)."""
+        sp = self._sparse
+        lo = np.searchsorted(sp.rows, r, "left")
+        hi = np.searchsorted(sp.rows, r, "right")
+        j = lo + np.searchsorted(sp.cols[lo:hi], c, "left")
+        if j < hi and sp.cols[j] == c:
+            return int(j)
+        return -1
+
     def __contains__(self, index):
         resolved = IndexerResolver(self, index)
         if not resolved.is_single_element:
             raise TypeError("`in` requires a single (row, col) index")
         r, c = resolved.indices
+        if self._sparse is not None:
+            return self._sparse_find(r.index, c.index) >= 0
         return bool(self._struct[r.index, c.index])
 
     def __iter__(self):
@@ -145,6 +273,11 @@ class Matrix(InfixMixin, BaseType):
             raise _exc.IndexOutOfBound(f"row index out of range for nrows {nrows}")
         if columns.size and ((columns < 0).any() or (columns >= ncols).any()):
             raise _exc.IndexOutOfBound(f"column index out of range for ncols {ncols}")
+        if not dtype._is_udt and nrows * ncols > _sparse_mod_limit():
+            from .sparse import SparseMatrixData
+
+            sp = SparseMatrixData.from_arrays(rows, columns, values, nrows, ncols, dup_op)
+            return cls._from_sparse(sp, dtype, name=name)
         flat = rows * ncols + columns
         if flat.size != np.unique(flat).size:
             flat, values = _apply_dup(flat, values, dup_op)
@@ -288,6 +421,18 @@ class Matrix(InfixMixin, BaseType):
     def to_coo(self, dtype=None, *, rows=True, columns=True, values=True, sort=True):
         """(rows, cols, values) numpy arrays, row-major sorted
         (reference: core/matrix.py:525)."""
+        sp = self._sparse
+        if sp is not None:
+            out_v = None
+            if values:
+                out_v = sp.vals.copy()
+                if dtype is not None:
+                    out_v = out_v.astype(_dt.lookup_dtype(dtype).np_type)
+            return (
+                sp.rows.astype(np.uint64) if rows else None,
+                sp.cols.astype(np.uint64) if columns else None,
+                out_v,
+            )
         struct = np.asarray(self._struct)
         r, c = np.nonzero(struct)
         out_r = r.astype(np.uint64) if rows else None
@@ -385,7 +530,10 @@ class Matrix(InfixMixin, BaseType):
         if not clear and self.nvals > 0:
             raise _exc.OutputNotEmpty("Matrix already contains values; use clear=True")
         new = Matrix.from_coo(rows, columns, values, self._dtype, nrows=nrows or self.nrows, ncols=ncols or self.ncols, dup_op=dup_op)
-        self._set_arrays(new._values, new._struct)
+        if new._sparse is not None:
+            self._adopt_sparse(new._sparse)
+        else:
+            self._set_arrays(new._values, new._struct)
 
     def dup(self, dtype=None, *, clear=False, mask=None, name=None, **opts):
         """Duplicate (reference: core/matrix.py:683)."""
@@ -394,6 +542,10 @@ class Matrix(InfixMixin, BaseType):
         dtype = _dt.lookup_dtype(dtype) if dtype is not None else self._dtype
         if clear:
             return Matrix(dtype, self.nrows, self.ncols, name=name)
+        if self._sparse is not None and mask is None:
+            sp = self._sparse
+            vals = sp.vals if dtype is self._dtype else sp.vals.astype(dtype.np_type)
+            return Matrix._from_sparse(sp.copy(vals=vals.copy()), dtype, name=name)
         if self._dtype._is_udt:
             if dtype != self._dtype:
                 raise TypeError("Cannot cast a UDT Matrix to another dtype in dup")
@@ -418,6 +570,13 @@ class Matrix(InfixMixin, BaseType):
 
         nrows = ensure_int(nrows, "nrows")
         ncols = ensure_int(ncols, "ncols")
+        if self._sparse is not None:
+            sp = self._sparse
+            keep = (sp.rows < nrows) & (sp.cols < ncols)
+            self._adopt_sparse(
+                type(sp)(sp.rows[keep], sp.cols[keep], sp.vals[keep], nrows, ncols)
+            )
+            return
         v, s = self._values, self._struct
         if nrows < self.nrows:
             v, s = _dmx.tmap(lambda a: a[:nrows], v), s[:nrows]
@@ -437,6 +596,9 @@ class Matrix(InfixMixin, BaseType):
         """Element or default (reference: core/matrix.py:791)."""
         resolved = IndexerResolver(self, (row, col))
         r, c = resolved.indices
+        if self._sparse is not None:
+            j = self._sparse_find(r.index, c.index)
+            return self._sparse.vals[j].item() if j >= 0 else default
         if bool(self._struct[r.index, c.index]):
             if self._dtype._is_udt:
                 out = np.zeros((), self._dtype.np_type)
@@ -448,6 +610,15 @@ class Matrix(InfixMixin, BaseType):
 
     def diag(self, k=0, dtype=None, *, name=None):
         """Extract diagonal k as a Vector (reference: core/matrix.py:720)."""
+        k = int(k)
+        if self._sparse is not None:
+            sp = self._sparse
+            diag_len = min(self.nrows - max(-k, 0), self.ncols - max(k, 0))
+            sel = (sp.cols - sp.rows) == k
+            idx = sp.rows[sel] - max(-k, 0)
+            dtype_r = _dt.lookup_dtype(dtype) if dtype is not None else self._dtype
+            vals = sp.vals[sel].astype(dtype_r.np_type)
+            return Vector.from_coo(idx, vals, dtype_r, size=diag_len, name=name)
         v, s = _dm.diag_extract(self._values, self._struct, int(k))
         dtype = _dt.lookup_dtype(dtype) if dtype is not None else self._dtype
         v = v.astype(dtype.np_type)
@@ -718,8 +889,16 @@ class TransposedMatrix:
         def compute():
             return _dm.transpose(m._values, m._struct)
 
+        sparse_compute = None
+        sp = getattr(m, "_sparse", None)
+        if sp is not None:
+
+            def sparse_compute():
+                # zero-copy-ish: index arrays shared, reordered views
+                return Matrix._from_sparse(sp.transposed(), m.dtype)
+
         return BaseExpression(
-            "transpose", Matrix, compute, dtype=m.dtype, shape=self.shape, args=(m,), opname="transpose"
+            "transpose", Matrix, compute, dtype=m.dtype, shape=self.shape, args=(m,), opname="transpose", sparse_compute=sparse_compute
         )
 
     # view delegates read-only API to a materialized copy on demand

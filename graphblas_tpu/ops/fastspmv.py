@@ -33,7 +33,18 @@ class SpmvPlan:
     Registered as a pytree: arrays travel as jit arguments.
     """
 
-    def __init__(self, n, e_pad, src_sorted, w_dst_order, indptr_src, indptr_dst, perm_plan, valid_dst_order):
+    def __init__(
+        self,
+        n,
+        e_pad,
+        src_sorted,
+        w_dst_order,
+        indptr_src,
+        indptr_dst,
+        perm_plan,
+        valid_dst_order,
+        src_dst_order=None,
+    ):
         self.n = n
         self.e_pad = e_pad
         self.src_sorted = src_sorted  # device: src of each edge in src-sorted order (int32)
@@ -42,13 +53,24 @@ class SpmvPlan:
         self.indptr_dst = indptr_dst  # device (n+1,) int32: dst segment boundaries
         self.perm_plan = perm_plan  # PermutePlan: src-order -> dst-order
         self.valid_dst_order = valid_dst_order  # device bool: real edge (in dst order)
+        # static src ids (f32) in dst order: the positional-mul channel
+        # (secondi/firstj contributions are the src vertex id — no expand needed)
+        self.src_dst_order = src_dst_order
 
 
 def _register_spmv_pytree():
     from jax.tree_util import register_pytree_node
 
     def flatten(p):
-        children = (p.src_sorted, p.w_dst_order, p.indptr_src, p.indptr_dst, p.perm_plan, p.valid_dst_order)
+        children = (
+            p.src_sorted,
+            p.w_dst_order,
+            p.indptr_src,
+            p.indptr_dst,
+            p.perm_plan,
+            p.valid_dst_order,
+            p.src_dst_order,
+        )
         return children, (p.n, p.e_pad)
 
     def unflatten(aux, children):
@@ -103,6 +125,7 @@ def build_spmv_plan(src, dst, w=None, *, n=None):
         jnp.asarray(indptr_dst),
         perm_plan,
         jnp.asarray(valid_p[order_dst]),
+        jnp.asarray(src_p[order_dst].astype(np.float32)),
     )
 
 
@@ -166,6 +189,8 @@ def save_spmv_plan(plan, path):
     }
     if plan.w_dst_order is not None:
         arrays["w_dst_order"] = np.asarray(plan.w_dst_order)
+    if plan.src_dst_order is not None:
+        arrays["src_dst_order"] = np.asarray(plan.src_dst_order)
     kinds = []
     for i, s in enumerate(plan.perm_plan.stages):
         if s[0] == "S":
@@ -204,6 +229,7 @@ def load_spmv_plan(path):
         jnp.asarray(data["indptr_dst"]),
         perm_plan,
         jnp.asarray(data["valid_dst_order"]),
+        jnp.asarray(data["src_dst_order"]) if "src_dst_order" in data else None,
     )
 
 
@@ -218,6 +244,55 @@ def _no_x64(fn):
             return fn(*args, **kwargs)
 
     return wrapper
+
+
+@functools.partial(jax.jit, static_argnames=("add", "mul", "x_full"))
+@_no_x64
+def spmv_masked(plan: SpmvPlan, x, xs, add="plus", mul="times", x_full=False):
+    """DSL-exact SpMV: like ``spmv`` but honors x's structure and returns
+    (values, struct).
+
+    y[d] = ADD over edges (s->d) with x[s] PRESENT of contrib; y has an entry
+    at d iff at least one such edge exists (GraphBLAS semantics — reference
+    GrB_mxv, core/matrix.py:2203).  The x-structure rides the same
+    expand/permute network as the values (an extra f32 channel) unless
+    ``x_full`` says it is statically all-present.  ``mul`` additionally
+    supports "secondi" (positional: contribution = src vertex id, a static
+    per-plan channel — the any_secondi parent-BFS semiring).
+    """
+    from .pallas_scan import segmented_scan, segmented_scan_contrib
+
+    interp = _interpret_scan()
+    ends = plan.indptr_dst[1:]
+    starts = plan.indptr_dst[:-1]
+    seg_start = jnp.zeros(plan.e_pad, bool).at[starts].set(True)
+    op = {"plus": "add", "min": "min", "max": "max", "any": "max"}[add]
+
+    if x_full:
+        validc = plan.valid_dst_order
+    else:
+        xse = _expand_src_sorted(xs.astype(jnp.float32), plan.indptr_src, plan.e_pad)
+        validc = plan.valid_dst_order & (apply_plan(xse, plan.perm_plan) > 0.5)
+
+    if mul == "secondi":
+        xe_dst = plan.src_dst_order
+        w = None
+        chan_mul = "first"
+    else:
+        xe = _expand_src_sorted(x, plan.indptr_src, plan.e_pad)
+        xe_dst = apply_plan(xe, plan.perm_plan)
+        w = plan.w_dst_order if mul in ("times", "plus", "second") else None
+        chan_mul = mul
+    scanned = segmented_scan_contrib(xe_dst, w, validc, seg_start, op, chan_mul, interpret=interp)
+    ident = _ident_of(scanned.dtype, "max" if add == "any" else add)
+    padded = jnp.concatenate([jnp.full((1,), ident, scanned.dtype), scanned])
+    yv = padded[ends]
+
+    # structure channel: any valid contribution per segment
+    cnt = segmented_scan(validc.astype(jnp.float32), seg_start, "add", interpret=interp)
+    cpad = jnp.concatenate([jnp.zeros((1,), jnp.float32), cnt])
+    ys = (cpad[ends] > 0) & (starts != ends)
+    return jnp.where(ys, yv, jnp.zeros((), yv.dtype)), ys
 
 
 @functools.partial(jax.jit, static_argnames=("add", "mul"))

@@ -22,6 +22,13 @@ config = Config(
         "platform": "auto",
         # print engine dispatch diagnostics (analogue of SuiteSparse burble)
         "burble": False,
+        # matrices above this many cells store as analyzed-COO sparse
+        # (analogue of SuiteSparse sparsity_control / hyper_switch)
+        "dense_limit": 1 << 24,
+        # hard guard: densifying a sparse matrix past this many cells raises
+        "densify_limit": 1 << 26,
+        # sparse mxv/vxm lowering: auto | plan (permutation network) | generic
+        "mxv_strategy": "auto",
         # accepted for compatibility; XLA owns threading
         "nthreads": 0,
         "chunk": 0,

@@ -23,11 +23,14 @@ class MatrixTx:
 
     @property
     def format(self):
-        return "densemasked"
+        return "coo" if self._parent._sparse is not None else "densemasked"
 
     @property
     def nbytes(self):
         p = self._parent
+        sp = p._sparse
+        if sp is not None:
+            return sp.rows.nbytes + sp.cols.nbytes + sp.vals.nbytes
         return p._values.nbytes + p._struct.nbytes
 
     @property

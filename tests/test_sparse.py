@@ -1,0 +1,230 @@
+"""Sparse (analyzed COO) Matrix format: differential tests vs the dense engine.
+
+The sparse container is the scalability analogue of the reference's
+CSR/hypersparse storage (reference: core/ss/matrix.py:537+, 2^60 index space
+graphblas/__init__.py:210-213).  Every op here runs twice — sparse format vs
+the dense-masked oracle — plus a plan-vs-generic axis for the permutation
+network SpMV engine.
+"""
+
+import numpy as np
+import pytest
+
+import graphblas_tpu as gb
+from graphblas_tpu import Matrix, Vector, binary, dtypes, semiring, tx, unary
+
+
+@pytest.fixture
+def graph(rng):
+    n, e = 45, 260
+    r = rng.integers(0, n, e).astype(np.int64)
+    c = rng.integers(0, n, e).astype(np.int64)
+    v = rng.random(e)
+    return n, r, c, v
+
+
+def _pair(r, c, v, n, dtype=None):
+    dense = Matrix.from_coo(r, c, v, dtype, nrows=n, ncols=n, dup_op=binary.plus)
+    with tx.config.set(dense_limit=0):
+        sparse = Matrix.from_coo(r, c, v, dtype, nrows=n, ncols=n, dup_op=binary.plus)
+    assert sparse.tx.format == "coo"
+    assert dense.tx.format == "densemasked"
+    return dense, sparse
+
+
+def _assert_same(a, b, rtol=1e-12):
+    assert a.shape == b.shape
+    ca = a.to_coo()
+    cb = b.to_coo()
+    for xa, xb in zip(ca[:-1], cb[:-1]):
+        np.testing.assert_array_equal(xa, xb)
+    np.testing.assert_allclose(ca[-1], cb[-1], rtol=rtol)
+
+
+def test_sparse_construction_and_exports(graph):
+    n, r, c, v = graph
+    Ad, As = _pair(r, c, v, n)
+    assert As.nvals == Ad.nvals
+    _assert_same(Ad, As)
+    # csr/csc/dicts exports agree
+    for meth in ["to_csr", "to_csc", "to_dcsr", "to_dcsc"]:
+        for xa, xb in zip(getattr(Ad, meth)(), getattr(As, meth)()):
+            np.testing.assert_array_equal(xa, xb)
+    assert Ad.to_dicts() == As.to_dicts()
+    # element access
+    assert (int(r[0]), int(c[0])) in As
+    assert As.get(int(r[0]), int(c[0])) == Ad.get(int(r[0]), int(c[0]))
+    assert As.get(0, 0, default=-1) == Ad.get(0, 0, default=-1)
+
+
+@pytest.mark.parametrize("srname", ["plus_times", "min_plus", "max_second", "plus_first"])
+def test_sparse_mxv_vxm_vs_dense(graph, rng, srname):
+    n, r, c, v = graph
+    Ad, As = _pair(r, c, v, n)
+    xs = rng.random(n) < 0.75
+    x = Vector.from_coo(np.flatnonzero(xs), rng.random(int(xs.sum())), size=n)
+    sr = getattr(semiring, srname)
+    _assert_same(Ad.mxv(x, sr).new(), As.mxv(x, sr).new())
+    _assert_same(x.vxm(Ad, sr).new(), x.vxm(As, sr).new())
+    _assert_same(Ad.T.mxv(x, sr).new(), As.T.mxv(x, sr).new())
+    _assert_same(x.vxm(Ad.T, sr).new(), x.vxm(As.T, sr).new())
+
+
+def test_sparse_mxv_masked_update(graph, rng):
+    # the flagship statement: C(mask) << A.mxv(v) on sparse A
+    n, r, c, v = graph
+    Ad, As = _pair(r, c, v, n)
+    x = Vector.from_dense(rng.random(n))
+    m = Vector.from_coo(np.flatnonzero(rng.random(n) < 0.5), True, size=n)
+    out_d = Vector(dtypes.FP64, n)
+    out_s = Vector(dtypes.FP64, n)
+    out_d(m.S) << Ad.mxv(x, semiring.plus_times)
+    out_s(m.S) << As.mxv(x, semiring.plus_times)
+    _assert_same(out_d, out_s)
+    out_d(m.S, binary.plus) << Ad.mxv(x, semiring.min_plus)
+    out_s(m.S, binary.plus) << As.mxv(x, semiring.min_plus)
+    _assert_same(out_d, out_s)
+
+
+@pytest.mark.parametrize("srname", ["plus_times", "min_plus", "max_first", "plus_second", "plus_pair", "any_secondi"])
+def test_plan_vs_generic(graph, rng, srname):
+    n, r, c, v = graph
+    with tx.config.set(dense_limit=0):
+        As = Matrix.from_coo(
+            r, c, v.astype(np.float32), dtypes.FP32, nrows=n, ncols=n, dup_op=binary.plus
+        )
+    xs = rng.random(n) < 0.7
+    x = Vector.from_coo(
+        np.flatnonzero(xs), rng.random(int(xs.sum())).astype(np.float32), dtypes.FP32, size=n
+    )
+    sr = getattr(semiring, srname)
+    with tx.config.set(mxv_strategy="generic"):
+        g = As.mxv(x, sr).new()
+        gv = x.vxm(As, sr).new()
+    with tx.config.set(mxv_strategy="plan"):
+        p = As.mxv(x, sr).new()
+        pv = x.vxm(As, sr).new()
+    for a, b in [(g, p), (gv, pv)]:
+        ia, va = a.to_coo()
+        ib, vb = b.to_coo()
+        np.testing.assert_array_equal(ia, ib)
+        if srname != "any_secondi":  # 'any' may pick different members
+            np.testing.assert_allclose(va, vb, rtol=1e-5)
+
+
+def test_sparse_reduce(graph):
+    n, r, c, v = graph
+    Ad, As = _pair(r, c, v, n)
+    for op in ["plus", "min", "max", "times"]:
+        _assert_same(Ad.reduce_rowwise(op).new(), As.reduce_rowwise(op).new())
+        _assert_same(Ad.reduce_columnwise(op).new(), As.reduce_columnwise(op).new())
+        sd = Ad.reduce_scalar(op).new()
+        ss = As.reduce_scalar(op).new()
+        np.testing.assert_allclose(float(sd.value), float(ss.value), rtol=1e-12)
+
+
+def test_sparse_apply_select_transpose(graph):
+    n, r, c, v = graph
+    Ad, As = _pair(r, c, v, n)
+    for expr_fn in [
+        lambda A: A.apply(unary.sqrt),
+        lambda A: A.apply(binary.plus, right=2.5),
+        lambda A: A.apply(binary.minus, left=10.0),
+        lambda A: A.apply(gb.indexunary.rowindex),
+        lambda A: A.select("value > 0.6"),
+        lambda A: A.select("triu"),
+        lambda A: A.select("tril", -1),
+    ]:
+        rd = expr_fn(Ad).new()
+        rs = expr_fn(As).new()
+        assert rs.tx.format == "coo", "sparse input must give sparse output"
+        _assert_same(rd, rs)
+    _assert_same(Ad.T.new(), As.T.new())
+    assert As.T.new().tx.format == "coo"
+
+
+def test_sparse_dup_pickle_resize_clear(graph):
+    import pickle
+
+    n, r, c, v = graph
+    Ad, As = _pair(r, c, v, n)
+    d = As.dup()
+    assert d.isequal(As) and d.tx.format == "coo"
+    assert pickle.loads(pickle.dumps(As)).isequal(As)
+    As2 = As.dup()
+    As2.resize(20, 30)
+    Ad2 = Ad.dup()
+    Ad2.resize(20, 30)
+    _assert_same(Ad2, As2)
+    As2.clear()
+    assert As2.nvals == 0 and As2.shape == (20, 30)
+    # diag
+    _assert_same(Ad.diag(1).new() if hasattr(Ad.diag(1), "new") else Ad.diag(1), As.diag(1))
+
+
+def test_sparse_huge_dimensions():
+    # index space far past any dense allocation (reference: 2^60 dims)
+    big = 1 << 40
+    H = Matrix.from_coo([0, big - 1, 12345], [big - 1, 0, 12345], [1.0, 2.0, 3.5], nrows=big, ncols=big)
+    assert H.tx.format == "coo"
+    assert H.nvals == 3
+    assert H.shape == (big, big)
+    assert H.get(12345, 12345) == 3.5
+    sel = H.select("value > 1.5").new()
+    assert sel.nvals == 2
+    t = H.T.new()
+    assert t.get(big - 1, 0) == 1.0
+    s = H.reduce_scalar("plus").new()
+    assert float(s.value) == 6.5
+    app = H.apply(unary.ainv).new()
+    assert app.get(12345, 12345) == -3.5
+    # densify is refused with a clear error
+    with pytest.raises(gb.exceptions.OutOfMemory):
+        _ = H._values
+
+
+def test_sparse_dup_combination(rng):
+    # duplicate edges combine per dup_op in sparse construction
+    r = np.array([0, 0, 1, 0])
+    c = np.array([1, 1, 2, 1])
+    v = np.array([1.0, 2.0, 5.0, 4.0])
+    with tx.config.set(dense_limit=0):
+        A = Matrix.from_coo(r, c, v, nrows=3, ncols=3, dup_op=binary.plus)
+        assert A.to_dicts() == {0: {1: 7.0}, 1: {2: 5.0}}
+        B = Matrix.from_coo(r, c, v, nrows=3, ncols=3, dup_op=binary.max)
+        assert B.to_dicts() == {0: {1: 4.0}, 1: {2: 5.0}}
+        C = Matrix.from_coo(r, c, v, nrows=3, ncols=3, dup_op=binary.first)
+        assert C.to_dicts() == {0: {1: 1.0}, 1: {2: 5.0}}
+        with pytest.raises(ValueError, match="[Dd]uplicate"):
+            Matrix.from_coo(r, c, v, nrows=3, ncols=3)
+
+
+def test_sparse_pagerank_dsl_matches_model(rng):
+    # the DSL PageRank loop over a sparse matrix matches the dense-DSL result
+    n, e = 60, 400
+    r = rng.integers(0, n, e)
+    c = rng.integers(0, n, e)
+    dense = Matrix.from_coo(r, c, 1.0, nrows=n, ncols=n, dup_op=binary.first)
+    with tx.config.set(dense_limit=0):
+        sparse = Matrix.from_coo(r, c, 1.0, nrows=n, ncols=n, dup_op=binary.first)
+
+    def pagerank(A, iters=15, damping=0.85):
+        outdeg = A.reduce_rowwise("plus").new(dtypes.FP64)
+        rank = Vector.from_dense(np.full(n, 1.0 / n))
+        contrib = Vector(dtypes.FP64, n)
+        for _ in range(iters):
+            contrib << rank.ewise_mult(outdeg.apply(unary.minv), binary.times)
+            pulled = contrib.vxm(A, semiring.plus_first).new()
+            dangling = float(rank.reduce("plus").new().value) - float(
+                contrib.ewise_mult(outdeg, binary.times).reduce("plus").new().value
+            )
+            rank << pulled.apply(binary.times, right=damping).apply(
+                binary.plus, right=(1.0 - damping) / n + damping * dangling / n
+            )
+        return rank
+
+    rd = pagerank(dense)
+    rs = pagerank(sparse)
+    np.testing.assert_allclose(
+        np.asarray(rs._values), np.asarray(rd._values), rtol=1e-9
+    )
