@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fastspmv import SpmvPlan, build_spmv_plan, spmv
+from ..ops.fastspmv import SpmvPlan, build_spmv_plan, spmv, spmv_masked
 
 _BIG = jnp.float32(3.4e38) / 4
 
@@ -70,25 +70,26 @@ def bfs_level(plan, source, n):
 @functools.partial(jax.jit, static_argnames=("n",))
 @_no_x64
 def _bfs_parent_loop(plan, source, n):
+    """True any_secondi parent BFS (reference recipe: notebooks/Example B.3):
+    the per-edge contribution is the static src-id channel of the plan; the
+    frontier rides the validity channel, so each level is ONE masked SpMV."""
     source = jnp.asarray(source, jnp.int32)
     parents0 = jnp.full((n,), -1, jnp.int32).at[source].set(source)
-    x0 = jnp.full((n,), -_BIG, jnp.float32).at[source].set(jnp.float32(source))
+    frontier0 = jnp.zeros((n,), bool).at[source].set(True)
+    dummy_x = jnp.zeros((n,), jnp.float32)  # secondi ignores the value channel
 
     def cond(state):
-        _, x, depth = state
-        return (x.max() > -_BIG / 2) & (depth < n)
-
-    ids = jnp.arange(n, dtype=jnp.float32)
+        _, frontier, depth = state
+        return frontier.any() & (depth < n)
 
     def body(state):
-        parents, x, depth = state
-        cand = spmv(plan, x, "max", "first")  # max frontier source id per dst
-        nxt = (cand > -_BIG / 2) & (parents < 0)
+        parents, frontier, depth = state
+        cand, reached = spmv_masked(plan, dummy_x, frontier, add="any", mul="secondi")
+        nxt = reached & (parents < 0)
         parents = jnp.where(nxt, cand.astype(jnp.int32), parents)
-        x = jnp.where(nxt, ids, -_BIG)
-        return parents, x, depth + 1
+        return parents, nxt, depth + 1
 
-    parents, _, _ = jax.lax.while_loop(cond, body, (parents0, x0, jnp.int32(0)))
+    parents, _, _ = jax.lax.while_loop(cond, body, (parents0, frontier0, jnp.int32(0)))
     return parents
 
 
@@ -121,12 +122,23 @@ def sssp(plan, source, n):
     return _sssp_loop(plan, int(source), n)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "max_iters"))
+@functools.partial(jax.jit, static_argnames=("n", "max_iters", "tol"))
 @_no_x64
 def _pagerank_loop(plan, outdeg, n, damping, tol, max_iters):
     r0 = jnp.full((n,), 1.0 / n, jnp.float32)
     safe_deg = jnp.where(outdeg > 0, outdeg, 1).astype(jnp.float32)
     dangling = outdeg == 0
+
+    def step(r):
+        pulled = spmv(plan, r / safe_deg, "plus", "first")
+        dangling_mass = jnp.sum(jnp.where(dangling, r, 0.0))
+        return (1.0 - damping) / n + damping * (pulled + dangling_mass / n)
+
+    if float(tol) <= 0.0:
+        # fixed-iteration benchmark mode: fori_loop has no data-dependent
+        # condition, so iterations pipeline without a per-step barrier
+        r = jax.lax.fori_loop(0, max_iters, lambda i, r: step(r), r0)
+        return r, jnp.int32(max_iters)
 
     def cond(state):
         _, delta, it = state
@@ -134,9 +146,7 @@ def _pagerank_loop(plan, outdeg, n, damping, tol, max_iters):
 
     def body(state):
         r, _, it = state
-        pulled = spmv(plan, r / safe_deg, "plus", "first")
-        dangling_mass = jnp.sum(jnp.where(dangling, r, 0.0))
-        new_r = (1.0 - damping) / n + damping * (pulled + dangling_mass / n)
+        new_r = step(r)
         delta = jnp.sum(jnp.abs(new_r - r))
         return new_r, delta, it + 1
 
@@ -145,5 +155,5 @@ def _pagerank_loop(plan, outdeg, n, damping, tol, max_iters):
 
 
 def pagerank(plan, outdeg, n, *, damping=0.85, tol=1e-6, max_iters=100):
-    r, _ = _pagerank_loop(plan, outdeg, n, jnp.float32(damping), jnp.float32(tol), int(max_iters))
+    r, _ = _pagerank_loop(plan, outdeg, n, jnp.float32(damping), float(tol), int(max_iters))
     return r

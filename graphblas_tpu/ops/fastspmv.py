@@ -44,6 +44,11 @@ class SpmvPlan:
         perm_plan,
         valid_dst_order,
         src_dst_order=None,
+        place_plan=None,
+        collect_plan=None,
+        seg_start_src=None,
+        seg_start_dst=None,
+        dst_nonempty=None,
     ):
         self.n = n
         self.e_pad = e_pad
@@ -56,6 +61,16 @@ class SpmvPlan:
         # static src ids (f32) in dst order: the positional-mul channel
         # (secondi/firstj contributions are the src vertex id — no expand needed)
         self.src_dst_order = src_dst_order
+        # -- v2 (gather/scatter-free endpoints; profiled: the n-sized XLA
+        # scatter (expand) and gather (ends pick) cost ~7 of 8 ms/SpMV at
+        # scale 19, while an 11-stage permutation pass costs 0.42 ms) --------
+        # place: network putting x[i] at src-segment-start slots
+        self.place_plan = place_plan
+        # collect: network bringing each dst segment's last slot to position d
+        self.collect_plan = collect_plan
+        self.seg_start_src = seg_start_src  # device bool (e_pad,)
+        self.seg_start_dst = seg_start_dst  # device bool (e_pad,)
+        self.dst_nonempty = dst_nonempty  # device bool (n,): >=1 VALID in-edge
 
 
 def _register_spmv_pytree():
@@ -70,6 +85,11 @@ def _register_spmv_pytree():
             p.perm_plan,
             p.valid_dst_order,
             p.src_dst_order,
+            p.place_plan,
+            p.collect_plan,
+            p.seg_start_src,
+            p.seg_start_dst,
+            p.dst_nonempty,
         )
         return children, (p.n, p.e_pad)
 
@@ -82,14 +102,30 @@ def _register_spmv_pytree():
 _register_spmv_pytree()
 
 
-def build_spmv_plan(src, dst, w=None, *, n=None):
-    """Analyze a COO graph into an SpmvPlan (host-side, once per graph)."""
+def _complete_permutation(partial, e_pad):
+    """Fill -1 targets of a partial routing with the unused sources."""
+    used = np.zeros(e_pad, bool)
+    assigned = partial >= 0
+    used[partial[assigned]] = True
+    partial[~assigned] = np.flatnonzero(~used)
+    return partial
+
+
+def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True):
+    """Analyze a COO graph into an SpmvPlan (host-side, once per graph).
+
+    ``endpoints=True`` additionally builds the place/collect networks that
+    make the runtime SpMV completely gather/scatter-free (both the expand
+    scatter and the segment-ends gather are n-sized XLA ops that dominate
+    the pipeline otherwise).
+    """
     src = np.asarray(src, np.int32)
     dst = np.asarray(dst, np.int32)
     e = len(src)
     if n is None:
         n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
-    e_pad = padded_size(e)
+    # the place/collect endpoints embed n-vectors in the edge space
+    e_pad = padded_size(max(e, n))
     # pad with edges (n-1 -> n-1) marked invalid; they sort to the end-ish but
     # validity masks them out of the reduce
     pad = e_pad - e
@@ -116,6 +152,31 @@ def build_spmv_plan(src, dst, w=None, *, n=None):
     counts_dst = np.bincount(dst_p, minlength=n)
     indptr_dst = np.concatenate([[0], np.cumsum(counts_dst)]).astype(np.int32)
 
+    place_plan = collect_plan = None
+    seg_start_src = seg_start_dst = dst_nonempty = None
+    if endpoints:
+        starts_src = indptr_src[:-1].astype(np.int64)
+        ne_src = counts_src > 0
+        # place: out[start slot of src i] = x[i]; filler elsewhere (fill-scan
+        # only reads flagged slots, so filler values never surface)
+        perm0 = np.full(e_pad, -1, np.int64)
+        perm0[starts_src[ne_src]] = np.flatnonzero(ne_src)
+        place_plan = build_permutation_plan(_complete_permutation(perm0, e_pad), validate=False)
+        ssrc = np.zeros(e_pad, bool)
+        ssrc[starts_src[ne_src]] = True
+        seg_start_src = ssrc
+        # collect: out[d] = scanned[last slot of dst segment d]; empty dst
+        # positions read filler slots and are masked by dst_nonempty
+        ne_dst = counts_dst > 0
+        perm2 = np.full(e_pad, -1, np.int64)
+        perm2[np.flatnonzero(ne_dst)] = indptr_dst[1:].astype(np.int64)[ne_dst] - 1
+        collect_plan = build_permutation_plan(_complete_permutation(perm2, e_pad), validate=False)
+        sdst = np.zeros(e_pad, bool)
+        sdst[indptr_dst[:-1].astype(np.int64)[ne_dst]] = True
+        seg_start_dst = sdst
+        # valid-edge in-degree (pad edges at n-1 must not count)
+        dst_nonempty = np.bincount(dst, minlength=n) > 0
+
     return SpmvPlan(
         n,
         e_pad,
@@ -126,11 +187,36 @@ def build_spmv_plan(src, dst, w=None, *, n=None):
         perm_plan,
         jnp.asarray(valid_p[order_dst]),
         jnp.asarray(src_p[order_dst].astype(np.float32)),
+        place_plan,
+        collect_plan,
+        jnp.asarray(seg_start_src) if seg_start_src is not None else None,
+        jnp.asarray(seg_start_dst) if seg_start_dst is not None else None,
+        jnp.asarray(dst_nonempty) if dst_nonempty is not None else None,
     )
 
 
 def _interpret_scan():
     return jax.default_backend() != "tpu"
+
+
+def _expand_v2(x, plan):
+    """x (n,) -> x[src] in src-sorted order with NO scatter: embed x in the
+    edge space, route it to segment starts with the static place network,
+    then segmented forward-fill."""
+    from .pallas_scan import segmented_scan
+
+    pad = plan.e_pad - x.shape[0]
+    x_emb = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
+    placed = apply_plan(x_emb, plan.place_plan)
+    return segmented_scan(placed, plan.seg_start_src, "fill", interpret=_interpret_scan())
+
+
+def _collect_v2(scanned, plan, ident):
+    """Segment totals -> y (n,) with NO gather: the static collect network
+    brings each dst segment's last (inclusive-scan = total) slot to position
+    d; empty destinations are masked to the identity."""
+    collected = apply_plan(scanned, plan.collect_plan)
+    return jnp.where(plan.dst_nonempty, collected[: plan.n], ident)
 
 
 def _expand_src_sorted(x, indptr_src, e_pad):
@@ -177,6 +263,37 @@ def _ident_of(dtype, kind):
     return np.asarray(info.max if kind == "min" else info.min, dtype)[()]
 
 
+def _pack_network(arrays, plan, prefix):
+    kinds = []
+    for i, s in enumerate(plan.stages):
+        if s[0] == "S":
+            kinds.append("S")
+            arrays[f"{prefix}stage{i}"] = np.asarray(s[1])
+        elif s[0] == "T":
+            kinds.append(f"T{s[1]}")
+        else:
+            kinds.append(f"R{s[2]}")
+            arrays[f"{prefix}stage{i}"] = np.asarray(s[1])
+    arrays[f"{prefix}kinds"] = np.asarray(kinds)
+
+
+def _unpack_network(data, prefix, e_pad):
+    import jax.numpy as jnp
+
+    if f"{prefix}kinds" not in data:
+        return None
+    stages = []
+    for i, kind in enumerate(data[f"{prefix}kinds"]):
+        kind = str(kind)
+        if kind == "S":
+            stages.append(("S", jnp.asarray(data[f"{prefix}stage{i}"])))
+        elif kind.startswith("T"):
+            stages.append(("T", int(kind[1:])))
+        else:
+            stages.append(("ROWSEL", jnp.asarray(data[f"{prefix}stage{i}"]), int(kind[1:])))
+    return PermutePlan(e_pad, stages)
+
+
 def save_spmv_plan(plan, path):
     """Serialize an SpmvPlan (host-side plan cache; the pattern-analysis
     result is reusable across processes)."""
@@ -191,17 +308,13 @@ def save_spmv_plan(plan, path):
         arrays["w_dst_order"] = np.asarray(plan.w_dst_order)
     if plan.src_dst_order is not None:
         arrays["src_dst_order"] = np.asarray(plan.src_dst_order)
-    kinds = []
-    for i, s in enumerate(plan.perm_plan.stages):
-        if s[0] == "S":
-            kinds.append("S")
-            arrays[f"stage{i}"] = np.asarray(s[1])
-        elif s[0] == "T":
-            kinds.append(f"T{s[1]}")
-        else:
-            kinds.append(f"R{s[2]}")
-            arrays[f"stage{i}"] = np.asarray(s[1])
-    arrays["kinds"] = np.asarray(kinds)
+    _pack_network(arrays, plan.perm_plan, "")
+    if plan.place_plan is not None:
+        _pack_network(arrays, plan.place_plan, "p0_")
+        _pack_network(arrays, plan.collect_plan, "p2_")
+        arrays["seg_start_src"] = np.asarray(plan.seg_start_src)
+        arrays["seg_start_dst"] = np.asarray(plan.seg_start_dst)
+        arrays["dst_nonempty"] = np.asarray(plan.dst_nonempty)
     np.savez(path, **arrays)
 
 
@@ -210,16 +323,7 @@ def load_spmv_plan(path):
 
     data = np.load(path, allow_pickle=False)
     n, e_pad = (int(v) for v in data["meta"])
-    stages = []
-    for i, kind in enumerate(data["kinds"]):
-        kind = str(kind)
-        if kind == "S":
-            stages.append(("S", jnp.asarray(data[f"stage{i}"])))
-        elif kind.startswith("T"):
-            stages.append(("T", int(kind[1:])))
-        else:
-            stages.append(("ROWSEL", jnp.asarray(data[f"stage{i}"]), int(kind[1:])))
-    perm_plan = PermutePlan(e_pad, stages)
+    perm_plan = _unpack_network(data, "", e_pad)
     return SpmvPlan(
         n,
         e_pad,
@@ -230,6 +334,11 @@ def load_spmv_plan(path):
         perm_plan,
         jnp.asarray(data["valid_dst_order"]),
         jnp.asarray(data["src_dst_order"]) if "src_dst_order" in data else None,
+        _unpack_network(data, "p0_", e_pad),
+        _unpack_network(data, "p2_", e_pad),
+        jnp.asarray(data["seg_start_src"]) if "seg_start_src" in data else None,
+        jnp.asarray(data["seg_start_dst"]) if "seg_start_dst" in data else None,
+        jnp.asarray(data["dst_nonempty"]) if "dst_nonempty" in data else None,
     )
 
 
@@ -263,35 +372,51 @@ def spmv_masked(plan: SpmvPlan, x, xs, add="plus", mul="times", x_full=False):
     from .pallas_scan import segmented_scan, segmented_scan_contrib
 
     interp = _interpret_scan()
-    ends = plan.indptr_dst[1:]
-    starts = plan.indptr_dst[:-1]
-    seg_start = jnp.zeros(plan.e_pad, bool).at[starts].set(True)
+    v2 = plan.place_plan is not None
     op = {"plus": "add", "min": "min", "max": "max", "any": "max"}[add]
+    if v2:
+        seg_start = plan.seg_start_dst
+    else:
+        starts = plan.indptr_dst[:-1]
+        ends = plan.indptr_dst[1:]
+        seg_start = jnp.zeros(plan.e_pad, bool).at[starts].set(True)
+
+    def expand(v):
+        if v2:
+            return apply_plan(_expand_v2(v, plan), plan.perm_plan)
+        return apply_plan(
+            _expand_src_sorted(v, plan.indptr_src, plan.e_pad), plan.perm_plan
+        )
 
     if x_full:
         validc = plan.valid_dst_order
     else:
-        xse = _expand_src_sorted(xs.astype(jnp.float32), plan.indptr_src, plan.e_pad)
-        validc = plan.valid_dst_order & (apply_plan(xse, plan.perm_plan) > 0.5)
+        validc = plan.valid_dst_order & (expand(xs.astype(jnp.float32)) > 0.5)
 
     if mul == "secondi":
         xe_dst = plan.src_dst_order
         w = None
         chan_mul = "first"
     else:
-        xe = _expand_src_sorted(x, plan.indptr_src, plan.e_pad)
-        xe_dst = apply_plan(xe, plan.perm_plan)
+        xe_dst = expand(x)
         w = plan.w_dst_order if mul in ("times", "plus", "second") else None
         chan_mul = mul
     scanned = segmented_scan_contrib(xe_dst, w, validc, seg_start, op, chan_mul, interpret=interp)
     ident = _ident_of(scanned.dtype, "max" if add == "any" else add)
-    padded = jnp.concatenate([jnp.full((1,), ident, scanned.dtype), scanned])
-    yv = padded[ends]
 
-    # structure channel: any valid contribution per segment
-    cnt = segmented_scan(validc.astype(jnp.float32), seg_start, "add", interpret=interp)
-    cpad = jnp.concatenate([jnp.zeros((1,), jnp.float32), cnt])
-    ys = (cpad[ends] > 0) & (starts != ends)
+    if v2:
+        if x_full:
+            ys = plan.dst_nonempty
+        else:
+            cnt = segmented_scan(validc.astype(jnp.float32), seg_start, "add", interpret=interp)
+            ys = plan.dst_nonempty & (_collect_v2(cnt, plan, jnp.float32(0)) > 0)
+        yv = _collect_v2(scanned, plan, ident)
+    else:
+        padded = jnp.concatenate([jnp.full((1,), ident, scanned.dtype), scanned])
+        yv = padded[ends]
+        cnt = segmented_scan(validc.astype(jnp.float32), seg_start, "add", interpret=interp)
+        cpad = jnp.concatenate([jnp.zeros((1,), jnp.float32), cnt])
+        ys = (cpad[ends] > 0) & (starts != ends)
     return jnp.where(ys, yv, jnp.zeros((), yv.dtype)), ys
 
 
@@ -304,17 +429,24 @@ def spmv(plan: SpmvPlan, x, add="plus", mul="times"):
     scan run as ONE fused Pallas kernel."""
     from .pallas_scan import segmented_scan_contrib
 
-    xe = _expand_src_sorted(x, plan.indptr_src, plan.e_pad)
+    v2 = plan.place_plan is not None
+    if v2:
+        xe = _expand_v2(x, plan)
+        seg_start = plan.seg_start_dst
+    else:
+        xe = _expand_src_sorted(x, plan.indptr_src, plan.e_pad)
+        ends = plan.indptr_dst[1:]
+        starts = plan.indptr_dst[:-1]
+        seg_start = jnp.zeros(plan.e_pad, bool).at[starts].set(True)
     xe_dst = apply_plan(xe, plan.perm_plan)
     w = plan.w_dst_order if mul in ("times", "plus", "second") else None
-    ends = plan.indptr_dst[1:]
-    starts = plan.indptr_dst[:-1]
-    seg_start = jnp.zeros(plan.e_pad, bool).at[starts].set(True)
     op = {"plus": "add", "min": "min", "max": "max"}[add]
     scanned = segmented_scan_contrib(
         xe_dst, w, plan.valid_dst_order, seg_start, op, mul, interpret=_interpret_scan()
     )
     ident = _ident_of(scanned.dtype, add)
+    if v2:
+        return _collect_v2(scanned, plan, ident)
     padded = jnp.concatenate([jnp.full((1,), ident, scanned.dtype), scanned])
     out = padded[ends]
     return jnp.where(starts == ends, ident, out)
