@@ -80,34 +80,58 @@ def main():
     def _force(x):
         return float(jnp.sum(x.astype(jnp.float32)))
 
+    # Measurement floor: one program dispatch + host-read over the tunnel
+    # costs ~30 ms regardless of work (measured: a fori_loop body's total
+    # time is constant in the iteration count until work dominates).  It is
+    # RPC latency, not device time — subtract it and amortize over many
+    # kernel executions, GAP-style.
+    tick = jax.jit(lambda v: v + 1.0)
+    probe = jnp.ones((8,), jnp.float32)
+    _force(tick(probe))
+    floors = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _force(tick(probe))
+        floors.append(time.perf_counter() - t0)
+    floor = sorted(floors)[2]
+
+    def measure(fn, m):
+        """median-of-3 of (walltime - dispatch floor) / m work units."""
+        _force(fn())  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _force(fn())
+            ts.append(time.perf_counter() - t0)
+        return max(sorted(ts)[1] - floor, 1e-9) / m
+
     # ---- PageRank (primary: GTEPS per plus_times mxv iteration) ----------
-    iters = 20
-    r = mf.pagerank(plan, outdeg, n, max_iters=iters, tol=0.0)  # compile+warm
-    _force(r)
-    t0 = time.perf_counter()
-    r = mf.pagerank(plan, outdeg, n, max_iters=iters, tol=0.0)
-    _force(r)
-    pr_time = (time.perf_counter() - t0) / iters
+    iters = 50
+    pr_time = measure(lambda: mf.pagerank(plan, outdeg, n, max_iters=iters, tol=0.0), iters)
     pr_gteps = e / pr_time / 1e9
 
-    # ---- BFS (3 sources amortize the host-sync overhead) -------------------
-    levels = mf.bfs_level(plan, sources[0], n)
-    _force(levels)
-    t0 = time.perf_counter()
-    for src_node in sources[1:4]:
-        levels = mf.bfs_level(plan, src_node, n)
-    _force(levels)
-    bfs_time = (time.perf_counter() - t0) / 3
+    # ---- BFS (many sources; async dispatch chains on-device) --------------
+    nbfs = 8
+    bfs_sources = sources[:4] * 2
+
+    def run_bfs():
+        for src_node in bfs_sources[:-1]:
+            mf.bfs_level(plan, src_node, n)
+        return mf.bfs_level(plan, bfs_sources[-1], n)
+
+    bfs_time = measure(run_bfs, nbfs)
     bfs_gteps = e / bfs_time / 1e9
-    nlevels = int(np.asarray(levels).max())
+    nlevels = int(np.asarray(mf.bfs_level(plan, sources[0], n)).max())
 
     # ---- SSSP -------------------------------------------------------------
-    d = mf.sssp(plan, sources[0], n)
-    _force(d)
-    t0 = time.perf_counter()
-    d = mf.sssp(plan, sources[1], n)
-    _force(d)
-    sssp_time = time.perf_counter() - t0
+    nsssp = 3
+
+    def run_sssp():
+        for src_node in sources[: nsssp - 1]:
+            mf.sssp(plan, src_node, n)
+        return mf.sssp(plan, sources[nsssp - 1], n)
+
+    sssp_time = measure(run_sssp, nsssp)
     sssp_gteps = e / sssp_time / 1e9
 
     result = {
@@ -126,6 +150,7 @@ def main():
             "pagerank_iter_ms": round(pr_time * 1e3, 2),
             "bfs_ms": round(bfs_time * 1e3, 2),
             "sssp_ms": round(sssp_time * 1e3, 2),
+            "dispatch_floor_ms": round(floor * 1e3, 2),
         },
     }
     print(json.dumps(result))

@@ -22,7 +22,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BLK = 1024  # rows per tile (1024 x 128 x 4B x ~4 arrays ~ 2 MB VMEM)
+import os
+
+_BLK = int(os.environ.get("GRAPHBLAS_SCAN_BLK", "1024"))  # rows per tile
 
 
 def _combine(op, av, af, bv, bf):
