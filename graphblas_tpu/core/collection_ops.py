@@ -21,6 +21,15 @@ def _arrays_of(obj):
     return obj._values, obj._struct
 
 
+def _mesh_context():
+    """The engaged parallel.Context, if any (thread-local stack)."""
+    try:
+        from ..parallel import current_context
+    except ImportError:  # pragma: no cover
+        return None
+    return current_context()
+
+
 def _sparse_of(obj):
     """(SparseMatrixData, is_transposed) for sparse-format operands, else (None, False)."""
     from .matrix import TransposedMatrix
@@ -466,6 +475,30 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
         bv, bs = _arrays_of(b)
         av = _cast_values(av, sr.binaryop.type_.np_type, a.dtype)
         bv = _cast_values(bv, sr.binaryop.type2.np_type, b.dtype)
+        # inside an engaged mesh Context, dense matrix products run SUMMA
+        # over the mesh collectives (reference Context semantics:
+        # core/ss/context.py:19-151 scope resources; here the resource is
+        # the device mesh — SURVEY §2.2 north star)
+        ctx = _mesh_context()
+        if (
+            ctx is not None
+            and not isinstance(av, dict)
+            and not isinstance(bv, dict)
+            and not (a_is_vec and b_is_vec)
+        ):
+            from ..parallel.summa import summa_mxm_arrays, summa_mxv_arrays
+
+            if not a_is_vec and not b_is_vec:
+                return summa_mxm_arrays(av, as_, bv, bs, sr, sr.return_type, ctx.mesh)
+            if b_is_vec:
+                return summa_mxv_arrays(av, as_, bv, bs, sr, sr.return_type, ctx.mesh)
+            # vxm: run as mxv of B^T — exact only for commutative multiplies
+            mul_parent = sr.binaryop.parent
+            if (
+                getattr(mul_parent, "commutes_to", None) is mul_parent
+                and sr.binaryop.positional is None
+            ):
+                return summa_mxv_arrays(bv.T, bs.T, av, as_, sr, sr.return_type, ctx.mesh)
         if a_is_vec and b_is_vec:
             cv, cs = _dm.vxm(
                 av, as_, _dm.tmap(lambda x: x[:, None], bv), bs[:, None], sr, sr.return_type,

@@ -9,7 +9,13 @@ over ICI collectives (see ``summa``), and masks/vectors co-shard.
 
 import threading
 
-from .summa import summa_mxm, summa_mxv, sharded_spmv_step  # noqa: F401
+from .summa import (  # noqa: F401
+    sharded_spmv_step,
+    summa_mxm,
+    summa_mxm_arrays,
+    summa_mxv,
+    summa_mxv_arrays,
+)
 
 _threadlocal = threading.local()
 

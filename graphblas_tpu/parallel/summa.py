@@ -34,7 +34,16 @@ def _pad_dim(v, s, axis, mult):
 
 
 def summa_mxm(A, B, semiring_typed, out_dtype, mesh, *, axis_names=("i", "j")):
-    """Sharded semiring mxm of two dense-masked Matrix objects.
+    """Sharded semiring mxm of two dense-masked Matrix objects (see
+    summa_mxm_arrays)."""
+    return summa_mxm_arrays(
+        A._values, A._struct, B._values, B._struct, semiring_typed, out_dtype, mesh,
+        axis_names=axis_names,
+    )
+
+
+def summa_mxm_arrays(AV, AS, BV, BS, semiring_typed, out_dtype, mesh, *, axis_names=("i", "j")):
+    """Sharded semiring mxm over dense-masked arrays.
 
     A shards P(i, j); B shards P(j, None).  Each device computes its local
     (m/pi, k/pj) x (k/pj, n) semiring block product, then partials combine
@@ -44,9 +53,9 @@ def summa_mxm(A, B, semiring_typed, out_dtype, mesh, *, axis_names=("i", "j")):
     """
     ai, aj = axis_names
     pi, pj = mesh.shape[ai], mesh.shape[aj]
-    m, k = A._values.shape
-    av, as_ = _pad_dim(*_pad_dim(A._values, A._struct, 0, pi), 1, pj)
-    bv, bs = _pad_dim(B._values, B._struct, 0, pj)
+    m, k = AV.shape
+    av, as_ = _pad_dim(*_pad_dim(AV, AS, 0, pi), 1, pj)
+    bv, bs = _pad_dim(BV, BS, 0, pj)
     add = semiring_typed.monoid
     add_name = add.parent.name if hasattr(add, "parent") else None
     out_np = np.dtype(out_dtype.np_type)
@@ -94,15 +103,23 @@ def summa_mxm(A, B, semiring_typed, out_dtype, mesh, *, axis_names=("i", "j")):
 
 
 def summa_mxv(A, x, semiring_typed, out_dtype, mesh, *, axis_names=("i", "j")):
+    """Sharded semiring mxv (see summa_mxv_arrays)."""
+    return summa_mxv_arrays(
+        A._values, A._struct, x._values, x._struct, semiring_typed, out_dtype, mesh,
+        axis_names=axis_names,
+    )
+
+
+def summa_mxv_arrays(AV, AS, XV, XS, semiring_typed, out_dtype, mesh, *, axis_names=("i", "j")):
     """Sharded semiring mxv: A P(i, j), x sharded over j; result P(i,).
 
     Non-divisible shapes are padded with absent entries and sliced back.
     """
     ai, aj = axis_names
     pi, pj = mesh.shape[ai], mesh.shape[aj]
-    m = A._values.shape[0]
-    av_p, as_p = _pad_dim(*_pad_dim(A._values, A._struct, 0, pi), 1, pj)
-    xv_p, xs_p = _pad_dim(x._values, x._struct, 0, pj)
+    m = AV.shape[0]
+    av_p, as_p = _pad_dim(*_pad_dim(AV, AS, 0, pi), 1, pj)
+    xv_p, xs_p = _pad_dim(XV, XS, 0, pj)
     from jax import shard_map
 
     add = semiring_typed.monoid

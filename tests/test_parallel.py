@@ -162,3 +162,54 @@ def test_shard_annotations_roundtrip(mesh, rng):
         replicate(v)
         assert A.nvals == 64
         assert v.nvals == 8
+
+
+def test_dsl_routes_through_summa_under_context(mesh, rng):
+    # VERDICT r1 #6: inside an engaged Context, A.mxm(B) / A.mxv(v) / v.vxm(A)
+    # run SUMMA over the mesh and match the single-device engine
+    from graphblas_tpu import binary, semiring as sr_mod
+
+    m, k, n = 12, 20, 10
+    av = rng.random((m, k))
+    bv = rng.random((k, n))
+    xv = rng.random(k)
+    A = Matrix.from_dense(av, dtype=dtypes.FP64)
+    B = Matrix.from_dense(bv, dtype=dtypes.FP64)
+    x = Vector.from_dense(xv)
+    c0 = A.mxm(B, sr_mod.plus_times).new()
+    y0 = A.mxv(x, sr_mod.min_plus).new()
+    w0 = x.vxm(B, sr_mod.plus_times).new()
+    with Context(mesh=mesh):
+        c1 = A.mxm(B, sr_mod.plus_times).new()
+        y1 = A.mxv(x, sr_mod.min_plus).new()
+        w1 = x.vxm(B, sr_mod.plus_times).new()
+    np.testing.assert_allclose(np.asarray(c1._values), np.asarray(c0._values), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(y1._values), np.asarray(y0._values), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(w1._values), np.asarray(w0._values), rtol=1e-12)
+
+
+def test_dsl_pagerank_on_mesh(mesh, rng):
+    # a DSL PageRank loop runs unchanged inside the mesh Context
+    from graphblas_tpu import binary, semiring as sr_mod, unary
+
+    n, e = 24, 120
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    A = Matrix.from_coo(src, dst, 1.0, nrows=n, ncols=n, dup_op=binary.first)
+
+    def pagerank(iters=10, damping=0.85):
+        outdeg = A.reduce_rowwise("plus").new(dtypes.FP64)
+        inv = outdeg.apply(unary.minv).new()
+        rank = Vector.from_dense(np.full(n, 1.0 / n))
+        for _ in range(iters):
+            contrib = rank.ewise_mult(inv, binary.times).new()
+            pulled = A.T.mxv(contrib, sr_mod.plus_times).new()
+            rank = pulled.apply(binary.times, right=damping).apply(
+                binary.plus, right=(1.0 - damping) / n
+            ).new()
+        return np.asarray(rank._values)
+
+    r0 = pagerank()
+    with Context(mesh=mesh):
+        r1 = pagerank()
+    np.testing.assert_allclose(r1, r0, rtol=1e-10)
