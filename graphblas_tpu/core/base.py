@@ -534,7 +534,26 @@ class BaseExpression(_InfixMixin):
             return getattr(self._get_value(), name)
         raise AttributeError(name)
 
+    def _format_call_string(self):
+        """Functional description of the delayed call, e.g.
+        ``A.mxm(B, op=plus_times[FP64])`` (reference: expression reprs)."""
+
+        def nm(a):
+            n = getattr(a, "name", None)
+            return n or type(a).__name__
+        base = nm(self.args[0]) if self.args else ""
+        rest = [nm(a) for a in self.args[1:]]
+        if self.op is not None:
+            rest.append(f"op={self.op.name}")
+        return f"{base}.{self.method_name}({', '.join(rest)})"
+
     def __repr__(self):
+        from .formatting import format_expression
+
+        try:
+            return format_expression(self)
+        except Exception:
+            pass
         op_str = f", op={self.op!r}" if self.op is not None else ""
         header = f"{type(self).__name__} (delayed {self.method_name}{op_str}, dtype={self.dtype}, shape={self._shape})"
         if _get_config().get("autocompute") and self._shape is not None and all(

@@ -26,7 +26,16 @@ class Mask:
         raise TypeError(f"__bool__ not defined for objects of type {type(self)}")
 
     def __repr__(self):
-        return f"{type(self).__name__} of {self.parent!r}"
+        from .formatting import format_mask
+
+        return format_mask(self)
+
+    def _repr_html_(self):
+        from .formatting import format_matrix_html, format_vector_html
+
+        if self.parent.ndim == 2:
+            return format_matrix_html(self.parent, mask=self)
+        return format_vector_html(self.parent, mask=self)
 
     @property
     def _carg(self):

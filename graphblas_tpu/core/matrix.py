@@ -915,7 +915,7 @@ class TransposedMatrix:
     def __repr__(self):
         from .formatting import format_matrix
 
-        return format_matrix(self.new(), title="TransposedMatrix")
+        return format_matrix(self)
 
     def isequal(self, other, **kwargs):
         return self.new().isequal(other, **kwargs)
