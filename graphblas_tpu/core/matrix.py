@@ -38,7 +38,7 @@ class Matrix(InfixMixin, BaseType):
     op layer dispatches mxv/vxm/reduce/apply/select sparsely first.
     """
 
-    __slots__ = ("_sparse",)
+    __slots__ = ("_sparse", "_tx_config")
     ndim = 2
     _output_type = None
 
@@ -93,6 +93,25 @@ class Matrix(InfixMixin, BaseType):
         obj._sparse = sp
         obj.name = name
         return obj
+
+    def _set_storage(self, fmt):
+        """Convert storage format in place (per-object tx.config['storage'])."""
+        if fmt in ("coo", "sparse"):
+            if self._sparse is None:
+                from .sparse import SparseMatrixData
+
+                r, c, v = self.to_coo()
+                self._adopt_sparse(
+                    SparseMatrixData.from_arrays(
+                        r.astype(np.int64), c.astype(np.int64), v,
+                        self.nrows, self.ncols, sorted_dedup=True,
+                    )
+                )
+        elif fmt == "densemasked":
+            if self._sparse is not None:
+                self._values  # noqa: B018 — densify (guarded by densify_limit)
+        else:
+            raise ValueError(f"unknown storage format: {fmt!r}")
 
     def __getattr__(self, name):
         # sparse-format matrices leave the dense slots unset; first dense

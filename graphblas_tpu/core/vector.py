@@ -64,9 +64,15 @@ def _apply_dup(rows_or_idx, values, dup_op):
 class Vector(InfixMixin, BaseType):
     """A 1-D collection of (index, value) pairs over a dtype domain."""
 
-    __slots__ = ()
+    __slots__ = ("_tx_config",)
     ndim = 1
     _output_type = None  # set after class definition
+
+    def _set_storage(self, fmt):
+        """Vectors have one storage format (dense outputs are the contract
+        of every mxv/reduce); only 'densemasked' is valid."""
+        if fmt not in ("densemasked", "auto"):
+            raise ValueError(f"Vector storage must be 'densemasked'; got {fmt!r}")
 
     def __init__(self, dtype=_dt.FP64, size=0, *, name=None):
         import jax.numpy as jnp

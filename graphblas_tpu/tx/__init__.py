@@ -200,18 +200,17 @@ def import_sparse_vector(*, indices, values, size=None, dtype=None, name=None, *
 
 
 def deserialize(data):
-    """Inverse of Matrix.tx.serialize / Vector.tx.serialize."""
+    """Inverse of Matrix.tx.serialize / Vector.tx.serialize (kind-dispatching)."""
     import pickle as _pickle
 
-    tag, raw = data[:4], data[4:]
-    if tag == b"ZSTD":
-        import zstandard  # only required for compressed payloads
+    from . import _binary
 
-        raw = zstandard.ZstdDecompressor().decompress(raw)
-    elif tag != b"RAW0":
-        raise ValueError(f"unknown serialization tag: {tag!r}")
-    payload = _pickle.loads(raw)
-    if payload["kind"] == "Matrix":
+    raw = _binary.decompress(data)
+    if raw[:4] == _binary.MAGIC:
+        kind = _binary.unpack(raw)[0]["kind"]
+    else:
+        kind = _pickle.loads(raw)["kind"]  # legacy pickle payloads
+    if kind == "Matrix":
         from .matrix import deserialize_matrix
 
         return deserialize_matrix(data)

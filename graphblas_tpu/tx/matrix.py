@@ -45,9 +45,38 @@ class MatrixTx:
 
     @property
     def config(self):
-        from ..core.config import Config
+        """Per-object config (reference: MatrixConfig core/ss/matrix.py:124).
 
-        return Config("Matrix.tx", defaults={"format": "densemasked"})
+        Persistent per Matrix; setting ``storage`` converts the storage
+        format in place ("coo" / "densemasked" / "auto")."""
+        return _object_config(self._parent, "Matrix")
+
+    def build_diag(self, vector, k=0, **opts):
+        """Build the k'th diagonal from a Vector into this (empty) Matrix
+        (reference: Matrix.ss.build_diag core/ss/matrix.py:252)."""
+        from .. import exceptions as _exc
+
+        p = self._parent
+        if p.nvals > 0:
+            raise _exc.OutputNotEmpty("build_diag requires an empty Matrix")
+        p.setdiag(vector, k)  # honors the vector's pattern (absent stays absent)
+        return p
+
+    def build_scalar(self, rows, columns, value):
+        """Iso build: every entry gets the same value
+        (reference: Matrix.ss.build_scalar core/ss/matrix.py:382)."""
+        from .. import exceptions as _exc
+        from ..core.matrix import Matrix
+
+        p = self._parent
+        if p.nvals > 0:
+            raise _exc.OutputNotEmpty("build_scalar requires an empty Matrix")
+        new = Matrix.from_coo(rows, columns, value, p.dtype, nrows=p.nrows, ncols=p.ncols)
+        if new._sparse is not None:
+            p._adopt_sparse(new._sparse)
+        else:
+            p._set_arrays(new._values, new._struct)
+        return p
 
     # -- tiling (reference: core/ss/matrix.py:280-380) --------------------------
 
@@ -237,28 +266,24 @@ class MatrixTx:
     # -- serialization (reference: core/ss/matrix.py:4050-4168) ------------------
 
     def serialize(self, compression="default", level=None, **opts):
-        """Serialize to bytes; zstd compression by default."""
+        """Serialize to a structured binary format with optional zstd
+        (the GxB_Matrix_serialize analogue, reference: core/ss/matrix.py:
+        4050-4168).  Preserves storage format and iso-ness; not pickle."""
+        from . import _binary
+
         p = self._parent
         r, c, v = p.to_coo()
-        payload = {
-            "kind": "Matrix",
-            "dtype": _dt._dtype_to_string(p.dtype.np_type),
-            "nrows": p.nrows,
-            "ncols": p.ncols,
-            "rows": r,
-            "cols": c,
-            "values": v,
-        }
-        raw = pickle.dumps(payload, protocol=5)
-        if compression in {"default", "zstd"}:
-            try:
-                import zstandard
-
-                cctx = zstandard.ZstdCompressor(level=level or 3)
-                return b"ZSTD" + cctx.compress(raw)
-            except ImportError:
-                pass
-        return b"RAW0" + raw
+        iso = bool(self.is_iso) and len(v) > 0
+        arrays = {"rows": r.astype(np.int64), "cols": c.astype(np.int64)}
+        arrays["values"] = v[:1] if iso else v
+        body = _binary.pack(
+            "Matrix",
+            _dt._dtype_to_string(p.dtype.np_type),
+            (p.nrows, p.ncols),
+            arrays,
+            meta={"format": self.format, "iso": int(iso), "nvals": p.nvals},
+        )
+        return _binary.compress(body, compression, level)
 
     def export(self, format=None, *, sort=False, give_ownership=False, raw=False):
         """Export raw buffers (reference: zero-copy export core/ss/matrix.py:537+).
@@ -304,17 +329,74 @@ def jax_broadcasted_iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int64, shape, dim)
 
 
+def _object_config(parent, kind):
+    """Persistent per-object config with a live ``storage`` key."""
+    try:
+        cfg = parent._tx_config
+    except AttributeError:
+        cfg = None
+    if cfg is None:
+        cfg = _TxObjectConfig(parent, kind)
+        parent._tx_config = cfg
+    return cfg
+
+
+class _TxObjectConfig:
+    """MutableMapping-lite per-object config (reference: MatrixConfig /
+    VectorConfig, core/ss/matrix.py:124).  Setting ``storage`` converts the
+    parent's storage format in place; values persist with the object."""
+
+    def __init__(self, parent, kind):
+        import weakref
+
+        self._parent_ref = weakref.ref(parent)
+        self._kind = kind
+        self._values = {"storage": "auto"}
+
+    def __getitem__(self, key):
+        return self._values[key]
+
+    def get(self, key, default=None):
+        return self._values.get(key, default)
+
+    def __setitem__(self, key, value):
+        if key not in self._values:
+            raise KeyError(f"Unknown config key for {self._kind}.tx: {key!r}")
+        self._values[key] = value
+        parent = self._parent_ref()
+        if key == "storage" and parent is not None and value != "auto":
+            parent._set_storage(value)
+
+    def __contains__(self, key):
+        return key in self._values
+
+    def __iter__(self):
+        return iter(self._values)
+
+    def __len__(self):
+        return len(self._values)
+
+    def __repr__(self):
+        return f"{self._kind}.tx.config({self._values})"
+
+
 def deserialize_matrix(data):
-    """Inverse of MatrixTx.serialize."""
+    """Inverse of MatrixTx.serialize (GBTX binary; legacy pickle accepted)."""
+    from . import _binary
     from ..core.matrix import Matrix
 
-    tag, raw = data[:4], data[4:]
-    if tag == b"ZSTD":
-        import zstandard
-
-        raw = zstandard.ZstdDecompressor().decompress(raw)
-    elif tag != b"RAW0":
-        raise ValueError("Unrecognized serialization header")
+    raw = _binary.decompress(data)
+    if raw[:4] == _binary.MAGIC:
+        header, arrays = _binary.unpack(raw)
+        dtype = _dt._string_to_dtype(header["dtype"])
+        nrows, ncols = header["dims"]
+        vals = arrays["values"]
+        if header["meta"].get("iso"):
+            vals = np.broadcast_to(vals[:1], arrays["rows"].shape)
+        A = Matrix.from_coo(arrays["rows"], arrays["cols"], vals, dtype, nrows=nrows, ncols=ncols)
+        if header["meta"].get("format") == "coo" and A._sparse is None:
+            A._set_storage("coo")
+        return A
     payload = pickle.loads(raw)
     dtype = _dt._string_to_dtype(payload["dtype"])
     return Matrix.from_coo(

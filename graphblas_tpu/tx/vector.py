@@ -21,6 +21,13 @@ class VectorTx:
         return "densemasked"
 
     @property
+    def config(self):
+        """Per-object config (reference: VectorConfig core/ss/vector.py:50)."""
+        from .matrix import _object_config
+
+        return _object_config(self._parent, "Vector")
+
+    @property
     def nbytes(self):
         p = self._parent
         return p._values.nbytes + p._struct.nbytes
@@ -137,25 +144,22 @@ class VectorTx:
         return iter(zip(idx.tolist(), vals.tolist()))
 
     def serialize(self, compression="default", level=None, **opts):
+        """GBTX binary serialize (reference: core/ss/vector.py:1621)."""
+        from . import _binary
+
         p = self._parent
         idx, vals = p.to_coo()
-        payload = {
-            "kind": "Vector",
-            "dtype": _dt._dtype_to_string(p.dtype.np_type),
-            "size": p.size,
-            "indices": idx,
-            "values": vals,
-        }
-        raw = pickle.dumps(payload, protocol=5)
-        if compression in {"default", "zstd"}:
-            try:
-                import zstandard
-
-                cctx = zstandard.ZstdCompressor(level=level or 3)
-                return b"ZSTD" + cctx.compress(raw)
-            except ImportError:
-                pass
-        return b"RAW0" + raw
+        iso = bool(self.is_iso) and len(vals) > 0
+        arrays = {"indices": np.asarray(idx, np.int64)}
+        arrays["values"] = vals[:1] if iso else vals
+        body = _binary.pack(
+            "Vector",
+            _dt._dtype_to_string(p.dtype.np_type),
+            (p.size,),
+            arrays,
+            meta={"format": self.format, "iso": int(iso), "nvals": p.nvals},
+        )
+        return _binary.compress(body, compression, level)
 
     def export(self, format=None, *, sort=False, give_ownership=False, raw=False):
         p = self._parent
@@ -176,15 +180,18 @@ class VectorTx:
 
 
 def deserialize_vector(data):
+    """Inverse of VectorTx.serialize (GBTX binary; legacy pickle accepted)."""
+    from . import _binary
     from ..core.vector import Vector
 
-    tag, raw = data[:4], data[4:]
-    if tag == b"ZSTD":
-        import zstandard
-
-        raw = zstandard.ZstdDecompressor().decompress(raw)
-    elif tag != b"RAW0":
-        raise ValueError("Unrecognized serialization header")
+    raw = _binary.decompress(data)
+    if raw[:4] == _binary.MAGIC:
+        header, arrays = _binary.unpack(raw)
+        dtype = _dt._string_to_dtype(header["dtype"])
+        vals = arrays["values"]
+        if header["meta"].get("iso"):
+            vals = np.broadcast_to(vals[:1], arrays["indices"].shape)
+        return Vector.from_coo(arrays["indices"], vals, dtype, size=header["dims"][0])
     payload = pickle.loads(raw)
     dtype = _dt._string_to_dtype(payload["dtype"])
     return Vector.from_coo(payload["indices"], payload["values"], dtype, size=payload["size"])
