@@ -86,24 +86,41 @@ _initialized = False
 backend = None
 
 
+is_blocking = False
+
+
 def init(backend_name="jax", blocking=None):
-    """Initialize the engine.  Exists for API parity with ``gb.init``
-    (reference: graphblas/__init__.py:107-117); the JAX engine needs no
-    explicit init, and execution is always asynchronous ("non-blocking") with
-    ``wait()`` mapping to ``block_until_ready``.
+    """Initialize the engine (API parity with ``gb.init``, reference:
+    graphblas/__init__.py:107-117).
+
+    Error-timing spec (reference: exceptions.py:33-66; SURVEY hard part #3):
+    API errors — dimension/type/domain/index — ALWAYS raise at the offending
+    statement in both modes (the Python layer validates eagerly).  Device
+    execution is asynchronous; ``blocking=True`` additionally synchronizes
+    after every mutating statement (device faults surface at the statement),
+    while the default non-blocking mode surfaces them at ``wait()`` or the
+    first value read.  Re-initializing with a different mode raises, like
+    the reference (graphblas/__init__.py:124-137).
     """
     _init(backend_name, blocking)
 
 
 def _init(backend_name="jax", blocking=None, automatic=False):
-    global _initialized, backend
+    global _initialized, backend, is_blocking
     if _initialized:
         if backend_name not in {"jax", backend}:
             raise exceptions.GraphblasException(
                 f"graphblas_tpu is already initialized with backend {backend!r}; "
                 f"init() with {backend_name!r} is not allowed"
             )
+        if blocking is not None and bool(blocking) != is_blocking and not automatic:
+            raise exceptions.GraphblasException(
+                f"graphblas_tpu is already initialized with blocking={is_blocking}; "
+                "it cannot be re-initialized with a different mode"
+            )
         return
+    if blocking is not None:
+        is_blocking = bool(blocking)
     import os
 
     import jax

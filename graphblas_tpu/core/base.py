@@ -45,6 +45,20 @@ def _engine_opts_ctx(opts):
     return _txconfig.set(engine)
 
 
+def _maybe_block(obj):
+    """Blocking mode: synchronize device state after a mutating statement
+    (error-timing spec, see graphblas_tpu.init)."""
+    import graphblas_tpu as _gb
+
+    if _gb.is_blocking:
+        import jax
+
+        try:
+            jax.block_until_ready((obj._values, obj._struct))
+        except AttributeError:  # sparse storage: host-canonical, nothing pending
+            pass
+
+
 def record_call(opname, *args):
     def describe(a):
         if isinstance(a, BaseType):
@@ -193,6 +207,7 @@ class BaseType:
             mask_bits is not None,
         )
         self._set_arrays(cv, cs)
+        _maybe_block(self)
 
     # ------------------------------------------------------------------
     # plumbing shared by Matrix/Vector (Scalar overrides)

@@ -561,8 +561,11 @@ def do_assign(self, resolved, value, *, mask, accum, replace, is_submask):
     import jax.numpy as jnp
 
     from .base import BaseExpression as _BE
+    from .base import record_call
     from .expr import AmbiguousAssignOrExtract
     from .infix import InfixExprBase
+
+    record_call("subassign" if is_submask else "assign", self, value)
     from .matrix import TransposedMatrix
 
     if isinstance(value, AmbiguousAssignOrExtract) or isinstance(value, InfixExprBase):
@@ -693,13 +696,17 @@ def do_delete(self, resolved, mask=None):
     """del C[idx] — remove entries in the region (reference: __delitem__)."""
     import jax.numpy as jnp
 
+    from .base import record_call
+
     if mask is not None:
         # Masked delete == masked assign of an empty scalar (the reference's
         # recipe): only masked positions within the region are cleared.
+        # (records itself as "assign")
         empty = Scalar(self.dtype)
         return do_assign(
             self, resolved, empty, mask=mask, accum=None, replace=False, is_submask=False
         )
+    record_call("delete", self)
     indices = resolved.indices
     cv, cs = self._values, self._struct
     if self.ndim == 1:
