@@ -123,6 +123,39 @@ def main():
     bfs_gteps = e / bfs_time / 1e9
     nlevels = int(np.asarray(mf.bfs_level(plan, sources[0], n)).max())
 
+    # ---- masked semiring SpGEMM (BASELINE acceptance metric) --------------
+    # triangle-counting shape: C(L.S) = L plus_pair L^T over the lower
+    # triangle of a degree-bounded random graph (dot method, sparse format)
+    def spgemm_gflops():
+        from graphblas_tpu import Matrix, binary, semiring
+        from graphblas_tpu import tx as txmod
+        from graphblas_tpu.core.sparse import sparse_mxm_masked
+        from graphblas_tpu.core.operator import get_typed_op
+        from graphblas_tpu.core import dtypes as dtmod
+
+        rng_l = np.random.default_rng(7)
+        ns = 1 << 15
+        es = ns * 8
+        rs_, cs_ = rng_l.integers(0, ns, es), rng_l.integers(0, ns, es)
+        lo, hi = np.minimum(rs_, cs_), np.maximum(rs_, cs_)
+        keep = lo != hi
+        with txmod.config.set(dense_limit=0):
+            L = Matrix.from_coo(hi[keep], lo[keep], 1.0, nrows=ns, ncols=ns, dup_op=binary.first)
+            U = L.T.new()
+        sr = get_typed_op(semiring.plus_pair, dtmod.FP64, dtmod.FP64, kind="semiring")
+        lsp, usp = L._sparse, U._sparse
+        mr, mc = lsp.rows, lsp.cols
+        sparse_mxm_masked(lsp, usp, mr, mc, sr, dtmod.FP64)  # warm
+        t0 = time.perf_counter()
+        _, _, _, flops = sparse_mxm_masked(lsp, usp, mr, mc, sr, dtmod.FP64)
+        dt = time.perf_counter() - t0
+        return flops / dt / 1e9, int(lsp.nvals)
+
+    try:
+        spgemm_gf, spgemm_nnz = spgemm_gflops()
+    except Exception:
+        spgemm_gf, spgemm_nnz = -1.0, 0
+
     # ---- SSSP -------------------------------------------------------------
     nsssp = 3
 
@@ -151,6 +184,8 @@ def main():
             "bfs_ms": round(bfs_time * 1e3, 2),
             "sssp_ms": round(sssp_time * 1e3, 2),
             "dispatch_floor_ms": round(floor * 1e3, 2),
+            "masked_spgemm_gflops": round(spgemm_gf, 4),
+            "masked_spgemm_mask_nnz": spgemm_nnz,
         },
     }
     print(json.dumps(result))

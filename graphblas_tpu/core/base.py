@@ -173,6 +173,25 @@ class BaseType:
         if self._is_scalar:
             return self._update_from_expr(expr, accum)
 
+        # masked sparse SpGEMM: C(M) << A.mxm(B) over sparse operands with an
+        # empty target adopts the dot-method result directly
+        if (
+            mask is not None
+            and accum is None
+            and not mask.complement
+            and getattr(expr, "_sparse_masked_mxm", None) is not None
+            and hasattr(self, "_adopt_sparse")
+            and self.nvals == 0
+        ):
+            with _engine_opts_ctx(opts):
+                result = expr._sparse_masked_mxm(mask)
+            if result is not None:
+                sp = result._sparse
+                if result.dtype is not self.dtype:
+                    sp.vals = sp.vals.astype(self.dtype.np_type)
+                self._adopt_sparse(sp)
+                return
+
         # sparse-format producer into an unmasked, unaccumulated target:
         # adopt the sparse result wholesale (no densify anywhere)
         if (

@@ -465,6 +465,57 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
             opname=f"{method_name}[{sr.name}]",
         )
 
+    if (
+        a_sp is not None
+        and b_sp is not None
+        and not a_is_vec
+        and not b_is_vec
+        and not a_t
+        and not b_t
+    ):
+        # masked sparse SpGEMM: consumed by _update when C(M) << A.mxm(B)
+        # (reference: masked dot method, core/ss/descriptor.py:76-82)
+        def sparse_masked_mxm(mask):
+            from .matrix import Matrix
+            from .sparse import SparseMatrixData, sparse_mxm_masked
+
+            mp = mask.parent
+            if mp.ndim != 2 or mp.shape != shape:
+                return None
+            mr, mc, mv = mp.to_coo()
+            if not mask.structure:
+                keep = np.asarray(mv).astype(bool)
+                mr, mc = mr[keep], mc[keep]
+            rows, cols, vals, flops = sparse_mxm_masked(
+                a_sp, b_sp, mr.astype(np.int64), mc.astype(np.int64), sr, sr.return_type
+            )
+            sp = SparseMatrixData.from_arrays(
+                rows, cols, vals, shape[0], shape[1], sorted_dedup=True
+            )
+            return Matrix._from_sparse(sp, sr.return_type)
+
+        expr = BaseExpression(
+            method_name,
+            out_cls,
+            None,  # dense compute defined below; reassigned after creation
+            op=sr,
+            dtype=sr.return_type,
+            shape=shape,
+            args=(a, b),
+            opname=f"{method_name}[{sr.name}]",
+        )
+        expr._sparse_masked_mxm = sparse_masked_mxm
+
+        def compute_spgemm_dense():
+            av, as_ = _arrays_of(a)  # densify-guarded fallback
+            bv, bs = _arrays_of(b)
+            av = _cast_values(av, sr.binaryop.type_.np_type, a.dtype)
+            bv = _cast_values(bv, sr.binaryop.type2.np_type, b.dtype)
+            return _dm.mxm(av, as_, bv, bs, sr, sr.return_type, "auto")
+
+        expr._compute_fn = compute_spgemm_dense
+        return expr
+
     def compute():
         from ..tx import config as _txconfig
 

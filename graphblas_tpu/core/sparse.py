@@ -568,3 +568,171 @@ def sparse_apply_positional(sp, which, delta, out_np):
     """Positional unary apply (rowindex/colindex) on sparse storage."""
     idx = sp.rows if which == "i" else sp.cols
     return sp.copy(vals=(idx + delta).astype(out_np))
+
+
+# ---------------------------------------------------------------------------
+# masked semiring SpGEMM (the BASELINE acceptance metric)
+# ---------------------------------------------------------------------------
+
+_SPGEMM_WMAX = 256  # segment width cap; hub lists split into chunk-pair tasks
+_SPGEMM_CHUNK = 1 << 14  # tasks per device batch
+
+
+def sparse_mxm_masked(a_sp, b_sp, m_rows, m_cols, sr, out_dtype):
+    """C(M) = A ⊕.⊗ B over sparse operands, output restricted to M's pattern.
+
+    TPU-native dot method (the analogue of SuiteSparse's masked dot,
+    axb_method=dot — reference: core/ss/descriptor.py:76-82): for each
+    masked (i, j), intersect A's row-i list with B's column-j list.  Lists
+    pad to power-of-2 buckets (hubs split into chunk-pair tasks) and each
+    batch evaluates the full W×W pairwise key-equality on the VPU — no
+    per-element gathers, any semiring — then monoid-reduces.  Returns
+    (rows, cols, values, flops) host arrays for the surviving entries.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    m_rows = np.asarray(m_rows, np.int64)
+    m_cols = np.asarray(m_cols, np.int64)
+    out_np = np.dtype(out_dtype.np_type)
+    if len(m_rows) == 0 or a_sp.nvals == 0 or b_sp.nvals == 0:
+        return (
+            np.empty(0, np.int64),
+            np.empty(0, np.int64),
+            np.empty(0, out_np),
+            0,
+        )
+    # CSR of A / CSC of B (canonical orders already sorted)
+    a_indptr = np.searchsorted(a_sp.rows, np.arange(a_sp.nrows + 1))
+    b_order_cols = b_sp.cols[b_sp.col_order()]
+    b_indptr = np.searchsorted(b_order_cols, np.arange(b_sp.ncols + 1))
+    a_keys_all = a_sp.cols
+    a_vals_all = a_sp.vals
+    b_keys_all = b_sp.rows[b_sp.col_order()]
+    b_vals_all = b_sp.vals[b_sp.col_order()]
+
+    da = (a_indptr[m_rows + 1] - a_indptr[m_rows]).astype(np.int64)
+    db = (b_indptr[m_cols + 1] - b_indptr[m_cols]).astype(np.int64)
+
+    # split each (entry) into chunk-pair tasks of width <= WMAX
+    max_deg = int(max(da.max(initial=1), db.max(initial=1), 1))
+    W = min(_SPGEMM_WMAX, max(4, 1 << int(np.ceil(np.log2(max_deg)))))
+    na = -(-da // W)
+    nb = -(-db // W)
+    ntasks = na * nb
+    task_entry = np.repeat(np.arange(len(m_rows)), ntasks)
+    # chunk indices within each entry (row-major over (na, nb))
+    offs = np.concatenate([[0], np.cumsum(ntasks)])
+    local = np.arange(offs[-1]) - offs[task_entry]
+    ta = local // np.maximum(nb[task_entry], 1)
+    tb = local % np.maximum(nb[task_entry], 1)
+    a_start = a_indptr[m_rows[task_entry]] + ta * W
+    b_start = b_indptr[m_cols[task_entry]] + tb * W
+    a_len = np.minimum(da[task_entry] - ta * W, W)
+    b_len = np.minimum(db[task_entry] - tb * W, W)
+
+    mul = sr.binaryop
+    addm = sr.monoid
+    name = addm.parent.name
+    ident = addm.identity
+    a_np = np.dtype(mul.type_.np_type)
+    b_np = np.dtype(mul.type2.np_type)
+
+    T = len(task_entry)
+    acc = np.zeros(len(m_rows), out_np)
+    hit = np.zeros(len(m_rows), bool)
+    flops = 0
+
+    @jax.jit
+    def batch(a_st, a_ln, b_st, b_ln, ak, av, bk, bv):
+        iota = jnp.arange(W)
+        ai = a_st[:, None] + iota[None, :]
+        bi = b_st[:, None] + iota[None, :]
+        amask = iota[None, :] < a_ln[:, None]
+        bmask = iota[None, :] < b_ln[:, None]
+        akk = jnp.where(amask, ak[jnp.clip(ai, 0, ak.shape[0] - 1)], -1)
+        bkk = jnp.where(bmask, bk[jnp.clip(bi, 0, bk.shape[0] - 1)], -2)
+        avv = av[jnp.clip(ai, 0, av.shape[0] - 1)].astype(a_np)
+        bvv = bv[jnp.clip(bi, 0, bv.shape[0] - 1)].astype(b_np)
+        eq = akk[:, :, None] == bkk[:, None, :]  # (t, W, W) key match
+        prod = mul.fn(avv[:, :, None], bvv[:, None, :]).astype(out_np)
+        nmatch = jnp.sum(eq, axis=(1, 2))
+        if name == "plus":
+            val = jnp.sum(jnp.where(eq, prod, jnp.zeros((), out_np)), axis=(1, 2))
+        elif name in {"min", "land"}:
+            big = _extreme(out_np, "max")
+            val = jnp.min(jnp.where(eq, prod, big), axis=(1, 2))
+        elif name in {"max", "lor", "any"}:
+            small = _extreme(out_np, "min")
+            val = jnp.max(jnp.where(eq, prod, small), axis=(1, 2))
+        elif name == "times":
+            val = jnp.prod(jnp.where(eq, prod, jnp.ones((), out_np)), axis=(1, 2))
+        else:
+            iv = jnp.asarray(ident, out_np)
+            eff = jnp.where(eq, prod, iv).reshape(prod.shape[0], -1)
+            fn = addm.fn
+
+            def comb(x, y):
+                return fn(x, y).astype(out_np)
+
+            val = jax.lax.associative_scan(comb, eff, axis=1)[:, -1]
+        return val, nmatch
+
+    ak_d = jnp.asarray(a_keys_all.astype(np.int64))
+    av_d = jnp.asarray(a_vals_all)
+    bk_d = jnp.asarray(b_keys_all.astype(np.int64))
+    bv_d = jnp.asarray(b_vals_all)
+    fn_acc = _np_monoid_fn(name, addm)
+    for lo in range(0, T, _SPGEMM_CHUNK):
+        hi = min(lo + _SPGEMM_CHUNK, T)
+        pad = _SPGEMM_CHUNK - (hi - lo)
+        sl = slice(lo, hi)
+
+        def padded(x):
+            out = x[sl]
+            return np.pad(out, (0, pad)) if pad else out
+
+        val, nmatch = batch(
+            jnp.asarray(padded(a_start), jnp.int64),
+            jnp.asarray(padded(a_len), jnp.int64),
+            jnp.asarray(padded(b_start), jnp.int64),
+            jnp.asarray(padded(b_len), jnp.int64),
+            ak_d, av_d, bk_d, bv_d,
+        )
+        val = np.asarray(val)[: hi - lo]
+        nmatch = np.asarray(nmatch)[: hi - lo]
+        ent = task_entry[sl]
+        got = nmatch > 0
+        flops += 2 * int(nmatch.sum())
+        if not got.any():
+            continue
+        # combine task partials per entry with the monoid; single-task
+        # entries (the common case) assign vectorized, hubs loop
+        multi = ntasks[ent] > 1
+        simple = got & ~multi
+        acc[ent[simple]] = val[simple]
+        hit[ent[simple]] = True
+        for e, vv in zip(ent[got & multi], val[got & multi]):
+            if hit[e]:
+                acc[e] = fn_acc(acc[e], vv)
+            else:
+                acc[e] = vv
+                hit[e] = True
+    keep = hit
+    return m_rows[keep], m_cols[keep], acc[keep].astype(out_np), flops
+
+
+def _np_monoid_fn(name, addm):
+    table = {
+        "plus": lambda a, b: a + b,
+        "times": lambda a, b: a * b,
+        "min": min,
+        "max": max,
+        "lor": lambda a, b: bool(a) or bool(b),
+        "land": lambda a, b: bool(a) and bool(b),
+        "any": lambda a, b: b,
+    }
+    if name in table:
+        return table[name]
+    fn = addm.fn
+    return lambda a, b: np.asarray(fn(a, b))[()]
