@@ -61,7 +61,7 @@ def main():
     ef = int(os.environ.get("GRAPHBLAS_BENCH_EF", "16"))
     seed = 5
     cache = os.environ.get("GRAPHBLAS_BENCH_CACHE", tempfile.gettempdir())
-    plan_path = os.path.join(cache, f"gbtpu_plan_v2_s{scale}_e{ef}_{seed}.npz")
+    plan_path = os.path.join(cache, f"gbtpu_plan_v3_s{scale}_e{ef}_{seed}.npz")
     graph_path = os.path.join(cache, f"gbtpu_graph_s{scale}_e{ef}_{seed}.npz")
     if not (os.path.exists(plan_path) and os.path.exists(graph_path)):
         _build_plan_subprocess(scale, ef, seed, plan_path, graph_path)

@@ -12,7 +12,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.fastspmv import SpmvPlan, build_spmv_plan, spmv, spmv_masked
+from ..ops.fastspmv import (
+    SpmvPlan,
+    build_spmv_plan,
+    spmv,
+    spmv_masked,
+    spmv_state,
+    state_to_n,
+    state_to_start,
+)
 
 _BIG = jnp.float32(3.4e38) / 4
 
@@ -63,7 +71,49 @@ def _bfs_loop(plan, source, n):
     return levels
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+@_no_x64
+def _bfs_loop_v3(plan, source, n):
+    """Loop-layout BFS: levels state lives at dst-seg-last slots; each level
+    is loop-network -> fill -> perm -> contrib-scan (two 11-stage networks
+    instead of three), and the frontier rides an int8 channel (4x less HBM
+    traffic through every stage)."""
+    fdt = jnp.int8
+    source = jnp.asarray(source, jnp.int32)
+    is_last = plan.is_last_dst
+    e_pad = plan.e_pad
+    levels0 = jnp.full((e_pad,), -1, jnp.int32)
+    # inject the source into the expand inputs every level: constant work,
+    # already-discovered neighbors are filtered by levels < 0
+    s_lo = plan.indptr_src[source]
+    s_hi = plan.indptr_src[source + 1]
+    slot = jax.lax.iota(jnp.int32, e_pad)
+    src_inject = ((slot == s_lo) & (s_hi > s_lo)).astype(fdt)
+    frontier0 = jnp.zeros((e_pad,), fdt)
+
+    def cond(state):
+        _, _, depth, active = state
+        return active & (depth < n)
+
+    def body(state):
+        levels, frontier, depth, _ = state
+        x_start = state_to_start(plan, frontier, jnp.zeros((), fdt))
+        x_start = jnp.maximum(x_start, src_inject)
+        scanned = spmv_state(plan, x_start, "max", "first")
+        nxt = is_last & (scanned > 0) & (levels < 0)
+        levels = jnp.where(nxt, depth + 1, levels)
+        return levels, nxt.astype(fdt), depth + 1, nxt.any()
+
+    levels, _, _, _ = jax.lax.while_loop(
+        cond, body, (levels0, frontier0, jnp.int32(0), jnp.asarray(True))
+    )
+    out = state_to_n(plan, levels, jnp.int32(-1))
+    return out.at[source].set(0)
+
+
 def bfs_level(plan, source, n):
+    if plan.loop_plan is not None:
+        return _bfs_loop_v3(plan, int(source), n)
     return _bfs_loop(plan, int(source), n)
 
 
@@ -117,8 +167,42 @@ def _sssp_loop(plan, source, n):
     return dist
 
 
+@functools.partial(jax.jit, static_argnames=("n",))
+@_no_x64
+def _sssp_loop_v3(plan, source, n):
+    """Loop-layout Bellman-Ford: dist state at dst-seg-last slots; the source
+    distance is injected into the expand inputs every round (covers sources
+    with no in-edges without a dynamic state scatter)."""
+    source = jnp.asarray(source, jnp.int32)
+    is_last = plan.is_last_dst
+    e_pad = plan.e_pad
+    dist0 = jnp.where(is_last, _BIG, jnp.float32(0))
+    s_lo = plan.indptr_src[source]
+    s_hi = plan.indptr_src[source + 1]
+    slot = jax.lax.iota(jnp.int32, e_pad)
+    src_inject = (slot == s_lo) & (s_hi > s_lo)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < n)
+
+    def body(state):
+        dist, _, it = state
+        x_start = state_to_start(plan, dist, _BIG)
+        x_start = jnp.where(src_inject, jnp.float32(0), x_start)
+        scanned = spmv_state(plan, x_start, "min", "plus")
+        new = jnp.where(is_last, jnp.minimum(dist, scanned), jnp.float32(0))
+        return new, (new < dist).any(), it + 1
+
+    dist, _, _ = jax.lax.while_loop(cond, body, (dist0, jnp.asarray(True), jnp.int32(0)))
+    out = state_to_n(plan, dist, _BIG)
+    return out.at[source].set(0.0)
+
+
 def sssp(plan, source, n):
     """min_plus Bellman-Ford; the plan must carry edge weights."""
+    if plan.loop_plan is not None and plan.w_dst_order is not None:
+        return _sssp_loop_v3(plan, int(source), n)
     return _sssp_loop(plan, int(source), n)
 
 
@@ -154,6 +238,53 @@ def _pagerank_loop(plan, outdeg, n, damping, tol, max_iters):
     return r, iters
 
 
+@functools.partial(jax.jit, static_argnames=("n", "max_iters", "tol"))
+@_no_x64
+def _pagerank_loop_v3(plan, n, damping, tol, max_iters):
+    """Loop-layout PageRank: rank state r at dst-seg-last slots; one scalar c
+    carries the rank of state-less vertices ((1-d)/n + d*mass/n — identical
+    for every vertex with no valid in-edge)."""
+    d = damping
+    is_last = plan.is_last_dst
+    r0 = jnp.where(is_last, jnp.float32(1.0 / n), jnp.float32(0))
+    c0 = jnp.float32(1.0 / n)
+
+    def step(r_state, c):
+        mass = jnp.sum(jnp.where(plan.last_dangling, r_state, jnp.float32(0)))
+        mass = mass + plan.k_iso_dangling * c
+        x_start = state_to_start(plan, r_state, c) / plan.outdeg_start
+        pulled = spmv_state(plan, x_start, "plus", "first")
+        c_new = (1.0 - d) / n + d * mass / n
+        r_new = jnp.where(is_last, c_new + d * pulled, jnp.float32(0))
+        return r_new, c_new
+
+    if float(tol) <= 0.0:
+        def body(i, state):
+            return step(*state)
+
+        r_state, c = jax.lax.fori_loop(0, max_iters, body, (r0, c0))
+        it = jnp.int32(max_iters)
+    else:
+        def cond(state):
+            _, _, delta, it = state
+            return (delta > tol) & (it < max_iters)
+
+        def body(state):
+            r_state, c, _, it = state
+            r_new, c_new = step(r_state, c)
+            delta = jnp.sum(jnp.abs(r_new - r_state))
+            return r_new, c_new, delta, it + 1
+
+        r_state, c, _, it = jax.lax.while_loop(
+            cond, body, (r0, c0, jnp.float32(jnp.inf), jnp.int32(0))
+        )
+    r = state_to_n(plan, r_state, jnp.float32(0))
+    return jnp.where(plan.dst_nonempty, r, c), it
+
+
 def pagerank(plan, outdeg, n, *, damping=0.85, tol=1e-6, max_iters=100):
+    if plan.loop_plan is not None:
+        r, _ = _pagerank_loop_v3(plan, n, jnp.float32(damping), float(tol), int(max_iters))
+        return r
     r, _ = _pagerank_loop(plan, outdeg, n, jnp.float32(damping), float(tol), int(max_iters))
     return r

@@ -49,6 +49,12 @@ class SpmvPlan:
         seg_start_src=None,
         seg_start_dst=None,
         dst_nonempty=None,
+        loop_plan=None,
+        start_has_state=None,
+        is_last_dst=None,
+        outdeg_start=None,
+        last_dangling=None,
+        k_iso_dangling=0,
     ):
         self.n = n
         self.e_pad = e_pad
@@ -71,6 +77,22 @@ class SpmvPlan:
         self.seg_start_src = seg_start_src  # device bool (e_pad,)
         self.seg_start_dst = seg_start_dst  # device bool (e_pad,)
         self.dst_nonempty = dst_nonempty  # device bool (n,): >=1 VALID in-edge
+        # -- v3 (iterative "loop layout"): algorithm state lives in the edge
+        # space at dst-segment-LAST slots; ONE composed network (loop_plan)
+        # routes it straight to src-segment-START slots for the next
+        # iteration, replacing the per-iteration collect + place pair
+        # (11 of 33 network stages per SpMV saved) --------------------------
+        self.loop_plan = loop_plan  # PermutePlan: dst-seg-last -> src-seg-start
+        # at src-seg-start slots: does this vertex have a state slot?
+        self.start_has_state = start_has_state  # device bool (e_pad,)
+        self.is_last_dst = is_last_dst  # device bool (e_pad,): state slots
+        # TRUE (valid) out-degree at src-seg-start slots, min-clamped to 1
+        self.outdeg_start = outdeg_start  # device f32 (e_pad,)
+        # at state slots: vertex has zero valid out-edges (PageRank dangling)
+        self.last_dangling = last_dangling  # device bool (e_pad,)
+        # dangling vertices WITHOUT a state slot (isolated): their rank is the
+        # per-iteration scalar c; static count folds them into dangling mass
+        self.k_iso_dangling = k_iso_dangling  # static int
 
 
 def _register_spmv_pytree():
@@ -90,11 +112,16 @@ def _register_spmv_pytree():
             p.seg_start_src,
             p.seg_start_dst,
             p.dst_nonempty,
+            p.loop_plan,
+            p.start_has_state,
+            p.is_last_dst,
+            p.outdeg_start,
+            p.last_dangling,
         )
-        return children, (p.n, p.e_pad)
+        return children, (p.n, p.e_pad, p.k_iso_dangling)
 
     def unflatten(aux, children):
-        return SpmvPlan(aux[0], aux[1], *children)
+        return SpmvPlan(aux[0], aux[1], *children, k_iso_dangling=aux[2])
 
     register_pytree_node(SpmvPlan, flatten, unflatten)
 
@@ -154,6 +181,8 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True):
 
     place_plan = collect_plan = None
     seg_start_src = seg_start_dst = dst_nonempty = None
+    loop_plan = start_has_state = is_last_dst = outdeg_start = last_dangling = None
+    k_iso_dangling = 0
     if endpoints:
         starts_src = indptr_src[:-1].astype(np.int64)
         ne_src = counts_src > 0
@@ -176,6 +205,31 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True):
         seg_start_dst = sdst
         # valid-edge in-degree (pad edges at n-1 must not count)
         dst_nonempty = np.bincount(dst, minlength=n) > 0
+        # -- loop layout (v3): route state (dst-seg-last slots) directly to
+        # the next iteration's expand inputs (src-seg-start slots) in ONE
+        # network — the composition of collect and place without the n-space
+        # round trip between them
+        last_dst = indptr_dst[1:].astype(np.int64) - 1
+        has_state = counts_dst > 0  # incl. pad edges: slot existence only
+        both = ne_src & has_state
+        perm3 = np.full(e_pad, -1, np.int64)
+        perm3[starts_src[both]] = last_dst[both]
+        loop_plan = build_permutation_plan(_complete_permutation(perm3, e_pad), validate=False)
+        shs = np.zeros(e_pad, bool)
+        shs[starts_src[both]] = True
+        start_has_state = shs
+        il = np.zeros(e_pad, bool)
+        il[last_dst[has_state]] = True
+        is_last_dst = il
+        true_outdeg = np.bincount(src, minlength=n)  # valid edges only
+        od = np.ones(e_pad, np.float32)
+        od[starts_src[ne_src]] = np.maximum(true_outdeg[ne_src], 1).astype(np.float32)
+        outdeg_start = od
+        dangling = true_outdeg == 0
+        ld = np.zeros(e_pad, bool)
+        ld[last_dst[has_state & dangling]] = True
+        last_dangling = ld
+        k_iso_dangling = int(np.sum(dangling & ~has_state))
 
     return SpmvPlan(
         n,
@@ -192,6 +246,12 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True):
         jnp.asarray(seg_start_src) if seg_start_src is not None else None,
         jnp.asarray(seg_start_dst) if seg_start_dst is not None else None,
         jnp.asarray(dst_nonempty) if dst_nonempty is not None else None,
+        loop_plan,
+        jnp.asarray(start_has_state) if start_has_state is not None else None,
+        jnp.asarray(is_last_dst) if is_last_dst is not None else None,
+        jnp.asarray(outdeg_start) if outdeg_start is not None else None,
+        jnp.asarray(last_dangling) if last_dangling is not None else None,
+        k_iso_dangling=k_iso_dangling,
     )
 
 
@@ -315,6 +375,13 @@ def save_spmv_plan(plan, path):
         arrays["seg_start_src"] = np.asarray(plan.seg_start_src)
         arrays["seg_start_dst"] = np.asarray(plan.seg_start_dst)
         arrays["dst_nonempty"] = np.asarray(plan.dst_nonempty)
+    if plan.loop_plan is not None:
+        _pack_network(arrays, plan.loop_plan, "p3_")
+        arrays["start_has_state"] = np.asarray(plan.start_has_state)
+        arrays["is_last_dst"] = np.asarray(plan.is_last_dst)
+        arrays["outdeg_start"] = np.asarray(plan.outdeg_start)
+        arrays["last_dangling"] = np.asarray(plan.last_dangling)
+        arrays["k_iso_dangling"] = np.asarray([plan.k_iso_dangling], np.int64)
     np.savez(path, **arrays)
 
 
@@ -339,6 +406,12 @@ def load_spmv_plan(path):
         jnp.asarray(data["seg_start_src"]) if "seg_start_src" in data else None,
         jnp.asarray(data["seg_start_dst"]) if "seg_start_dst" in data else None,
         jnp.asarray(data["dst_nonempty"]) if "dst_nonempty" in data else None,
+        _unpack_network(data, "p3_", e_pad),
+        jnp.asarray(data["start_has_state"]) if "start_has_state" in data else None,
+        jnp.asarray(data["is_last_dst"]) if "is_last_dst" in data else None,
+        jnp.asarray(data["outdeg_start"]) if "outdeg_start" in data else None,
+        jnp.asarray(data["last_dangling"]) if "last_dangling" in data else None,
+        k_iso_dangling=int(data["k_iso_dangling"][0]) if "k_iso_dangling" in data else 0,
     )
 
 
@@ -450,3 +523,59 @@ def spmv(plan: SpmvPlan, x, add="plus", mul="times"):
     padded = jnp.concatenate([jnp.full((1,), ident, scanned.dtype), scanned])
     out = padded[ends]
     return jnp.where(starts == ends, ident, out)
+
+
+# ---------------------------------------------------------------------------
+# Loop-layout SpMV (v3): iterative algorithms keep state in the edge space
+# ---------------------------------------------------------------------------
+#
+# In PageRank/BFS/SSSP the output y of one SpMV is (after an elementwise
+# update) the input x of the next.  ``spmv`` pays three 11-stage networks per
+# pass (place, perm, collect); but collect∘elementwise∘place is itself a
+# static permutation composed with a pointwise map, so the loop body needs
+# only TWO networks:
+#
+#     state (totals at dst-seg-LAST slots)
+#       --loop_plan-->  x at src-seg-START slots   [1 network]
+#       --fill scan-->  x[src] per edge, src order
+#       --perm_plan-->  dst order                  [1 network]
+#       --contrib scan--> new state (totals at dst-seg-last slots)
+#
+# The elementwise update runs in the e_pad layout (masked to the meaningful
+# slots); one final `collect` back to n-space is paid once per ALGORITHM,
+# not once per iteration.
+
+
+def spmv_state(plan: SpmvPlan, x_start, add, mul, w=None):
+    """One loop-layout SpMV step: values at src-seg-start slots -> running
+    segmented aggregates whose dst-seg-LAST slots hold y[d].
+
+    ``x_start`` must carry the source values exactly at ``seg_start_src``
+    slots (other slots are ignored by the fill scan).  Returns the full
+    scanned array (state layout); read it at ``is_last_dst`` slots.
+    """
+    from .pallas_scan import segmented_scan, segmented_scan_contrib
+
+    interp = _interpret_scan()
+    xe = segmented_scan(x_start, plan.seg_start_src, "fill", interpret=interp)
+    xe_dst = apply_plan(xe, plan.perm_plan)
+    if w is None:
+        w = plan.w_dst_order if mul in ("times", "plus", "second") else None
+    op = {"plus": "add", "min": "min", "max": "max", "any": "max"}[add]
+    return segmented_scan_contrib(
+        xe_dst, w, plan.valid_dst_order, plan.seg_start_dst, op, mul, interpret=interp
+    )
+
+
+def state_to_start(plan: SpmvPlan, v_state, fill_value):
+    """Route state-layout values (at dst-seg-last slots) to src-seg-start
+    slots through the composed loop network.  Start slots whose vertex has no
+    state slot (zero in-edges incl. padding) read ``fill_value``."""
+    routed = apply_plan(v_state, plan.loop_plan)
+    return jnp.where(plan.start_has_state, routed, fill_value)
+
+
+def state_to_n(plan: SpmvPlan, v_state, ident):
+    """Final read-out: state layout -> (n,) via the collect network.
+    Vertices with no VALID in-edge get ``ident``."""
+    return _collect_v2(v_state, plan, ident)

@@ -103,16 +103,28 @@ def _scan_tile(op, blk, v, f, cv_ref, cf_ref):
     return out_v, out_f
 
 
+def _compute_dtype(dtype):
+    """8-bit channels ride HBM as int8 but compute in int32 in VMEM (Mosaic's
+    int8 vector ALU coverage is partial; loads/stores + astype are proven —
+    the shuffle tables use the same pattern)."""
+    return jnp.int32 if np.dtype(dtype).itemsize == 1 else dtype
+
+
 def _kernel(op, blk, v_ref, f_ref, o_ref, cv_ref, cf_ref):
-    out_v, _ = _scan_tile(op, blk, v_ref[:, :], f_ref[:, :], cv_ref, cf_ref)
-    o_ref[:, :] = out_v
+    io_dtype = o_ref.dtype
+    v = v_ref[:, :].astype(_compute_dtype(io_dtype))
+    out_v, _ = _scan_tile(op, blk, v, f_ref[:, :].astype(jnp.int32), cv_ref, cf_ref)
+    o_ref[:, :] = out_v.astype(io_dtype)
 
 
 def _fused_kernel(op, mul, blk, x_ref, w_ref, valid_ref, f_ref, o_ref, cv_ref, cf_ref):
     """Per-edge semiring multiply + validity mask fused ahead of the scan
     (saves two full HBM round trips in the SpMV pipeline)."""
-    ident = _ident(op, x_ref.dtype)
-    x = x_ref[:, :]
+    io_dtype = o_ref.dtype
+    cdtype = _compute_dtype(io_dtype)
+    # mask identity in the IO dtype's range (so the final downcast is exact)
+    ident = jnp.asarray(_ident(op, io_dtype), cdtype)
+    x = x_ref[:, :].astype(cdtype)
     if w_ref is not None:
         w = w_ref[:, :]
         if mul == "times":
@@ -126,8 +138,8 @@ def _fused_kernel(op, mul, blk, x_ref, w_ref, valid_ref, f_ref, o_ref, cv_ref, c
     else:
         contrib = x
     contrib = jnp.where(valid_ref[:, :] != 0, contrib, ident)
-    out_v, _ = _scan_tile(op, blk, contrib, f_ref[:, :], cv_ref, cf_ref)
-    o_ref[:, :] = out_v
+    out_v, _ = _scan_tile(op, blk, contrib, f_ref[:, :].astype(jnp.int32), cv_ref, cf_ref)
+    o_ref[:, :] = out_v.astype(io_dtype)
 
 
 def _no_x64(fn):
@@ -160,7 +172,8 @@ def segmented_scan(values, flags, op, interpret=False):
         flags = jnp.concatenate([flags, jnp.zeros(pad_rows * 128, flags.dtype)])
         r += pad_rows
     v2 = values.reshape(r, 128)
-    f2 = flags.astype(jnp.int32).reshape(r, 128)
+    # flags ride HBM as int8 (4x less traffic than int32; upcast in VMEM)
+    f2 = flags.astype(jnp.int8).reshape(r, 128)
     out = pl.pallas_call(
         functools.partial(_kernel, op, blk),
         grid=(r // blk,),
@@ -171,7 +184,7 @@ def segmented_scan(values, flags, op, interpret=False):
         out_specs=pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((r, 128), values.dtype),
         scratch_shapes=[
-            pltpu.SMEM((1, 1), values.dtype),
+            pltpu.SMEM((1, 1), _compute_dtype(values.dtype)),
             pltpu.SMEM((1, 1), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -195,8 +208,9 @@ def segmented_scan_contrib(xe, w, valid, flags, op, mul, interpret=False):
     blk = min(_BLK, r)
     assert n % 128 == 0 and r % blk == 0, "spmv e_pad sizes are block multiples"
     x2 = xe.reshape(r, 128)
-    f2 = flags.astype(jnp.int32).reshape(r, 128)
-    v2 = valid.astype(jnp.int32).reshape(r, 128)
+    # flags/validity ride HBM as int8 (4x less traffic; upcast/compare in VMEM)
+    f2 = flags.astype(jnp.int8).reshape(r, 128)
+    v2 = valid.astype(jnp.int8).reshape(r, 128)
     blockspec = pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     if w is not None:
         kernel = functools.partial(_fused_kernel, op, mul, blk)
@@ -220,7 +234,7 @@ def segmented_scan_contrib(xe, w, valid, flags, op, mul, interpret=False):
         out_specs=blockspec,
         out_shape=jax.ShapeDtypeStruct((r, 128), xe.dtype),
         scratch_shapes=[
-            pltpu.SMEM((1, 1), xe.dtype),
+            pltpu.SMEM((1, 1), _compute_dtype(xe.dtype)),
             pltpu.SMEM((1, 1), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(

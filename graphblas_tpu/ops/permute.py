@@ -247,9 +247,16 @@ def _pallas_shuffle(x2d, idx):
 
     def kernel(x_ref, i_ref, o_ref):
         # keep indices int32 even when jax_enable_x64 is on (Mosaic is 32-bit);
-        # tables arrive int8 (4x less HBM traffic) and upcast in VMEM
+        # tables arrive int8 (4x less HBM traffic) and upcast in VMEM.
+        # 8-bit VALUE channels (BFS frontiers) also ride HBM as int8 and are
+        # gathered as int32 in VMEM (dynamic_gather int8 support is partial).
         with jax.enable_x64(False):
-            o_ref[:] = jnp.take_along_axis(x_ref[:], i_ref[:].astype(jnp.int32), axis=1)
+            x = x_ref[:]
+            io_dtype = x.dtype
+            if io_dtype.itemsize == 1:
+                x = x.astype(jnp.int32)
+            out = jnp.take_along_axis(x, i_ref[:].astype(jnp.int32), axis=1)
+            o_ref[:] = out.astype(io_dtype)
 
     return pl.pallas_call(
         kernel,

@@ -19,7 +19,7 @@ def main():
     from graphblas_tpu.ops.pallas_scan import segmented_scan, segmented_scan_contrib
     from graphblas_tpu.ops.permute import apply_plan
 
-    plan = fs.load_spmv_plan(os.path.join(tempfile.gettempdir(), "gbtpu_plan_v2_s19_e16_5.npz"))
+    plan = fs.load_spmv_plan(os.path.join(tempfile.gettempdir(), "gbtpu_plan_v3_s19_e16_5.npz"))
     n, e_pad = plan.n, plan.e_pad
     K = 10
 

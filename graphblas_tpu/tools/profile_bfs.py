@@ -34,7 +34,7 @@ def main():
     from graphblas_tpu.ops import fastspmv as fs
 
     cache = os.environ.get("GRAPHBLAS_BENCH_CACHE", tempfile.gettempdir())
-    plan_path = os.path.join(cache, f"gbtpu_plan_v2_s{args.scale}_e{args.ef}_5.npz")
+    plan_path = os.path.join(cache, f"gbtpu_plan_v3_s{args.scale}_e{args.ef}_5.npz")
     plan = fs.load_spmv_plan(plan_path)
     gdata = np.load(os.path.join(cache, f"gbtpu_graph_s{args.scale}_e{args.ef}_5.npz"))
     n = int(gdata["n"][0])

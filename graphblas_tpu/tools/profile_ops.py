@@ -27,7 +27,7 @@ def main():
     from graphblas_tpu.ops.permute import apply_plan
 
     cache = tempfile.gettempdir()
-    plan = fs.load_spmv_plan(os.path.join(cache, "gbtpu_plan_v2_s19_e16_5.npz"))
+    plan = fs.load_spmv_plan(os.path.join(cache, "gbtpu_plan_v3_s19_e16_5.npz"))
     n, e_pad = plan.n, plan.e_pad
     x = jnp.ones((n,), jnp.float32)
     xe = jnp.ones((e_pad,), jnp.float32)

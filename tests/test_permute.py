@@ -105,3 +105,115 @@ def test_spmv_empty_rows(rng):
     expected[5] = 1.0 * x[0] + 2.0 * x[1]
     expected[7] = 3.0 * x[0]
     np.testing.assert_allclose(y, expected, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Loop-layout (v3) algorithm paths: state in the edge space, ONE loop network
+# per iteration (fastspmv.spmv_state/state_to_start/state_to_n)
+# ---------------------------------------------------------------------------
+
+
+def _nasty_graph(rng, n=150, e=600):
+    """Random graph with isolated vertices, dangling vertices, and vertices
+    with in-edges only / out-edges only (the loop-layout edge cases)."""
+    # confine edges to a subrange so ~20% of vertices are isolated
+    src = rng.integers(0, int(n * 0.8), e).astype(np.int32)
+    dst = rng.integers(0, int(n * 0.9), e).astype(np.int32)
+    # a pure sink (in-edges only): retarget some edges to n-1... keep random
+    w = (rng.random(e) * 3 + 0.05).astype(np.float32)
+    return src, dst, w
+
+
+def test_loop_bfs_matches_v1(rng):
+    from graphblas_tpu.models import fast as mf
+
+    n = 150
+    src, dst, w = _nasty_graph(rng, n)
+    plan = build_spmv_plan(src, dst, w, n=n)
+    assert plan.loop_plan is not None
+    for source in [int(src[0]), int(dst[0]), n - 1, 0]:
+        got = np.asarray(mf._bfs_loop_v3(plan, source, n))
+        ref = np.array(mf._bfs_loop(plan, source, n))
+        ref[source] = 0  # v1 also reports 0 for the source
+        np.testing.assert_array_equal(got, ref, err_msg=f"source={source}")
+
+
+def test_loop_bfs_source_without_out_edges(rng):
+    from graphblas_tpu.models import fast as mf
+
+    n = 140
+    src = np.array([0, 1, 2], np.int32)
+    dst = np.array([1, 2, 0], np.int32)
+    plan = build_spmv_plan(src, dst, None, n=n)
+    # vertex 10 has no edges at all: BFS from it = only itself
+    got = np.asarray(mf._bfs_loop_v3(plan, 10, n))
+    expected = np.full(n, -1, np.int32)
+    expected[10] = 0
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_loop_sssp_matches_v1(rng):
+    from graphblas_tpu.models import fast as mf
+
+    n = 150
+    src, dst, w = _nasty_graph(rng, n)
+    plan = build_spmv_plan(src, dst, w, n=n)
+    for source in [int(src[0]), n - 1]:
+        got = np.asarray(mf._sssp_loop_v3(plan, source, n))
+        ref = np.array(mf._sssp_loop(plan, source, n))
+        ref[source] = 0.0
+        np.testing.assert_allclose(got, ref, rtol=1e-5, err_msg=f"source={source}")
+
+
+def test_loop_pagerank_matches_v1(rng):
+    import jax.numpy as jnp
+
+    from graphblas_tpu.models import fast as mf
+
+    n = 150
+    src, dst, w = _nasty_graph(rng, n)
+    plan = build_spmv_plan(src, dst, w, n=n)
+    outdeg = jnp.asarray(np.bincount(src, minlength=n).astype(np.int32))
+    got, _ = mf._pagerank_loop_v3(plan, n, jnp.float32(0.85), 0.0, 20)
+    ref, _ = mf._pagerank_loop(plan, outdeg, n, jnp.float32(0.85), 0.0, 20)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=1e-9)
+    assert abs(float(np.asarray(got).sum()) - 1.0) < 1e-3
+
+
+def test_loop_pagerank_tol_mode(rng):
+    import jax.numpy as jnp
+
+    from graphblas_tpu.models import fast as mf
+
+    n = 150
+    src, dst, w = _nasty_graph(rng, n)
+    plan = build_spmv_plan(src, dst, w, n=n)
+    r, iters = mf._pagerank_loop_v3(plan, n, jnp.float32(0.85), 1e-7, 200)
+    outdeg = jnp.asarray(np.bincount(src, minlength=n).astype(np.int32))
+    ref, _ = mf._pagerank_loop(plan, outdeg, n, jnp.float32(0.85), 1e-7, 200)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(ref), rtol=1e-3, atol=1e-8)
+    assert 1 < int(iters) < 200
+
+
+def test_loop_plan_roundtrip(rng, tmp_path):
+    """save/load must preserve the v3 loop-layout fields."""
+    import jax.numpy as jnp
+
+    from graphblas_tpu.models import fast as mf
+    from graphblas_tpu.ops.fastspmv import load_spmv_plan, save_spmv_plan
+
+    n = 130
+    src, dst, w = _nasty_graph(rng, n, 400)
+    plan = build_spmv_plan(src, dst, w, n=n)
+    path = tmp_path / "plan_v3.npz"
+    save_spmv_plan(plan, str(path))
+    plan2 = load_spmv_plan(str(path))
+    assert plan2.loop_plan is not None
+    assert plan2.k_iso_dangling == plan.k_iso_dangling
+    s = int(src[0])
+    np.testing.assert_array_equal(
+        np.asarray(mf._bfs_loop_v3(plan, s, n)), np.asarray(mf._bfs_loop_v3(plan2, s, n))
+    )
+    np.testing.assert_allclose(
+        np.asarray(mf._sssp_loop_v3(plan, s, n)), np.asarray(mf._sssp_loop_v3(plan2, s, n))
+    )
