@@ -144,7 +144,18 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
     out_cls = Matrix if self.ndim == 2 else Vector
     op_resolved, opclass = find_opclass(op if not isinstance(op, str) else None)
     if isinstance(op, str):
-        op = get_typed_op(op, self.dtype, kind="unary|binary")
+        from .operator.utils import resolve_op_string
+
+        # a string + second positional arg may name an indexunary op with a
+        # thunk, e.g. v.apply("rowindex", 0) (reference apply string dispatch)
+        if right is not None and thunk is None:
+            try:
+                op = resolve_op_string(op, "indexunary")
+                right, thunk = None, right
+            except ValueError:
+                op = get_typed_op(op, self.dtype, kind="unary|binary")
+        else:
+            op = get_typed_op(op, self.dtype, kind="unary|binary")
         op_resolved, opclass = find_opclass(op)
 
     if opclass in {"IndexUnaryOp", "SelectOp"}:
@@ -272,12 +283,58 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
 
 
 def select_expr(self, op, thunk=None):
-    """GrB_select (reference: core/matrix.py:2534-2635)."""
-    from .matrix import Matrix
+    """GrB_select (reference: core/matrix.py:2534-2635).
+
+    Besides SelectOps and comparison strings, accepts a Mask or a boolean
+    collection/expression (reference: core/vector.py:1565-1596): entries of
+    ``self`` are kept where the mask is true.
+    """
+    from .expr import AmbiguousAssignOrExtract
+    from .mask import Mask, ValueMask
+    from .matrix import Matrix, TransposedMatrix
     from .vector import Vector
 
-    if isinstance(op, str) and thunk is None and any(c in op for c in "<>=!"):
-        op, thunk = _parse_select_string(op)
+    if isinstance(op, str) and any(c in op for c in "<>=!"):
+        if thunk is None:
+            op, thunk = _parse_select_string(op)
+        else:
+            op = _bare_select_op(op)
+    mask_obj = None
+    if isinstance(op, Mask):
+        mask_obj = op
+    elif isinstance(op, (BaseExpression, AmbiguousAssignOrExtract, TransposedMatrix)):
+        mask_obj = ValueMask(op.new())
+    elif isinstance(op, (Vector, Matrix)):
+        mask_obj = ValueMask(op)
+    if mask_obj is not None:
+        if thunk is not None:
+            raise TypeError(
+                "thunk argument not None when calling select with mask or boolean object"
+            )
+        if mask_obj.parent.shape != self.shape:
+            raise _exc.DimensionMismatch(
+                f"select mask shape {mask_obj.parent.shape} != {self.shape}"
+            )
+        out_cls_m = Matrix if self.ndim == 2 else Vector
+
+        def compute_mask():
+            import jax.numpy as jnp
+
+            v, s = _arrays_of(self)
+            keep = s & mask_obj._bits()
+            vv = _dm.tmap(lambda a: jnp.where(keep, a, jnp.zeros_like(a)), v)
+            return vv, keep
+
+        return BaseExpression(
+            "select",
+            out_cls_m,
+            compute_mask,
+            op=None,
+            dtype=self.dtype,
+            shape=self.shape,
+            args=(self,),
+            opname="select[mask]",
+        )
     out_cls = Matrix if self.ndim == 2 else Vector
     op_t = get_typed_op(op, self.dtype, kind="select")
     thunk_s = _as_scalar(thunk if thunk is not None else 0, getattr(op_t.parent, "_thunk_dtype", None))
@@ -316,6 +373,21 @@ def _parse_select_string(string):
     import graphblas_tpu.select as select_mod
 
     return getattr(select_mod, cmp_map[m.group(1)]), thunk
+
+
+def _bare_select_op(string):
+    """Comparison string with the thunk passed separately: select("==", 1),
+    select("index<", 4), select("row<=", 2) (reference select.from_string)."""
+    import re
+
+    m = re.match(r"(value|index|row|col|column)?\s*(==|!=|<=|>=|<|>)$", string.strip())
+    if m is None:
+        raise ValueError(f"Unknown op string for kind=select: {string!r}")
+    prefix = {None: "value", "value": "value", "index": "index", "row": "row", "col": "col", "column": "col"}[m.group(1)]
+    suffix = {"==": "eq", "!=": "ne", "<": "lt", "<=": "le", ">": "gt", ">=": "ge"}[m.group(2)]
+    import graphblas_tpu.select as select_mod
+
+    return getattr(select_mod, prefix + suffix)
 
 
 def reduce_axis_expr(self, monoid, axis, method_name):
@@ -640,6 +712,16 @@ def do_assign(self, resolved, value, *, mask, accum, replace, is_submask):
         sc = Scalar(self.dtype)
         sc.value = value
         value = sc
+    elif isinstance(value, (list, tuple, np.ndarray)):
+        # dense array assignment: v[[0, 1]] = [31, 32] (reference
+        # core/vector.py:1702 accepts array-likes in assign)
+        arr = np.asarray(value)
+        if arr.ndim == 1:
+            value = Vector.from_dense(arr, dtype=self.dtype)
+        elif arr.ndim == 2:
+            value = Matrix.from_dense(arr, dtype=self.dtype)
+        else:
+            raise TypeError(f"Bad type for assignment value: {type(value)}")
     if _is_scalar_like(value) or isinstance(value, Scalar):
         sc = _as_scalar(value)
         if sc.is_empty:

@@ -43,6 +43,13 @@ def _parse_one(index, dim_size, dim_name):
         arr = np.arange(*index.indices(dim_size), dtype=np.int64)
         return _DimIndex("array", arr, len(arr))
     if isinstance(index, (list, tuple, np.ndarray, range)):
+        if isinstance(index, (list, tuple)) and any(isinstance(ix, Scalar) for ix in index):
+            # lists may mix ints with integer Scalars (reference
+            # test_vector_index_with_scalar)
+            index = [
+                int(_parse_one(ix, dim_size, dim_name).index) if isinstance(ix, Scalar) else ix
+                for ix in index
+            ]
         arr = np.asarray(index)
         if arr.size == 0:
             arr = arr.astype(np.int64)

@@ -25,7 +25,12 @@ def _is_scalar_like(x):
 
 
 def _as_scalar(value, dtype=None, *, is_cscalar=False):
-    """Coerce to Scalar (reference: core/scalar.py:1150)."""
+    """Coerce to Scalar (reference: core/scalar.py:1150).  Scalar-valued
+    expressions (e.g. composite aggregator finalizers) are materialized."""
+    if isinstance(value, BaseExpression):
+        if value._output_type is not Scalar:
+            raise TypeError(f"Cannot coerce {value._output_type.__name__} expression to Scalar")
+        value = value.new()
     if isinstance(value, Scalar):
         if dtype is not None and value.dtype != _dt.lookup_dtype(dtype):
             return value.dup(dtype)
