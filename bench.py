@@ -134,10 +134,10 @@ def main():
         from graphblas_tpu.core import dtypes as dtmod
 
         rng_l = np.random.default_rng(7)
-        # clustered graph (cliques of 16 + random edges): real intersection
+        # clustered graph (cliques + random edges): real intersection
         # work, like the community structure of the GAP TC inputs
         ns = 1 << 16
-        csize = 32  # divides ns
+        csize = 64  # divides ns
         base = np.arange(ns) - (np.arange(ns) % csize)
         rs_list, cs_list = [], []
         for d in range(1, csize):
@@ -155,20 +155,23 @@ def main():
         mr, mc = lsp.rows, lsp.cols
         from graphblas_tpu.core.sparse import sparse_spgemm_analyze, sparse_spgemm_execute
 
-        task_plan = sparse_spgemm_analyze(lsp, usp, mr, mc)  # pattern analysis, once
+        task_plan = sparse_spgemm_analyze(lsp, usp, mr, mc, bricks=True)  # pattern analysis, once
 
-        def run():
+        def run_once():
             acc, hit, flops_dev = sparse_spgemm_execute(
                 task_plan, sr, dtmod.FP32, keep_on_device=True
             )
-            # force with scalar reads (result stays on device, like a real
-            # algebra pipeline feeding the next op)
-            return float(jnp.sum(acc)), int(flops_dev)
+            return acc, flops_dev
 
-        run()  # warm (compile)
+        acc, flops_dev = run_once()  # warm (compile)
+        flops = int(flops_dev)  # constant across runs: read outside timing
+        _force(acc)
+        reps = 5
         t0 = time.perf_counter()
-        _, flops = run()
-        dt = time.perf_counter() - t0
+        for _ in range(reps):
+            acc, _ = run_once()
+        _force(acc)  # device queue is in-order: forcing the last waits for all
+        dt = (time.perf_counter() - t0 - floor) / reps
         return flops / dt / 1e9, int(lsp.nvals)
 
     try:

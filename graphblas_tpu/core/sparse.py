@@ -583,21 +583,240 @@ class SpgemmPlan:
     tiles resident on device (the pattern-analysis step, done once per
     (A, B, M) pattern; re-executed cheaply when values change)."""
 
-    __slots__ = ("m_rows", "m_cols", "n_entries", "buckets")
+    __slots__ = ("m_rows", "m_cols", "n_entries", "buckets", "brick", "_exec")
 
-    def __init__(self, m_rows, m_cols, n_entries, buckets):
+    def __init__(self, m_rows, m_cols, n_entries, buckets, brick=None):
         self.m_rows = m_rows
         self.m_cols = m_cols
         self.n_entries = n_entries
-        self.buckets = buckets  # [(W, task_entry, multi_task, ak, av, bk, bv)]
+        self.buckets = buckets  # [((Wa, Wb), task_entry, multi_task, ak, av, bk, bv)]
+        self.brick = brick  # SpgemmBrickPlan | None
+        self._exec = {}  # (sr, out_dtype, backend) -> jitted executor
 
 
-def sparse_spgemm_analyze(a_sp, b_sp, m_rows, m_cols):
-    """Build the task plan for C(M) = A (.) B (dot method, host-side)."""
+class SpgemmBrickPlan:
+    """MXU path for block-dense regions of C(M) = A (.) B: where the mask and
+    both operands are dense in 128x128 bricks, the per-entry key intersections
+    become batched brick matmuls (plus an indicator matmul for the match
+    counts/structure).  The sparse remainder (A_rest x B plus A_dense x
+    B_rest) stays on the eq-join kernel with rectangular tiles."""
+
+    __slots__ = ("a_bricks", "b_bricks", "a_idx", "b_idx", "entry_cell", "kmax")
+
+    def __init__(self, a_bricks, b_bricks, a_idx, b_idx, entry_cell, kmax):
+        self.a_bricks = a_bricks  # device (NA+1, 128, 128) f32; last = zeros
+        self.b_bricks = b_bricks  # device (NB+1, 128, 128) f32
+        self.a_idx = a_idx  # device (CB, kmax) int32 into a_bricks
+        self.b_idx = b_idx  # device (CB, kmax) int32 into b_bricks
+        # per mask entry: flat cell in the (CB*16384,) brick output, or the
+        # sentinel CB*16384 (a zero pad slot) for entries outside dense bricks
+        self.entry_cell = entry_cell  # device (n_entries,) int32
+        self.kmax = kmax
+
+
+def _pow2ceil(x):
+    return 1 << np.ceil(np.log2(np.maximum(x, 1))).astype(np.int64)
+
+
+def _pow4ceil(x):
+    """Quantize tile widths to powers of 4 (4, 16, 64, 256): fewer buckets
+    means fewer kernel launches; padding waste is bounded at 4x of a cheap
+    fully-vectorized compare."""
+    lg = np.ceil(np.log2(np.maximum(x, 1)))
+    return (1 << (2 * ((lg.astype(np.int64) + 1) // 2))).astype(np.int64)
+
+
+def _build_eq_tasks(out, entry_idx, mr, mc, a_indptr, a_keys, a_vals, b_indptr, b_keys, b_vals):
+    """Collect rectangular eq-join tasks for a set of mask entries against a
+    CSR-like A-row / B-col segment layout, merging into ``out`` keyed by
+    (Wa, Wb).  ``entry_idx`` are GLOBAL entry ids (several groups feed the
+    same segment-combine space)."""
+    if len(entry_idx) == 0:
+        return
+    da = (a_indptr[mr + 1] - a_indptr[mr]).astype(np.int64)
+    db = (b_indptr[mc + 1] - b_indptr[mc]).astype(np.int64)
+    wa_e = np.minimum(_SPGEMM_WMAX, np.maximum(4, _pow4ceil(da)))
+    wb_e = np.minimum(_SPGEMM_WMAX, np.maximum(4, _pow4ceil(db)))
+    nva = max(len(a_keys), 1)
+    nvb = max(len(b_keys), 1)
+    a_keys = a_keys if len(a_keys) else np.zeros(1, np.int64)
+    b_keys = b_keys if len(b_keys) else np.zeros(1, np.int64)
+    a_vals = a_vals if len(a_vals) else np.zeros(1, np.float64)
+    b_vals = b_vals if len(b_vals) else np.zeros(1, np.float64)
+    pairs = wa_e * (1 << 20) + wb_e
+    for key in np.unique(pairs):
+        Wa, Wb = int(key >> 20), int(key & ((1 << 20) - 1))
+        in_bucket = np.flatnonzero((pairs == key) & (da > 0) & (db > 0))
+        if in_bucket.size == 0:
+            continue
+        dab, dbb = da[in_bucket], db[in_bucket]
+        na = -(-dab // Wa)
+        nb = -(-dbb // Wb)
+        ntasks = na * nb
+        rep = np.repeat(np.arange(len(in_bucket)), ntasks)
+        task_local = in_bucket[rep]
+        task_entry = entry_idx[task_local]
+        offs = np.concatenate([[0], np.cumsum(ntasks)])
+        local = np.arange(offs[-1]) - offs[rep]
+        nb_rep = np.repeat(nb, ntasks)
+        ta = local // np.maximum(nb_rep, 1)
+        tb = local % np.maximum(nb_rep, 1)
+        a_start = a_indptr[mr[task_local]] + ta * Wa
+        b_start = b_indptr[mc[task_local]] + tb * Wb
+        a_len = np.minimum(da[task_local] - ta * Wa, Wa)
+        b_len = np.minimum(db[task_local] - tb * Wb, Wb)
+        ai = a_start[:, None] + np.arange(Wa)[None, :]
+        bi = b_start[:, None] + np.arange(Wb)[None, :]
+        am = np.arange(Wa)[None, :] < a_len[:, None]
+        bm = np.arange(Wb)[None, :] < b_len[:, None]
+        ak = np.where(am, a_keys[np.minimum(ai, nva - 1)], -1)
+        bk = np.where(bm, b_keys[np.minimum(bi, nvb - 1)], -2)
+        av = np.where(am, a_vals[np.minimum(ai, nva - 1)], 0)
+        bv = np.where(bm, b_vals[np.minimum(bi, nvb - 1)], 0)
+        out.setdefault((Wa, Wb), []).append((task_entry, ak, av, bk, bv))
+
+
+def _finalize_eq_buckets(task_groups, n_entries_cap):
+    """Pad merged (Wa, Wb) task groups and upload in the kernel's
+    tasks-on-lanes layout."""
     import jax.numpy as jnp
 
+    buckets = []
+    for (Wa, Wb), parts in sorted(task_groups.items()):
+        task_entry = np.concatenate([p[0] for p in parts])
+        ak = np.concatenate([p[1] for p in parts])
+        av = np.concatenate([p[2] for p in parts])
+        bk = np.concatenate([p[3] for p in parts])
+        bv = np.concatenate([p[4] for p in parts])
+        if len(parts) > 1 and np.any(task_entry[1:] < task_entry[:-1]):
+            # keep tasks grouped by entry id: the exotic-monoid segment
+            # reduce relies on contiguous segments
+            order = np.argsort(task_entry, kind="stable")
+            task_entry = task_entry[order]
+            ak, av, bk, bv = ak[order], av[order], bk[order], bv[order]
+        T = len(task_entry)
+        # pad task count to the chunk size; chunk is a multiple of the
+        # Pallas eq-join tile (512 lanes) so both execute paths tile evenly,
+        # and never larger than the padded task count itself
+        chunk = max(512, _SPGEMM_EQ_BUDGET // (Wa * Wb) // 512 * 512)
+        chunk = min(chunk, -(-T // 512) * 512)
+        pad = (-T) % chunk
+        if pad:
+            ak = np.pad(ak, ((0, pad), (0, 0)), constant_values=-1)
+            bk = np.pad(bk, ((0, pad), (0, 0)), constant_values=-2)
+            av = np.pad(av, ((0, pad), (0, 0)))
+            bv = np.pad(bv, ((0, pad), (0, 0)))
+        idt = np.int32 if n_entries_cap < (1 << 31) else np.int64
+        kdt32 = np.int32 if max(int(ak.max(initial=0)), int(bk.max(initial=0)), 2) < (1 << 31) else np.int64
+        multi = np.ones(T, bool)  # merged groups: entries may span buckets
+        buckets.append(
+            (
+                (Wa, Wb),
+                task_entry,
+                multi,
+                jnp.asarray(np.ascontiguousarray(ak.T.astype(kdt32))),
+                jnp.asarray(np.ascontiguousarray(av.T)),
+                jnp.asarray(np.ascontiguousarray(bk.T.astype(kdt32))),
+                jnp.asarray(np.ascontiguousarray(bv.T)),
+                chunk,
+                jnp.asarray(task_entry.astype(idt)),
+            )
+        )
+    return buckets
+
+
+def _in_sorted(values, sorted_arr):
+    if sorted_arr.size == 0:
+        return np.zeros(values.shape, bool)
+    pos = np.searchsorted(sorted_arr, values)
+    pos_c = np.minimum(pos, len(sorted_arr) - 1)
+    return sorted_arr[pos_c] == values
+
+
+def _analyze_bricks(a_sp, b_sp, b_order, m_rows, m_cols, thresh):
+    """Find block-dense structure; returns (SpgemmBrickPlan, in_dense_entry)
+    or (None, None) when the pattern has no brick-worthy region."""
+    import jax.numpy as jnp
+
+    nbc = -(-b_sp.ncols // 128)
+    nbk = -(-a_sp.ncols // 128)
+    cb = (m_rows >> 7) * nbc + (m_cols >> 7)
+    ubr, ucnt = np.unique(cb, return_counts=True)
+    dense_cb = ubr[ucnt >= thresh]
+    ab = (a_sp.rows >> 7) * nbk + (a_sp.cols >> 7)
+    uab, uacnt = np.unique(ab, return_counts=True)
+    dense_ab = uab[uacnt >= thresh]
+    b_rows = b_sp.rows[b_order]
+    b_cols = b_sp.cols[b_order]
+    bb = (b_rows >> 7) * nbc + (b_cols >> 7)
+    udb, udcnt = np.unique(bb, return_counts=True)
+    dense_bb = udb[udcnt >= thresh]
+    if dense_cb.size == 0 or dense_ab.size == 0 or dense_bb.size == 0:
+        return None, None
+    in_dense = _in_sorted(cb, dense_cb)
+    a_in = _in_sorted(ab, dense_ab)
+    b_in = _in_sorted(bb, dense_bb)
+
+    NA, NB, CB = len(dense_ab), len(dense_bb), len(dense_cb)
+    a_bricks = np.zeros((NA + 1, 128, 128), np.float32)
+    apos = np.searchsorted(dense_ab, ab[a_in])
+    a_bricks[apos, a_sp.rows[a_in] & 127, a_sp.cols[a_in] & 127] = a_sp.vals[a_in].astype(np.float32)
+    b_bricks = np.zeros((NB + 1, 128, 128), np.float32)
+    bpos = np.searchsorted(dense_bb, bb[b_in])
+    b_bricks[bpos, b_rows[b_in] & 127, b_cols[b_in] & 127] = b_sp.vals[b_order][b_in].astype(np.float32)
+
+    # task lists: for C brick (bi, bj), every k with A(bi, k) and B(k, bj) dense
+    a_by_row = {}
+    for idx, key in enumerate(dense_ab):
+        a_by_row.setdefault(int(key) // nbk, []).append((int(key) % nbk, idx))
+    b_by_col = {}
+    for idx, key in enumerate(dense_bb):
+        b_by_col.setdefault(int(key) % nbc, {})[int(key) // nbc] = idx
+    tasks = []
+    for c_i, key in enumerate(dense_cb):
+        bi, bj = int(key) // nbc, int(key) % nbc
+        row_ks = a_by_row.get(bi, [])
+        col_ks = b_by_col.get(bj, {})
+        tasks.append([(ai_, col_ks[k]) for k, ai_ in row_ks if k in col_ks])
+    kmax = max((len(t) for t in tasks), default=0)
+    if kmax == 0:
+        return None, None
+    a_idx = np.full((CB, kmax), NA, np.int32)
+    b_idx = np.full((CB, kmax), NB, np.int32)
+    for c_i, t in enumerate(tasks):
+        for j, (ai_, bi_) in enumerate(t):
+            a_idx[c_i, j] = ai_
+            b_idx[c_i, j] = bi_
+
+    # per-entry flat cell into the (CB*16384,) brick output (+1 zero pad slot)
+    pos = np.searchsorted(dense_cb, cb)
+    cell = np.full(len(m_rows), CB * 16384, np.int64)
+    cell[in_dense] = pos[in_dense] * 16384 + (m_rows[in_dense] & 127) * 128 + (m_cols[in_dense] & 127)
+    cdt = np.int32 if CB * 16384 + 1 < (1 << 31) else np.int64
+    plan = SpgemmBrickPlan(
+        jnp.asarray(a_bricks),
+        jnp.asarray(b_bricks),
+        jnp.asarray(a_idx),
+        jnp.asarray(b_idx),
+        jnp.asarray(cell.astype(cdt)),
+        kmax,
+    )
+    return plan, in_dense
+
+
+def sparse_spgemm_analyze(a_sp, b_sp, m_rows, m_cols, *, bricks=False, brick_thresh=1024):
+    """Build the task plan for C(M) = A (.) B (host-side pattern analysis).
+
+    ``bricks=True`` additionally detects 128x128 block-dense regions (of the
+    mask AND both operands) and plans them as batched MXU matmuls; only valid
+    when the semiring executes as plus_pair / plus_times over f32 (the
+    execute step asserts this).  The remainder — sparse-region entries, plus
+    each dense entry's (A_rest x B) and (A_dense x B_rest) contributions —
+    stays on the rectangular eq-join path.
+    """
     m_rows = np.asarray(m_rows, np.int64)
     m_cols = np.asarray(m_cols, np.int64)
+    n_entries = len(m_rows)
     a_indptr = np.searchsorted(a_sp.rows, np.arange(a_sp.nrows + 1))
     b_order = b_sp.col_order()
     b_order_cols = b_sp.cols[b_order]
@@ -606,68 +825,65 @@ def sparse_spgemm_analyze(a_sp, b_sp, m_rows, m_cols):
     a_vals_all = a_sp.vals
     b_keys_all = b_sp.rows[b_order]
     b_vals_all = b_sp.vals[b_order]
+    if max(a_sp.ncols, b_sp.nrows, 2) < (1 << 31):
+        # narrow keys before tile construction: tiles are the big host arrays
+        a_keys_all = a_keys_all.astype(np.int32)
+        b_keys_all = b_keys_all.astype(np.int32)
 
-    da = (a_indptr[m_rows + 1] - a_indptr[m_rows]).astype(np.int64)
-    db = (b_indptr[m_cols + 1] - b_indptr[m_cols]).astype(np.int64)
-    w_entry = np.maximum(np.maximum(da, db), 1)
-    w_entry = np.minimum(
-        _SPGEMM_WMAX, np.maximum(4, 1 << np.ceil(np.log2(w_entry)).astype(np.int64))
-    )
-    buckets = []
-    for W in np.unique(w_entry):
-        W = int(W)
-        in_bucket = np.flatnonzero((w_entry == W) & (da > 0) & (db > 0))
-        if in_bucket.size == 0:
-            continue
-        dab, dbb = da[in_bucket], db[in_bucket]
-        na = -(-dab // W)
-        nb = -(-dbb // W)
-        ntasks = na * nb
-        rep = np.repeat(np.arange(len(in_bucket)), ntasks)
-        task_entry = in_bucket[rep]
-        offs = np.concatenate([[0], np.cumsum(ntasks)])
-        local = np.arange(offs[-1]) - offs[rep]
-        nb_rep = np.repeat(nb, ntasks)
-        ta = local // np.maximum(nb_rep, 1)
-        tb = local % np.maximum(nb_rep, 1)
-        a_start = a_indptr[m_rows[task_entry]] + ta * W
-        b_start = b_indptr[m_cols[task_entry]] + tb * W
-        a_len = np.minimum(da[task_entry] - ta * W, W)
-        b_len = np.minimum(db[task_entry] - tb * W, W)
-        T = len(task_entry)
-        iota = np.arange(W)
-        ai = a_start[:, None] + iota[None, :]
-        bi = b_start[:, None] + iota[None, :]
-        am = iota[None, :] < a_len[:, None]
-        bm = iota[None, :] < b_len[:, None]
-        ak = np.where(am, a_keys_all[np.minimum(ai, a_sp.nvals - 1)], -1)
-        bk = np.where(bm, b_keys_all[np.minimum(bi, b_sp.nvals - 1)], -2)
-        av = np.where(am, a_vals_all[np.minimum(ai, a_sp.nvals - 1)], 0)
-        bv = np.where(bm, b_vals_all[np.minimum(bi, b_sp.nvals - 1)], 0)
-        multi = np.repeat(ntasks > 1, ntasks)
-        # pad task count to the chunk size (single lax.map dispatch/bucket)
-        chunk = max(64, _SPGEMM_EQ_BUDGET // (W * W))
-        pad = (-T) % chunk
-        if pad:
-            ak = np.pad(ak, ((0, pad), (0, 0)), constant_values=-1)
-            bk = np.pad(bk, ((0, pad), (0, 0)), constant_values=-2)
-            av = np.pad(av, ((0, pad), (0, 0)))
-            bv = np.pad(bv, ((0, pad), (0, 0)))
-        idt = np.int32 if len(m_rows) < (1 << 31) else np.int64
-        buckets.append(
-            (
-                W,
-                task_entry,
-                multi,
-                jnp.asarray(ak.astype(np.int32 if max(a_sp.ncols, 2) < (1 << 31) else np.int64)),
-                jnp.asarray(av),
-                jnp.asarray(bk.astype(np.int32 if max(b_sp.nrows, 2) < (1 << 31) else np.int64)),
-                jnp.asarray(bv),
-                chunk,
-                jnp.asarray(task_entry.astype(idt)),
-            )
+    brick = in_dense = None
+    if bricks:
+        brick, in_dense = _analyze_bricks(a_sp, b_sp, b_order, m_rows, m_cols, brick_thresh)
+
+    all_idx = np.arange(n_entries)
+    if brick is None:
+        groups = {}
+        _build_eq_tasks(
+            groups, all_idx, m_rows, m_cols, a_indptr, a_keys_all, a_vals_all, b_indptr, b_keys_all, b_vals_all
         )
-    return SpgemmPlan(m_rows, m_cols, len(m_rows), buckets)
+        return SpgemmPlan(m_rows, m_cols, n_entries, _finalize_eq_buckets(groups, n_entries), None)
+
+    # split operand entries into dense-brick / rest parts (order-preserving
+    # boolean selection keeps A row-sorted and B col-sorted)
+    nbk = -(-a_sp.ncols // 128)
+    nbc = -(-b_sp.ncols // 128)
+    ab = (a_sp.rows >> 7) * nbk + (a_sp.cols >> 7)
+    uab, uacnt = np.unique(ab, return_counts=True)
+    a_in = _in_sorted(ab, uab[uacnt >= brick_thresh])
+    b_rows_o = b_sp.rows[b_order]
+    b_cols_o = b_sp.cols[b_order]
+    bb = (b_rows_o >> 7) * nbc + (b_cols_o >> 7)
+    udb, udcnt = np.unique(bb, return_counts=True)
+    b_in = _in_sorted(bb, udb[udcnt >= brick_thresh])
+
+    def sub_rows(sel):
+        rows = a_sp.rows[sel]
+        return np.searchsorted(rows, np.arange(a_sp.nrows + 1)), a_keys_all[sel], a_vals_all[sel]
+
+    def sub_cols(sel):
+        cols = b_order_cols[sel]
+        return np.searchsorted(cols, np.arange(b_sp.ncols + 1)), b_keys_all[sel], b_vals_all[sel]
+
+    ad_indptr, ad_keys, ad_vals = sub_rows(a_in)
+    ar_indptr, ar_keys, ar_vals = sub_rows(~a_in)
+    br_indptr, br_keys, br_vals = sub_cols(~b_in)
+
+    sparse_idx = all_idx[~in_dense]
+    dense_idx = all_idx[in_dense]
+    groups = {}
+    _build_eq_tasks(
+        groups, sparse_idx, m_rows[~in_dense], m_cols[~in_dense],
+        a_indptr, a_keys_all, a_vals_all, b_indptr, b_keys_all, b_vals_all,
+    )
+    # dense-entry remainder: A_rest x B_full  +  A_dense x B_rest
+    _build_eq_tasks(
+        groups, dense_idx, m_rows[in_dense], m_cols[in_dense],
+        ar_indptr, ar_keys, ar_vals, b_indptr, b_keys_all, b_vals_all,
+    )
+    _build_eq_tasks(
+        groups, dense_idx, m_rows[in_dense], m_cols[in_dense],
+        ad_indptr, ad_keys, ad_vals, br_indptr, br_keys, br_vals,
+    )
+    return SpgemmPlan(m_rows, m_cols, n_entries, _finalize_eq_buckets(groups, n_entries), brick)
 
 
 def sparse_spgemm_execute(plan, sr, out_dtype, *, keep_on_device=False):
@@ -694,21 +910,112 @@ def sparse_spgemm_execute(plan, sr, out_dtype, *, keep_on_device=False):
 
     import functools as _ft
 
-    bucket_meta = [(b[0], b[7]) for b in plan.buckets]  # (W, chunk) static
+    bucket_meta = [(b[0], b[7]) for b in plan.buckets]  # ((Wa, Wb), chunk) static
+    brick = plan.brick
+    if brick is not None and not (
+        name == "plus" and mul.parent.name in ("pair", "times") and out_np == np.float32
+    ):
+        raise ValueError(
+            "brick-analyzed SpGEMM plan requires a plus_pair/plus_times f32 semiring; "
+            "re-analyze with bricks=False"
+        )
 
-    @jax.jit
-    def exec_all(bucket_arrays):
-        acc = jnp.zeros((n_entries,), out_np)
-        hit = jnp.zeros((n_entries,), bool)
-        flops = jnp.zeros((), jnp.int32)
-        for (W, chunk), (ak, av, bk, bv, ids) in zip(bucket_meta, bucket_arrays):
-            y, ys, nm = bucket_body(ak, av, bk, bv, ids, chunk)
-            acc = jnp.where(ys, y, acc)
-            hit = hit | ys
-            flops = flops + nm
-        return acc, hit, flops
+    def _build_exec():
+        # jitted ONCE per (plan, semiring, dtype): plans are reused across
+        # value changes, so per-call re-tracing would dominate the runtime
 
-    def bucket_body(ak, av, bk, bv, entry_ids, chunk):
+        @jax.jit
+        def exec_all(bucket_arrays, brick_arrays):
+            acc = jnp.zeros((n_entries,), out_np)
+            hit = jnp.zeros((n_entries,), bool)
+            flops = jnp.zeros((), jnp.int32)
+            if name in _SEGMENT_OPS:
+                # standard monoid: ONE global unordered segment reduce over
+                # every bucket's tasks (2 scatters total, not 2 per bucket)
+                vs, nms, idss = [], [], []
+                for (_W, chunk), (ak, av, bk, bv, ids) in zip(bucket_meta, bucket_arrays):
+                    v, nm = bucket_body(ak, av, bk, bv, ids, chunk)
+                    vs.append(v)
+                    nms.append(nm)
+                    idss.append(ids)
+                    flops = flops + jnp.sum(nm)
+                if vs:
+                    all_v = jnp.concatenate(vs)
+                    all_nm = jnp.concatenate(nms)
+                    all_ids = jnp.concatenate(idss)
+                    acc, hit = _segment_reduce(all_v, all_nm > 0, all_ids, n_entries, addm)
+            else:
+                for (_W, chunk), (ak, av, bk, bv, ids) in zip(bucket_meta, bucket_arrays):
+                    v, nm = bucket_body(ak, av, bk, bv, ids, chunk)
+                    y, ys = _segment_reduce(v, nm > 0, ids, n_entries, addm)
+                    # an entry's tasks may span several buckets (dense
+                    # remainders): combine with the monoid, don't overwrite
+                    both = ys & hit
+                    acc = jnp.where(both, addm.fn(acc, y).astype(out_np), jnp.where(ys, y, acc))
+                    hit = hit | ys
+                    flops = flops + jnp.sum(nm)
+            if brick_arrays is not None:
+                a_bricks, b_bricks, a_idx, b_idx, entry_cell = brick_arrays
+                mul_pair = mul.parent.name == "pair"
+
+                def step(k, carry):
+                    accv, accc = carry
+                    a = a_bricks[a_idx[:, k]]
+                    b = b_bricks[b_idx[:, k]]
+                    # indicator products are 0/1 — exact at any precision
+                    cnt = jnp.matmul(
+                        (a != 0).astype(jnp.float32),
+                        (b != 0).astype(jnp.float32),
+                        preferred_element_type=jnp.float32,
+                    )
+                    accc = accc + cnt
+                    if mul_pair:
+                        accv = accv + cnt
+                    else:
+                        # full f32 products: default MXU precision would
+                        # silently round the inputs to bf16 (ADVICE r1 #3)
+                        accv = accv + jnp.matmul(
+                            a, b, precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32,
+                        )
+                    return accv, accc
+
+                CB = a_idx.shape[0]
+                z = jnp.zeros((CB, 128, 128), jnp.float32)
+                accv, accc = jax.lax.fori_loop(0, brick.kmax, step, (z, z))
+                pad1 = jnp.zeros((1,), jnp.float32)
+                dv = jnp.concatenate([accv.reshape(-1), pad1])[entry_cell]
+                dc = jnp.concatenate([accc.reshape(-1), pad1])[entry_cell]
+                dhit = dc > 0
+                acc = jnp.where(dhit & hit, acc + dv.astype(out_np), jnp.where(dhit, dv.astype(out_np), acc))
+                hit = hit | dhit
+                # nmatch units: the caller doubles once into flops
+                flops = flops + jnp.sum(dc, dtype=jnp.int32)
+            return acc, hit, flops
+
+        return exec_all
+
+    def bucket_body(akT, avT, bkT, bvT, entry_ids, chunk):
+        from ..ops import pallas_eqjoin as _ej
+
+        mul_name = mul.parent.name
+        interp = jax.default_backend() != "tpu"
+        if (
+            _ej.supported(name, mul_name)
+            and akT.dtype == jnp.int32
+            and bkT.dtype == jnp.int32
+            and (out_np == np.float32 or mul_name == "pair")
+            # interpret-mode Pallas is orders slower than the XLA fallback:
+            # off-TPU only tiny buckets take the kernel (coverage, not speed)
+            and (not interp or akT.shape[1] <= 2048)
+        ):
+            avv = avT.astype(jnp.float32) if mul_name in ("times", "plus", "first", "second") else None
+            bvv = bvT.astype(jnp.float32) if mul_name in ("times", "plus", "second") else None
+            vals, nmatch = _ej.eqjoin(akT, avv, bkT, bvv, add=name, mul=mul_name, interpret=interp)
+            return vals[: entry_ids.shape[0]].astype(out_np), nmatch[: entry_ids.shape[0]]
+        # generic-monoid fallback: task-major layout + lax.map over chunks
+        ak, av, bk, bv = akT.T, avT.T, bkT.T, bvT.T
+
         def one(chunk_args):
             akk, avv, bkk, bvv = chunk_args
             eq = akk[:, :, None] == bkk[:, None, :]
@@ -736,14 +1043,18 @@ def sparse_spgemm_execute(plan, sr, out_dtype, *, keep_on_device=False):
         nchunks = ak.shape[0] // chunk
         resh = lambda x: x.reshape(nchunks, chunk, x.shape[1])  # noqa: E731
         vals, nmatch = jax.lax.map(one, (resh(ak), resh(av), resh(bk), resh(bv)))
-        vals = vals.reshape(-1)[: entry_ids.shape[0]]
-        nmatch = nmatch.reshape(-1)[: entry_ids.shape[0]]
-        y, ys = _segment_reduce(vals, nmatch > 0, entry_ids, n_entries, addm)
-        return y, ys, jnp.sum(nmatch)
+        return vals.reshape(-1)[: entry_ids.shape[0]], nmatch.reshape(-1)[: entry_ids.shape[0]]
 
-    if plan.buckets:
+    if plan.buckets or brick is not None:
+        key = (sr, out_dtype.name, jax.default_backend())
+        exec_all = plan._exec.get(key)
+        if exec_all is None:
+            exec_all = plan._exec[key] = _build_exec()
         arrays = tuple((b[3], b[4], b[5], b[6], b[8]) for b in plan.buckets)
-        acc, hit, flops_dev = exec_all(arrays)
+        brick_arrays = None
+        if brick is not None:
+            brick_arrays = (brick.a_bricks, brick.b_bricks, brick.a_idx, brick.b_idx, brick.entry_cell)
+        acc, hit, flops_dev = exec_all(arrays, brick_arrays)
     else:
         acc = jnp.zeros((n_entries,), out_np)
         hit = jnp.zeros((n_entries,), bool)
@@ -778,7 +1089,12 @@ def sparse_mxm_masked(a_sp, b_sp, m_rows, m_cols, sr, out_dtype):
     m_cols = np.asarray(m_cols, np.int64)
     if len(m_rows) == 0 or a_sp.nvals == 0 or b_sp.nvals == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, out_np), 0
-    plan = sparse_spgemm_analyze(a_sp, b_sp, m_rows, m_cols)
+    use_bricks = (
+        sr.monoid.parent.name == "plus"
+        and sr.binaryop.parent.name in ("pair", "times")
+        and out_np == np.float32
+    )
+    plan = sparse_spgemm_analyze(a_sp, b_sp, m_rows, m_cols, bricks=use_bricks)
     return sparse_spgemm_execute(plan, sr, out_dtype)
 
 

@@ -10,7 +10,7 @@ from graphblas_tpu.core.operator import get_typed_op
 from graphblas_tpu.core import dtypes as dtmod
 
 rng_l = np.random.default_rng(7)
-ns = 1 << 16; csize = 32
+ns = 1 << 16; csize = 64
 base = np.arange(ns) - (np.arange(ns) % csize)
 rs_list, cs_list = [], []
 for d in range(1, csize):
@@ -27,9 +27,9 @@ print("build graph", round(time.perf_counter()-t0,2))
 sr = get_typed_op(semiring.plus_pair, dtmod.FP32, dtmod.FP32, kind="semiring")
 lsp, usp = L._sparse, U._sparse
 t0=time.perf_counter()
-plan = sparse_spgemm_analyze(lsp, usp, lsp.rows, lsp.cols)
-print("analyze", round(time.perf_counter()-t0,2), "buckets", [(b[0], len(b[1])) for b in plan.buckets])
-for i in range(3):
+plan = sparse_spgemm_analyze(lsp, usp, lsp.rows, lsp.cols, bricks=True)
+print("analyze", round(time.perf_counter()-t0,2), "buckets", [(b[0], len(b[1])) for b in plan.buckets], "brick", None if plan.brick is None else (plan.brick.a_idx.shape, plan.brick.kmax))
+for i in range(6):
     t0=time.perf_counter()
     acc, hit, fl = sparse_spgemm_execute(plan, sr, dtmod.FP32, keep_on_device=True)
     s = float(jnp.sum(acc)); f = int(fl)

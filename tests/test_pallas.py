@@ -33,3 +33,43 @@ def test_tropical_mxm_vs_oracle(rng, add, mul):
     refs = (as_.astype(int) @ bs.astype(int)) > 0
     assert np.array_equal(np.asarray(cs), refs)
     assert np.allclose(np.asarray(cv)[refs], ref[refs], rtol=1e-6)
+
+
+def test_eqjoin_kernel_vs_numpy(rng):
+    """Pallas eq-join (interpret mode) vs a brute-force numpy intersection."""
+    import jax.numpy as jnp
+
+    from graphblas_tpu.ops.pallas_eqjoin import eqjoin
+
+    W, T = 16, 512
+    ak = rng.integers(0, 40, (W, T)).astype(np.int32)
+    bk = rng.integers(0, 40, (W, T)).astype(np.int32)
+    # sprinkle pad slots
+    ak[rng.random((W, T)) < 0.2] = -1
+    bk[rng.random((W, T)) < 0.2] = -2
+    av = rng.random((W, T)).astype(np.float32)
+    bv = rng.random((W, T)).astype(np.float32)
+
+    for add, mul in [("plus", "times"), ("min", "plus"), ("max", "first"), ("plus", "pair"), ("lor", "pair")]:
+        avv = jnp.asarray(av) if mul in ("times", "plus", "first", "second") else None
+        bvv = jnp.asarray(bv) if mul in ("times", "plus", "second") else None
+        vals, nm = eqjoin(jnp.asarray(ak), avv, jnp.asarray(bk), bvv, add=add, mul=mul, interpret=True)
+        vals, nm = np.asarray(vals), np.asarray(nm)
+        for t in range(0, T, 37):
+            eq = ak[:, t][:, None] == bk[:, t][None, :]
+            prods = {
+                "times": av[:, t][:, None] * bv[:, t][None, :],
+                "plus": av[:, t][:, None] + bv[:, t][None, :],
+                "first": np.broadcast_to(av[:, t][:, None], (W, W)),
+                "pair": np.ones((W, W), np.float32),
+            }[mul][eq]
+            assert nm[t] == eq.sum()
+            if eq.sum() == 0:
+                continue
+            expected = {
+                "plus": prods.sum(),
+                "min": prods.min(),
+                "max": prods.max(),
+                "lor": float((prods != 0).any()),
+            }[add]
+            np.testing.assert_allclose(vals[t], expected, rtol=1e-5, err_msg=f"{add}_{mul} t={t}")

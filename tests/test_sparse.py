@@ -296,3 +296,63 @@ def test_masked_spgemm_hub_splitting(rng):
     got = Matrix(dtypes.FP64, n, n)
     got(M.S) << A.mxm(B, semiring.plus_times)
     _assert_same(want, got)
+
+
+def test_masked_spgemm_brick_path(rng):
+    """Block-dense MXU brick path vs the pure eq-join plan and the dense
+    oracle (clustered graph: dense diagonal bricks + random sparse edges)."""
+    from graphblas_tpu.core.operator import get_typed_op
+    from graphblas_tpu.core.sparse import sparse_spgemm_analyze, sparse_spgemm_execute
+
+    n = 256
+    csize = 64
+    base = np.arange(n) - (np.arange(n) % csize)
+    rs, cs = [], []
+    for d in range(1, csize):
+        rs.append(np.arange(n))
+        cs.append(base + (np.arange(n) + d) % csize)
+    rs.append(rng.integers(0, n, 2 * n))
+    cs.append(rng.integers(0, n, 2 * n))
+    rs, cs = np.concatenate(rs), np.concatenate(cs)
+    lo, hi = np.minimum(rs, cs), np.maximum(rs, cs)
+    keep = lo != hi
+    vals = (rng.random(keep.sum()) + 0.5).astype(np.float32)
+    with tx.config.set(dense_limit=0):
+        L = Matrix.from_coo(hi[keep], lo[keep], vals, dtypes.FP32, nrows=n, ncols=n, dup_op=binary.first)
+        U = L.T.new()
+    lsp, usp = L._sparse, U._sparse
+    for srname in ["plus_pair", "plus_times"]:
+        sr = get_typed_op(getattr(semiring, srname), dtypes.FP32, dtypes.FP32, kind="semiring")
+        plain = sparse_spgemm_analyze(lsp, usp, lsp.rows, lsp.cols)
+        bricky = sparse_spgemm_analyze(lsp, usp, lsp.rows, lsp.cols, bricks=True, brick_thresh=512)
+        assert bricky.brick is not None, "expected dense bricks in the clustered graph"
+        r0, c0, v0, f0 = sparse_spgemm_execute(plain, sr, dtypes.FP32)
+        r1, c1, v1, f1 = sparse_spgemm_execute(bricky, sr, dtypes.FP32)
+        assert f0 == f1, (srname, f0, f1)
+        # same pattern; values may differ by f32 summation order (MXU brick
+        # accumulation vs eq-join task order)
+        d0 = dict(zip(zip(r0.tolist(), c0.tolist()), v0.tolist()))
+        d1 = dict(zip(zip(r1.tolist(), c1.tolist()), v1.tolist()))
+        assert d0.keys() == d1.keys(), srname
+        for k in d0:
+            np.testing.assert_allclose(d1[k], d0[k], rtol=1e-5, err_msg=f"{srname} {k}")
+
+
+def test_masked_spgemm_brick_rejects_bad_semiring(rng):
+    import pytest as _pytest
+
+    from graphblas_tpu.core.operator import get_typed_op
+    from graphblas_tpu.core.sparse import sparse_spgemm_analyze, sparse_spgemm_execute
+
+    n = 128
+    r = np.repeat(np.arange(n), 16)
+    c = (r + np.tile(np.arange(16), n)) % 128
+    with tx.config.set(dense_limit=0):
+        A = Matrix.from_coo(r, c, 1.0, dtypes.FP32, nrows=n, ncols=n, dup_op=binary.first)
+    sp = A._sparse
+    plan = sparse_spgemm_analyze(sp, sp, sp.rows, sp.cols, bricks=True, brick_thresh=512)
+    if plan.brick is None:
+        _pytest.skip("graph not dense enough for bricks")
+    sr = get_typed_op(semiring.min_plus, dtypes.FP32, dtypes.FP32, kind="semiring")
+    with _pytest.raises(ValueError):
+        sparse_spgemm_execute(plan, sr, dtypes.FP32)
