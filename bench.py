@@ -155,7 +155,7 @@ def main():
         mr, mc = lsp.rows, lsp.cols
         from graphblas_tpu.core.sparse import sparse_spgemm_analyze, sparse_spgemm_execute
 
-        task_plan = sparse_spgemm_analyze(lsp, usp, mr, mc, bricks=True)  # pattern analysis, once
+        task_plan = sparse_spgemm_analyze(lsp, usp, mr, mc, bricks=True, reduce_net=True)  # pattern analysis, once
 
         def run_once():
             acc, hit, flops_dev = sparse_spgemm_execute(

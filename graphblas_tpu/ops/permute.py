@@ -140,6 +140,23 @@ def _apply_ROWSEL_np(elem, src_top, m):
     return np.take_along_axis(e3, src_top.astype(np.int64), axis=0).reshape(-1)
 
 
+def plan_to_device(plan):
+    """Commit a plan's routing tables to the device.  A freshly built plan
+    holds numpy tables; passing it as a jit ARGUMENT would re-upload them on
+    every call (over a remote tunnel that dwarfs the compute)."""
+    import jax.numpy as jnp
+
+    stages = []
+    for s in plan.stages:
+        if s[0] == "S":
+            stages.append(("S", jnp.asarray(s[1])))
+        elif s[0] == "T":
+            stages.append(s)
+        else:
+            stages.append(("ROWSEL", jnp.asarray(s[1]), s[2]))
+    return PermutePlan(plan.n, stages)
+
+
 def build_permutation_plan(perm, *, validate=True):
     """Build a network plan computing out[p] = in[perm[p]].
 

@@ -27,7 +27,7 @@ print("build graph", round(time.perf_counter()-t0,2))
 sr = get_typed_op(semiring.plus_pair, dtmod.FP32, dtmod.FP32, kind="semiring")
 lsp, usp = L._sparse, U._sparse
 t0=time.perf_counter()
-plan = sparse_spgemm_analyze(lsp, usp, lsp.rows, lsp.cols, bricks=True)
+plan = sparse_spgemm_analyze(lsp, usp, lsp.rows, lsp.cols, bricks=True, reduce_net=True)
 print("analyze", round(time.perf_counter()-t0,2), "buckets", [(b[0], len(b[1])) for b in plan.buckets], "brick", None if plan.brick is None else (plan.brick.a_idx.shape, plan.brick.kmax))
 for i in range(6):
     t0=time.perf_counter()

@@ -356,3 +356,67 @@ def test_masked_spgemm_brick_rejects_bad_semiring(rng):
     sr = get_typed_op(semiring.min_plus, dtypes.FP32, dtypes.FP32, kind="semiring")
     with _pytest.raises(ValueError):
         sparse_spgemm_execute(plan, sr, dtypes.FP32)
+
+
+def test_masked_spgemm_reduce_net(rng):
+    """Scatter-free network segment combine vs the scatter path."""
+    from graphblas_tpu.core.operator import get_typed_op
+    from graphblas_tpu.core.sparse import sparse_spgemm_analyze, sparse_spgemm_execute
+
+    n = 120
+    e = 900
+    r1, c1 = rng.integers(0, n, e), rng.integers(0, n, e)
+    r2, c2 = rng.integers(0, n, e), rng.integers(0, n, e)
+    mr = rng.integers(0, n, 300)
+    mc = rng.integers(0, n, 300)
+    mkeys = np.unique(mr * n + mc)
+    mr, mc = mkeys // n, mkeys % n
+    v1 = rng.random(e).astype(np.float32)
+    v2 = rng.random(e).astype(np.float32)
+    with tx.config.set(dense_limit=0):
+        A = Matrix.from_coo(r1, c1, v1, dtypes.FP32, nrows=n, ncols=n, dup_op=binary.plus)
+        B = Matrix.from_coo(r2, c2, v2, dtypes.FP32, nrows=n, ncols=n, dup_op=binary.plus)
+    asp, bsp = A._sparse, B._sparse
+    for srname in ["plus_times", "min_plus", "max_first", "plus_pair"]:
+        sr = get_typed_op(getattr(semiring, srname), dtypes.FP32, dtypes.FP32, kind="semiring")
+        plain = sparse_spgemm_analyze(asp, bsp, mr, mc)
+        netty = sparse_spgemm_analyze(asp, bsp, mr, mc, reduce_net=True)
+        assert netty.reduce_net is not None
+        r0, c0, v0, f0 = sparse_spgemm_execute(plain, sr, dtypes.FP32)
+        r1_, c1_, v1_, f1 = sparse_spgemm_execute(netty, sr, dtypes.FP32)
+        assert f0 == f1, srname
+        d0 = dict(zip(zip(r0.tolist(), c0.tolist()), v0.tolist()))
+        d1 = dict(zip(zip(r1_.tolist(), c1_.tolist()), v1_.tolist()))
+        assert d0.keys() == d1.keys(), srname
+        for k in d0:
+            np.testing.assert_allclose(d1[k], d0[k], rtol=1e-5, err_msg=f"{srname} {k}")
+
+
+def test_masked_spgemm_reduce_net_with_bricks(rng):
+    """Bricks + network combine together (the bench configuration)."""
+    from graphblas_tpu.core.operator import get_typed_op
+    from graphblas_tpu.core.sparse import sparse_spgemm_analyze, sparse_spgemm_execute
+
+    n = 256
+    csize = 64
+    base = np.arange(n) - (np.arange(n) % csize)
+    rs = np.concatenate([np.tile(np.arange(n), csize - 1), rng.integers(0, n, n)])
+    cs = np.concatenate(
+        [np.concatenate([base + (np.arange(n) + d) % csize for d in range(1, csize)]), rng.integers(0, n, n)]
+    )
+    lo, hi = np.minimum(rs, cs), np.maximum(rs, cs)
+    keep = lo != hi
+    with tx.config.set(dense_limit=0):
+        L = Matrix.from_coo(hi[keep], lo[keep], np.float32(1.0), dtypes.FP32, nrows=n, ncols=n, dup_op=binary.first)
+        U = L.T.new()
+    lsp, usp = L._sparse, U._sparse
+    sr = get_typed_op(semiring.plus_pair, dtypes.FP32, dtypes.FP32, kind="semiring")
+    plain = sparse_spgemm_analyze(lsp, usp, lsp.rows, lsp.cols)
+    full = sparse_spgemm_analyze(lsp, usp, lsp.rows, lsp.cols, bricks=True, brick_thresh=512, reduce_net=True)
+    assert full.brick is not None and full.reduce_net is not None
+    r0, c0, v0, f0 = sparse_spgemm_execute(plain, sr, dtypes.FP32)
+    r1_, c1_, v1_, f1 = sparse_spgemm_execute(full, sr, dtypes.FP32)
+    assert f0 == f1
+    d0 = dict(zip(zip(r0.tolist(), c0.tolist()), np.round(v0, 3).tolist()))
+    d1 = dict(zip(zip(r1_.tolist(), c1_.tolist()), np.round(v1_, 3).tolist()))
+    assert d0 == d1
