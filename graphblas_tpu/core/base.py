@@ -68,6 +68,32 @@ def record_call(opname, *args):
         return name if isinstance(name, str) else type(a).__name__
 
     _recorder.record(opname, ", ".join(describe(a) for a in args))
+    _burble_call(opname, args)
+
+
+def _burble_call(opname, args):
+    """Engine dispatch diagnostics (analogue of SuiteSparse burble,
+    reference: graphblas/ss/__init__.py:1 + ss/_core.py:194).  Prints one
+    line per engine op with operand storage formats when enabled via
+    ``gb.tx.config['burble']`` / ``with gb.tx.burble():``."""
+    from ..tx import config as _txconfig
+
+    if not _txconfig.get("burble"):
+        return
+
+    def describe(a):
+        if isinstance(a, BaseType):
+            nm = a.name or type(a).__name__
+            fmt = "sparse" if getattr(a, "_sparse", None) is not None else "dense"
+            shape = "x".join(str(s) for s in getattr(a, "shape", ()))
+            return f"{nm}<{fmt} {shape or 'scalar'} {a.dtype.name}>"
+        if isinstance(a, BaseExpression):
+            inner = ", ".join(describe(x) for x in a.args if isinstance(x, (BaseType, BaseExpression)))
+            return f"{a.opname or a.method_name}({inner})"
+        name = getattr(a, "opname", None)
+        return name if isinstance(name, str) else type(a).__name__
+
+    print(f"[burble] {opname}({', '.join(describe(a) for a in args)})")
 
 
 class BaseType:

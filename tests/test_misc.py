@@ -306,3 +306,26 @@ def test_tx_build_diag_and_build_scalar():
     assert B.tx.is_iso
     with pytest.raises(gb.exceptions.OutputNotEmpty):
         B.tx.build_scalar([0], [0], 1)
+
+
+def test_burble_prints_dispatch(capsys):
+    """Burble prints one diagnostic line per engine op with storage formats
+    (analogue of SuiteSparse burble, reference: graphblas/ss/__init__.py:1)."""
+    import graphblas_tpu as gb
+
+    A = Matrix.from_coo([0, 1], [1, 0], [1.0, 2.0], dtypes.FP32, nrows=2, ncols=2, name="A")
+    v = Vector.from_coo([0], [1.0], dtypes.FP32, size=2, name="v")
+    w = A.mxv(v, semiring.plus_times).new(name="w")  # quiet: burble off
+    assert capsys.readouterr().out == ""
+    burb = gb.tx.burble()
+    assert not burb.is_enabled
+    with burb:
+        assert burb.is_enabled
+        w << A.mxv(v, semiring.min_plus)
+    out = capsys.readouterr().out
+    assert "[burble] mxv[min_plus](w<dense 2 FP32>" in out
+    assert "A<dense 2x2 FP32>" in out
+    assert not gb.tx.config["burble"]
+    # off again afterwards
+    w.dup()
+    assert "[burble]" not in capsys.readouterr().out
