@@ -23,6 +23,12 @@ def _apply_dup(rows_or_idx, values, dup_op):
     """Host-side duplicate combination for build/from_coo."""
     if dup_op is None:
         raise ValueError("Duplicate indices found; must provide dup_op to combine them")
+    if isinstance(dup_op, str):
+        # strings work anywhere an op does (reference: op-from-string DSL,
+        # core/operator/utils.py:371-493)
+        from .operator.utils import binary_from_string
+
+        dup_op = binary_from_string(dup_op)
     name = dup_op.name if hasattr(dup_op, "name") else None
     np_fn = {
         "plus": np.add,

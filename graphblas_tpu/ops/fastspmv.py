@@ -138,13 +138,15 @@ def _complete_permutation(partial, e_pad):
     return partial
 
 
-def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True):
+def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0):
     """Analyze a COO graph into an SpmvPlan (host-side, once per graph).
 
     ``endpoints=True`` additionally builds the place/collect networks that
     make the runtime SpMV completely gather/scatter-free (both the expand
     scatter and the segment-ends gather are n-sized XLA ops that dominate
-    the pipeline otherwise).
+    the pipeline otherwise).  ``pad_to`` forces a minimum network size —
+    used by the multi-chip build to give every device partition identical
+    static shapes (parallel/fastspmv.py stacks the per-device plans).
     """
     src = np.asarray(src, np.int32)
     dst = np.asarray(dst, np.int32)
@@ -152,7 +154,7 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True):
     if n is None:
         n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
     # the place/collect endpoints embed n-vectors in the edge space
-    e_pad = padded_size(max(e, n))
+    e_pad = padded_size(max(e, n, pad_to))
     # pad with edges (n-1 -> n-1) marked invalid; they sort to the end-ish but
     # validity masks them out of the reduce
     pad = e_pad - e

@@ -9,6 +9,12 @@ over ICI collectives (see ``summa``), and masks/vectors co-shard.
 
 import threading
 
+from .fastspmv import (  # noqa: F401
+    build_sharded_spmv_plan,
+    sharded_pagerank,
+    sharded_spmv,
+    sharded_spmv_masked,
+)
 from .summa import (  # noqa: F401
     sharded_spmv_step,
     summa_mxm,

@@ -329,3 +329,12 @@ def test_burble_prints_dispatch(capsys):
     # off again afterwards
     w.dup()
     assert "[burble]" not in capsys.readouterr().out
+
+
+def test_from_coo_string_dup_op():
+    """Strings work anywhere an op does — including dup_op (reference:
+    op-from-string DSL, core/operator/utils.py:371-493)."""
+    A = Matrix.from_coo([0, 0, 1], [1, 1, 0], [2.0, 3.0, 4.0], nrows=2, ncols=2, dup_op="plus")
+    assert A.get(0, 1) == 5.0
+    v = Vector.from_coo([0, 0, 2], [1, 7, 5], size=3, dup_op="max")
+    assert v.get(0) == 7

@@ -213,3 +213,92 @@ def test_dsl_pagerank_on_mesh(mesh, rng):
     with Context(mesh=mesh):
         r1 = pagerank()
     np.testing.assert_allclose(r1, r0, rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Multi-chip permutation-network SpMV (parallel/fastspmv.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def sharded_graph(mesh):
+    from graphblas_tpu.parallel import build_sharded_spmv_plan
+
+    rng_l = np.random.default_rng(11)
+    n, e = 300, 2500
+    src = rng_l.integers(0, n, e)
+    dst = rng_l.integers(0, n, e)
+    w = rng_l.random(e).astype(np.float32)
+    splan = build_sharded_spmv_plan(src, dst, w, n=n, mesh=mesh)
+    return splan, src, dst, w, n
+
+
+def test_sharded_fastspmv_vs_single_device(sharded_graph, rng):
+    """Edge-partitioned network SpMV on the 8-device mesh == single-device."""
+    from graphblas_tpu.ops.fastspmv import build_spmv_plan, spmv
+    from graphblas_tpu.parallel import sharded_spmv
+
+    splan, src, dst, w, n = sharded_graph
+    assert splan.ndev == 8
+    ref = build_spmv_plan(src, dst, w, n=n)
+    x = rng.random(n).astype(np.float32)
+    for add in ["plus", "min", "max"]:
+        for mul in ["times", "first", "second"]:
+            y = np.asarray(sharded_spmv(splan, x, add=add, mul=mul))
+            yr = np.asarray(spmv(ref, x, add=add, mul=mul))
+            np.testing.assert_allclose(y, yr, rtol=2e-5, err_msg=f"{add}_{mul}")
+
+
+def test_sharded_fastspmv_masked_secondi(sharded_graph, rng):
+    """Masked SpMV incl. the positional parent-BFS semiring over the mesh."""
+    from graphblas_tpu.ops.fastspmv import build_spmv_plan, spmv_masked
+    from graphblas_tpu.parallel import sharded_spmv_masked
+
+    splan, src, dst, w, n = sharded_graph
+    ref = build_spmv_plan(src, dst, w, n=n)
+    x = rng.random(n).astype(np.float32)
+    xs = rng.random(n) > 0.4
+    for add, mul in [("plus", "times"), ("min", "times"), ("any", "secondi")]:
+        yv, ys = sharded_spmv_masked(splan, x, xs, add=add, mul=mul)
+        rv, rs = spmv_masked(ref, x, xs, add=add, mul=mul)
+        np.testing.assert_array_equal(np.asarray(ys), np.asarray(rs), err_msg=f"{add}_{mul}")
+        np.testing.assert_allclose(
+            np.asarray(yv)[np.asarray(ys)], np.asarray(rv)[np.asarray(rs)],
+            rtol=2e-5, err_msg=f"{add}_{mul}",
+        )
+
+
+def test_sharded_pagerank_vs_oracle(sharded_graph):
+    """Whole PageRank loop (sharded SpMV inside lax.while_loop) vs dense."""
+    from graphblas_tpu.parallel import sharded_pagerank
+
+    splan, src, dst, w, n = sharded_graph
+    r, iters = sharded_pagerank(splan)
+    A = np.zeros((n, n), np.float64)
+    for s, d in zip(src.tolist(), dst.tolist()):
+        A[s, d] += 1.0
+    deg = A.sum(1)
+    dang = deg == 0
+    PT = (A / np.where(dang, 1.0, deg)[:, None]).T
+    rr = np.full(n, 1.0 / n)
+    for _ in range(300):
+        rr = 0.15 / n + 0.85 * (PT @ rr + rr[dang].sum() / n)
+    np.testing.assert_allclose(np.asarray(r), rr, atol=3e-5)
+    assert int(iters) > 1
+
+
+def test_sharded_fastspmv_empty_partition(mesh):
+    """A device owning zero real edges must contribute identities only."""
+    from graphblas_tpu.ops.fastspmv import build_spmv_plan, spmv
+    from graphblas_tpu.parallel import build_sharded_spmv_plan, sharded_spmv
+
+    n = 160
+    # all edges target dst < n/8: devices 1..7 own empty partitions
+    src = np.arange(40)
+    dst = (np.arange(40) * 7) % (n // 8)
+    splan = build_sharded_spmv_plan(src, dst, None, n=n, mesh=mesh)
+    ref = build_spmv_plan(src, dst, None, n=n)
+    x = np.linspace(0.5, 2.0, n).astype(np.float32)
+    y = np.asarray(sharded_spmv(splan, x, add="plus", mul="first"))
+    yr = np.asarray(spmv(ref, x, add="plus", mul="first"))
+    np.testing.assert_allclose(y, yr, rtol=2e-5)
