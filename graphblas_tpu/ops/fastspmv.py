@@ -54,6 +54,8 @@ class SpmvPlan:
         is_last_dst=None,
         outdeg_start=None,
         last_dangling=None,
+        fill_j=None,
+        fill_hp=None,
         k_iso_dangling=0,
     ):
         self.n = n
@@ -93,6 +95,11 @@ class SpmvPlan:
         # dangling vertices WITHOUT a state slot (isolated): their rank is the
         # per-iteration scalar c; static count folds them into dangling mass
         self.k_iso_dangling = k_iso_dangling  # static int
+        # static-fill gather tables for seg_start_src (pallas_scan.build_fill_tables):
+        # collapse the 7 lane log-scan passes of the expand fill to ONE
+        # within-row dynamic_gather (measured 6x on v5e)
+        self.fill_j = fill_j  # device int8 (e_pad//128, 128) | None
+        self.fill_hp = fill_hp  # device int8 (e_pad//128, 128) | None
 
 
 def _register_spmv_pytree():
@@ -117,6 +124,8 @@ def _register_spmv_pytree():
             p.is_last_dst,
             p.outdeg_start,
             p.last_dangling,
+            p.fill_j,
+            p.fill_hp,
         )
         return children, (p.n, p.e_pad, p.k_iso_dangling)
 
@@ -233,6 +242,12 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0):
         last_dangling = ld
         k_iso_dangling = int(np.sum(dangling & ~has_state))
 
+    fill_j = fill_hp = None
+    if seg_start_src is not None:
+        from .pallas_scan import build_fill_tables
+
+        fill_j, fill_hp = build_fill_tables(seg_start_src)
+
     return SpmvPlan(
         n,
         e_pad,
@@ -253,6 +268,8 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0):
         jnp.asarray(is_last_dst) if is_last_dst is not None else None,
         jnp.asarray(outdeg_start) if outdeg_start is not None else None,
         jnp.asarray(last_dangling) if last_dangling is not None else None,
+        jnp.asarray(fill_j) if fill_j is not None else None,
+        jnp.asarray(fill_hp) if fill_hp is not None else None,
         k_iso_dangling=k_iso_dangling,
     )
 
@@ -270,6 +287,16 @@ def _expand_v2(x, plan):
     pad = plan.e_pad - x.shape[0]
     x_emb = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)]) if pad else x
     placed = apply_plan(x_emb, plan.place_plan)
+    return _seg_fill(plan, placed)
+
+
+def _seg_fill(plan, placed):
+    """Segmented forward-fill across src segments: static gather tables when
+    the plan carries them (6x fewer VPU passes), generic scan otherwise."""
+    from .pallas_scan import segmented_fill_static, segmented_scan
+
+    if plan.fill_j is not None:
+        return segmented_fill_static(placed, plan.fill_j, plan.fill_hp, interpret=_interpret_scan())
     return segmented_scan(placed, plan.seg_start_src, "fill", interpret=_interpret_scan())
 
 
@@ -393,6 +420,12 @@ def load_spmv_plan(path):
     data = np.load(path, allow_pickle=False)
     n, e_pad = (int(v) for v in data["meta"])
     perm_plan = _unpack_network(data, "", e_pad)
+    fill_j = fill_hp = None
+    if "seg_start_src" in data:
+        # derived host-side at load (cheap); not part of the disk format
+        from .pallas_scan import build_fill_tables
+
+        fill_j, fill_hp = build_fill_tables(data["seg_start_src"])
     return SpmvPlan(
         n,
         e_pad,
@@ -413,6 +446,8 @@ def load_spmv_plan(path):
         jnp.asarray(data["is_last_dst"]) if "is_last_dst" in data else None,
         jnp.asarray(data["outdeg_start"]) if "outdeg_start" in data else None,
         jnp.asarray(data["last_dangling"]) if "last_dangling" in data else None,
+        jnp.asarray(fill_j) if fill_j is not None else None,
+        jnp.asarray(fill_hp) if fill_hp is not None else None,
         k_iso_dangling=int(data["k_iso_dangling"][0]) if "k_iso_dangling" in data else 0,
     )
 
@@ -559,7 +594,7 @@ def spmv_state(plan: SpmvPlan, x_start, add, mul, w=None):
     from .pallas_scan import segmented_scan, segmented_scan_contrib
 
     interp = _interpret_scan()
-    xe = segmented_scan(x_start, plan.seg_start_src, "fill", interpret=interp)
+    xe = _seg_fill(plan, x_start)
     xe_dst = apply_plan(xe, plan.perm_plan)
     if w is None:
         w = plan.w_dst_order if mul in ("times", "plus", "second") else None

@@ -195,6 +195,91 @@ def segmented_scan(values, flags, op, interpret=False):
     return out.reshape(-1)[:n]
 
 
+def build_fill_tables(flags):
+    """Host-side analysis for ``segmented_fill_static``: when the segment
+    flags are STATIC (per-plan CSR boundaries), the 7 lane-direction
+    log-scan passes collapse to ONE within-row dynamic_gather against a
+    precomputed table.  Returns (J, has_prior): J[r, l] = the latest flagged
+    lane <= l in row r (0 when none — masked by has_prior)."""
+    flags2 = np.asarray(flags, bool).reshape(-1, 128)
+    lanes = np.arange(128)
+    marked = np.where(flags2, lanes[None, :], -1)
+    jfull = np.maximum.accumulate(marked, axis=1)
+    has_prior = jfull >= 0
+    j = np.maximum(jfull, 0).astype(np.int8)  # 0..127 fits int8
+    return j, has_prior.astype(np.int8)
+
+
+def _fill_static_kernel(blk, x_ref, j_ref, hp_ref, o_ref, cv_ref):
+    """Static segmented forward-fill tile: within-row gather + narrow
+    row-carry chain.  ~3 full-tile VPU passes vs ~17 for the generic scan."""
+    import jax.experimental.pallas as pl
+
+    io_dtype = o_ref.dtype
+    cdtype = _compute_dtype(io_dtype)
+    ident = jnp.asarray(_ident("fill", io_dtype), cdtype)
+    x = x_ref[:, :].astype(cdtype)
+    local = jnp.take_along_axis(x, j_ref[:, :].astype(jnp.int32), axis=1)
+    hp = hp_ref[:, :].astype(jnp.int32)
+
+    # row carry: inclusive fill-scan of (last-filled-value, row-has-flag)
+    # over the tile's rows in narrow (blk, 1) form, then make exclusive
+    rv = local[:, 127:128]
+    rf = hp[:, 127:128]
+    row1 = jax.lax.broadcasted_iota(jnp.int32, (blk, 1), 0)
+    k = 1
+    while k < blk:
+        sv = jnp.where(row1 < k, ident, jnp.roll(rv, k, axis=0))
+        sf = jnp.where(row1 < k, jnp.int32(0), jnp.roll(rf, k, axis=0))
+        rv, rf = _combine("fill", sv, sf, rv, rf)
+        k *= 2
+    prev_v1 = jnp.where(row1 == 0, ident, jnp.roll(rv, 1, axis=0))
+    prev_f1 = jnp.where(row1 == 0, jnp.int32(0), jnp.roll(rf, 1, axis=0))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cv_ref[0, 0] = ident
+
+    # fold the inter-tile carry into rows whose prefix has no flag yet
+    carry = cv_ref[0, 0]
+    prev_v1 = jnp.where(prev_f1 != 0, prev_v1, carry)
+    out = jnp.where(hp != 0, local, jnp.broadcast_to(prev_v1, (blk, 128)))
+    # tile total: the fill value live at the tile's last slot
+    cv_ref[0, 0] = out[blk - 1, 127]
+    o_ref[:, :] = out.astype(io_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+@_no_x64
+def segmented_fill_static(values, j_table, has_prior, interpret=False):
+    """Segmented forward-fill with STATIC flags, via per-row gather tables
+    from ``build_fill_tables``.  Equivalent to
+    ``segmented_scan(values, flags, "fill")`` but ~5x fewer VPU passes."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = values.shape[0]
+    r = n // 128
+    assert n % 128 == 0 and j_table.shape == (r, 128)
+    blk = min(_BLK, r)
+    assert r % blk == 0, "spmv e_pad sizes are block multiples"
+    v2 = values.reshape(r, 128)
+    blockspec = pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fill_static_kernel, blk),
+        grid=(r // blk,),
+        in_specs=[blockspec] * 3,
+        out_specs=blockspec,
+        out_shape=jax.ShapeDtypeStruct((r, 128), values.dtype),
+        scratch_shapes=[pltpu.SMEM((1, 1), _compute_dtype(values.dtype))],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(v2, j_table, has_prior)
+    return out.reshape(-1)
+
+
 @functools.partial(jax.jit, static_argnames=("op", "mul", "interpret"))
 @_no_x64
 def segmented_scan_contrib(xe, w, valid, flags, op, mul, interpret=False):

@@ -73,3 +73,26 @@ def test_eqjoin_kernel_vs_numpy(rng):
                 "lor": float((prods != 0).any()),
             }[add]
             np.testing.assert_allclose(vals[t], expected, rtol=1e-5, err_msg=f"{add}_{mul} t={t}")
+
+
+def test_segmented_fill_static_vs_scan(rng):
+    """Static-gather segmented fill == generic scan fill for random flags,
+    including all-empty/all-flagged rows and cross-tile carries."""
+    import jax.numpy as jnp
+
+    from graphblas_tpu.ops.pallas_scan import (
+        build_fill_tables,
+        segmented_fill_static,
+        segmented_scan,
+    )
+
+    for n, density in [(128 * 8, 0.0), (128 * 8, 1.0), (128 * 64, 0.03), (128 * 2048 + 0, 0.06)]:
+        flags = rng.random(n) < density
+        x = rng.random(n).astype(np.float32)
+        j, hp = build_fill_tables(flags)
+        assert j.dtype == np.int8 and j.shape == (n // 128, 128)
+        ref = np.asarray(segmented_scan(jnp.asarray(x), jnp.asarray(flags), "fill", interpret=True))
+        got = np.asarray(
+            segmented_fill_static(jnp.asarray(x), jnp.asarray(j), jnp.asarray(hp), interpret=True)
+        )
+        np.testing.assert_array_equal(got, ref, err_msg=f"n={n} d={density}")
