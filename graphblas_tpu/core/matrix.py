@@ -920,7 +920,57 @@ class TransposedMatrix:
             "transpose", Matrix, compute, dtype=m.dtype, shape=self.shape, args=(m,), opname="transpose", sparse_compute=sparse_compute
         )
 
-    # view delegates read-only API to a materialized copy on demand
+    # -- zero-copy delegations (reference keeps the view free of compute,
+    #    core/matrix.py:3825-3920): exports and reductions swap roles on the
+    #    parent instead of materializing a transposed copy ------------------
+    def to_coo(self, dtype=None, *, rows=True, columns=True, values=True, sort=True):
+        r, c, v = self._matrix.to_coo(dtype, sort=False)
+        if sort:
+            order = np.lexsort((r, c))
+            r, c, v = r[order], c[order], v[order]
+        return (
+            c if rows else None,
+            r if columns else None,
+            v if values else None,
+        )
+
+    def to_csr(self, dtype=None, *, sort=True):
+        return self._matrix.to_csc(dtype, sort=sort)
+
+    def to_csc(self, dtype=None, *, sort=True):
+        return self._matrix.to_csr(dtype, sort=sort)
+
+    def to_dense(self, fill_value=None, dtype=None, **opts):
+        return self._matrix.to_dense(fill_value, dtype, **opts).T
+
+    def to_dicts(self, order="rowwise"):
+        return self._matrix.to_dicts("columnwise" if order == "rowwise" else "rowwise")
+
+    def to_edgelist(self, dtype=None, *, values=True, sort=True):
+        r, c, v = self.to_coo(dtype, sort=sort)
+        edges = np.column_stack([r, c])
+        return (edges, v) if values else edges
+
+    def get(self, row, col, default=None):
+        return self._matrix.get(col, row, default)
+
+    def __contains__(self, index):
+        r, c = index
+        return (c, r) in self._matrix
+
+    def reduce_rowwise(self, op="plus"):
+        return self._matrix.reduce_columnwise(op)
+
+    def reduce_columnwise(self, op="plus"):
+        return self._matrix.reduce_rowwise(op)
+
+    def reduce_scalar(self, op="plus", *, allow_empty=True):
+        return self._matrix.reduce_scalar(op, allow_empty=allow_empty)
+
+    def diag(self, k=0, dtype=None, *, name=None):
+        return self._matrix.diag(-k, dtype, name=name)
+
+    # view delegates the remaining read-only API to a materialized copy
     def __getattr__(self, name):
         if name.startswith("_"):
             raise AttributeError(name)

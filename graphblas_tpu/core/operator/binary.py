@@ -42,6 +42,11 @@ class BinaryOp(OpBase):
     @property
     def monoid(self):
         """The Monoid this BinaryOp drives, if any (reference: binary.py:197-220)."""
+        if self._monoid is None:
+            # back-links are installed by monoid registration; force the lazy
+            # builtin-monoid namespace so e.g. reduce("plus") works before
+            # the user ever imports graphblas_tpu.monoid
+            import graphblas_tpu.monoid  # noqa: F401
         return self._monoid
 
     @property

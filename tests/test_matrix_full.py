@@ -2,6 +2,7 @@
 mirroring the coverage checklist of reference graphblas/tests/test_matrix.py —
 independently implemented against GraphBLAS semantics + the dict oracle)."""
 
+import os as _os
 import pickle
 
 import numpy as np
@@ -783,3 +784,55 @@ def test_transpose_exceptional(A):
 def test_assign_bad(A):
     with pytest.raises((TypeError, ValueError)):
         A[0, 0] = object()
+
+
+def test_transposed_view_zero_copy_delegations():
+    """Exports/reductions on A.T swap roles on the parent instead of
+    materializing a transposed copy (reference keeps the view compute-free,
+    core/matrix.py:3825-3920)."""
+    A = Matrix.from_coo([0, 1, 2, 0], [1, 2, 0, 2], [1.0, 2.0, 3.0, 4.0], dtypes.FP32, nrows=3, ncols=4)
+    T = A.T
+    r, c, v = T.to_coo()
+    assert list(zip(r.tolist(), c.tolist())) == sorted(zip(r.tolist(), c.tolist()))
+    dense = np.zeros((4, 3))
+    ar, ac, av = A.to_coo()
+    dense[ac, ar] = av
+    np.testing.assert_array_equal(dense[r, c], v)
+    ip, ci, _ = T.to_csr()
+    ip2, ri2, _ = A.to_csc()
+    np.testing.assert_array_equal(ip, ip2)
+    np.testing.assert_array_equal(ci, ri2)
+    np.testing.assert_array_equal(T.to_dense(0.0), A.to_dense(0.0).T)
+    assert T.to_dicts() == A.to_dicts("columnwise")
+    assert T.get(1, 0) == 1.0 and (1, 0) in T and (0, 1) not in T
+    np.testing.assert_array_equal(
+        np.asarray(T.reduce_rowwise("plus").new().to_dense(0.0)),
+        np.asarray(A.reduce_columnwise("plus").new().to_dense(0.0)),
+    )
+    assert float(T.reduce_scalar("plus").new().value) == 10.0
+    B = Matrix.from_coo([0, 1], [1, 2], [5.0, 6.0], dtypes.FP32, nrows=3, ncols=3)
+    np.testing.assert_array_equal(
+        np.asarray(B.T.diag(-1).to_dense(0.0)), np.asarray(B.diag(1).to_dense(0.0))
+    )
+    edges, _ = T.to_edgelist()
+    np.testing.assert_array_equal(edges[:, 0], r)
+
+
+def test_reduce_string_default_without_monoid_import():
+    """reduce with the default/string op resolves the monoid back-link even
+    when graphblas_tpu.monoid was never imported (lazy-init ordering)."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "from graphblas_tpu import Matrix, dtypes; "
+        "A = Matrix.from_coo([0,1],[1,2],[1.,2.], dtypes.FP32, nrows=3, ncols=3); "
+        "r, v = A.reduce_columnwise().new().to_coo(); "
+        "assert v.tolist() == [1.0, 2.0], v"
+    ) % _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    env = dict(_os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(JAX_PLATFORMS="cpu", GRAPHBLAS_TPU_PLATFORM="cpu")
+    proc = subprocess.run([_sys.executable, "-c", code], env=env, capture_output=True, text=True)
+    assert proc.returncode == 0, proc.stderr
