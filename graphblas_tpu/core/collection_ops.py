@@ -123,6 +123,28 @@ def ewise_expr(self, other, op, how, *, left_default=None, right_default=None):
             av, as_, bv, bs = _operands()
             return engine(av, as_, bv, bs, op_t)
 
+    # sparse-sparse ewise: host merge-join + device combine, no densify
+    # (keeps 2^60-scale dimensions representable — reference hypersparse,
+    # graphblas/__init__.py:210-213)
+    sparse_fn = None
+    if self.ndim == 2 and other.ndim == 2:
+        a_sp, a_t = _sparse_of(self)
+        b_sp, b_t = _sparse_of(other)
+        if a_sp is not None and b_sp is not None:
+
+            def sparse_fn():
+                from .sparse import sparse_ewise
+
+                asp = a_sp.transposed() if a_t else a_sp
+                bsp = b_sp.transposed() if b_t else b_sp
+                if how == "union":
+                    ldv = np.asarray(ld.value if hasattr(ld, "value") else ld)[()]
+                    rdv = np.asarray(rd.value if hasattr(rd, "value") else rd)[()]
+                    sp2 = sparse_ewise(asp, bsp, op_t, "union", op_t.return_type, ld=ldv, rd=rdv)
+                else:
+                    sp2 = sparse_ewise(asp, bsp, op_t, how, op_t.return_type)
+                return Matrix._from_sparse(sp2, op_t.return_type)
+
     return BaseExpression(
         f"ewise_{how}",
         out_cls,
@@ -132,6 +154,7 @@ def ewise_expr(self, other, op, how, *, left_default=None, right_default=None):
         shape=out_shape,
         args=(self, other),
         opname=f"ewise_{how}[{op_t.name}]",
+        sparse_compute=sparse_fn,
     )
 
 

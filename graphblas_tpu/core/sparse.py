@@ -71,6 +71,7 @@ class SparseMatrixData:
         "ncols",
         "_dev",
         "_plans",
+        "_sharded_plans",
         "_col_order",
     )
 
@@ -82,6 +83,7 @@ class SparseMatrixData:
         self.ncols = int(ncols)
         self._dev = {}
         self._plans = {}
+        self._sharded_plans = {}
         self._col_order = None
 
     # ------------------------------------------------------------------
@@ -156,6 +158,22 @@ class SparseMatrixData:
     # ------------------------------------------------------------------
     # permutation-network plans
     # ------------------------------------------------------------------
+
+    def sharded_plan(self, direction, mesh):
+        """Multi-chip SpmvPlan stack for an engaged mesh Context
+        (parallel/fastspmv.py): edges partition by destination range, one
+        per-device plan each; cached per (direction, mesh devices)."""
+        key = (direction, tuple(int(d.id) for d in mesh.devices.reshape(-1)))
+        if key not in self._sharded_plans:
+            from ..parallel.fastspmv import build_sharded_spmv_plan
+
+            n = max(self.nrows, self.ncols)
+            src, dst = (self.cols, self.rows) if direction == "pull" else (self.rows, self.cols)
+            w = None
+            if self.vals is not None and not np.issubdtype(self.vals.dtype, np.bool_):
+                w = self.vals.astype(np.float32)
+            self._sharded_plans[key] = build_sharded_spmv_plan(src, dst, w, n=n, mesh=mesh)
+        return self._sharded_plans[key]
 
     def plan(self, direction):
         """SpmvPlan for 'pull' (dst=rows, src=cols) or 'push' (dst=cols).
@@ -464,7 +482,19 @@ def _plan_mxv(sp, pull, xv, xs, add_name, plan_mul, pos, out_np):
     xs_in = xs
     if xs_in.shape[0] != n:
         xs_in = jnp.pad(xs_in, (0, n - xs_in.shape[0]))
-    yv, ys = _fs.spmv_masked(plan, x_in, xs_in, add=add_name, mul=plan_mul)
+    from .collection_ops import _mesh_context
+
+    ctx = _mesh_context()
+    if ctx is not None and ctx.mesh.devices.size > 1:
+        # engaged mesh Context: the DSL's mxv/vxm runs the multi-chip
+        # engine (reference Context semantics scope resources,
+        # core/ss/context.py:19-151; here the resource is the mesh)
+        from ..parallel.fastspmv import sharded_spmv_masked
+
+        splan = sp.sharded_plan("pull" if pull else "push", ctx.mesh)
+        yv, ys = sharded_spmv_masked(splan, x_in, xs_in, add=add_name, mul=plan_mul)
+    else:
+        yv, ys = _fs.spmv_masked(plan, x_in, xs_in, add=add_name, mul=plan_mul)
     if pos is not None:
         _, delta = pos
         if delta:
@@ -530,6 +560,69 @@ def sparse_reduce_scalar(sp, monoid_t):
 # ---------------------------------------------------------------------------
 # apply / select / positional patterns
 # ---------------------------------------------------------------------------
+
+
+def _pair_keys(rows, cols):
+    """Structured (row, col) sort keys: lexicographic compare without the
+    r*ncols+c encoding (which overflows int64 in the 2^60 index space)."""
+    k = np.empty(len(rows), dtype=[("r", np.int64), ("c", np.int64)])
+    k["r"] = rows
+    k["c"] = cols
+    return k
+
+
+def sparse_ewise(a_sp, b_sp, op_t, how, out_dtype, ld=None, rd=None):
+    """Sparse-sparse eWiseMult/Add/Union as a host merge-join on the sorted
+    COO patterns + one device elementwise combine — no densify, so huge
+    (2^60-scale) dimensions stay representable (reference: GrB_eWise*,
+    core/matrix.py:1861-2151; hypersparse scale graphblas/__init__.py:210-213).
+    """
+    import jax.numpy as jnp
+
+    out_np = np.dtype(out_dtype.np_type)
+    t1 = np.dtype(op_t.type_.np_type)
+    t2 = np.dtype(op_t.type2.np_type)
+    ka = _pair_keys(a_sp.rows, a_sp.cols)
+    kb = _pair_keys(b_sp.rows, b_sp.cols)
+    # both row-major sorted: positional match via searchsorted
+    pos = np.searchsorted(kb, ka)
+    pos_c = np.minimum(pos, len(kb) - 1) if len(kb) else np.zeros(len(ka), np.int64)
+    in_both_a = (len(kb) > 0) & (pos < len(kb))
+    if len(kb):
+        in_both_a &= kb[pos_c] == ka
+    ia = np.flatnonzero(in_both_a)
+    ib = pos[ia] if len(ia) else np.zeros(0, np.int64)
+
+    def combine(av, bv):
+        if len(av) == 0:
+            return np.empty(0, out_np)
+        r = op_t.fn(jnp.asarray(av.astype(t1)), jnp.asarray(bv.astype(t2)))
+        return np.asarray(r).astype(out_np)
+
+    if how == "mult":
+        vals = combine(a_sp.vals[ia], b_sp.vals[ib])
+        return SparseMatrixData(a_sp.rows[ia], a_sp.cols[ia], vals, a_sp.nrows, a_sp.ncols)
+
+    only_a = np.ones(len(ka), bool)
+    only_a[ia] = False
+    only_b = np.ones(len(kb), bool)
+    only_b[ib] = False
+    oa = np.flatnonzero(only_a)
+    ob = np.flatnonzero(only_b)
+    both_vals = combine(a_sp.vals[ia], b_sp.vals[ib])
+    if how == "add":
+        a_vals = a_sp.vals[oa].astype(out_np)
+        b_vals = b_sp.vals[ob].astype(out_np)
+    else:  # union: defaults substitute for the absent side
+        a_vals = combine(a_sp.vals[oa], np.full(len(oa), rd, t2))
+        b_vals = combine(np.full(len(ob), ld, t1), b_sp.vals[ob])
+    rows = np.concatenate([a_sp.rows[ia], a_sp.rows[oa], b_sp.rows[ob]])
+    cols = np.concatenate([a_sp.cols[ia], a_sp.cols[oa], b_sp.cols[ob]])
+    vals = np.concatenate([both_vals, a_vals, b_vals])
+    order = np.lexsort((cols, rows))
+    return SparseMatrixData(
+        rows[order], cols[order], vals[order], a_sp.nrows, a_sp.ncols
+    )
 
 
 def sparse_apply_values(sp, fn, out_np):

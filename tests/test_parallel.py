@@ -302,3 +302,26 @@ def test_sharded_fastspmv_empty_partition(mesh):
     y = np.asarray(sharded_spmv(splan, x, add="plus", mul="first"))
     yr = np.asarray(spmv(ref, x, add="plus", mul="first"))
     np.testing.assert_allclose(y, yr, rtol=2e-5)
+
+
+def test_dsl_sparse_mxv_inside_context(mesh, rng):
+    """A sparse-format DSL mxv/vxm inside an engaged Context runs the
+    multi-chip engine and matches the single-device result."""
+    from graphblas_tpu import tx
+
+    n, e = 300, 3000
+    src = rng.integers(0, n, e)
+    dst = rng.integers(0, n, e)
+    w = rng.random(e).astype(np.float32)
+    with tx.config.set(dense_limit=0, mxv_strategy="plan"):
+        A = Matrix.from_coo(src, dst, w, dtypes.FP32, nrows=n, ncols=n, dup_op="plus")
+        x = Vector.from_coo(rng.integers(0, n, 150), 1.0, dtypes.FP32, size=n, dup_op="first")
+        expected = A.mxv(x, semiring.plus_times).new()
+        assert A._sparse is not None and A._sparse._sharded_plans == {}
+        with Context(devices=jax.devices()[:8]):
+            got = A.mxv(x, semiring.plus_times).new()
+            got_vxm = x.vxm(A, semiring.min_plus).new()
+        assert A._sparse._sharded_plans  # the mesh path actually ran
+        expected_vxm = x.vxm(A, semiring.min_plus).new()
+    assert got.isclose(expected, rel_tol=1e-5)
+    assert got_vxm.isclose(expected_vxm, rel_tol=1e-5)

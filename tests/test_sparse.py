@@ -420,3 +420,54 @@ def test_masked_spgemm_reduce_net_with_bricks(rng):
     d0 = dict(zip(zip(r0.tolist(), c0.tolist()), np.round(v0, 3).tolist()))
     d1 = dict(zip(zip(r1_.tolist(), c1_.tolist()), np.round(v1_, 3).tolist()))
     assert d0 == d1
+
+
+def test_sparse_ewise_huge_dims():
+    """Sparse-sparse ewise runs as a host merge-join + device combine — no
+    densify, so 2^40-scale dimensions work (reference hypersparse index
+    space, graphblas/__init__.py:210-213)."""
+    n = 1 << 40
+    A = Matrix.from_coo([0, 10, n - 1], [5, n - 2, 3], [1.0, 2.0, 3.0], dtypes.FP32, nrows=n, ncols=n)
+    B = Matrix.from_coo([0, 10, 7], [5, 4, 3], [10.0, 20.0, 30.0], dtypes.FP32, nrows=n, ncols=n)
+    assert A._sparse is not None
+    M = A.ewise_mult(B, binary.plus).new()
+    r, c, v = M.to_coo()
+    assert (r.tolist(), c.tolist(), v.tolist()) == ([0], [5], [11.0])
+    U = A.ewise_add(B, binary.plus).new()
+    r, c, v = U.to_coo()
+    assert list(zip(r.tolist(), c.tolist(), v.tolist())) == [
+        (0, 5, 11.0), (7, 3, 30.0), (10, 4, 20.0), (10, n - 2, 2.0), (n - 1, 3, 3.0)
+    ]
+    W = A.ewise_union(B, binary.minus, 100.0, 200.0).new()
+    d = W.to_dicts()
+    assert d[0][5] == -9.0          # both: 1 - 10
+    assert d[10][n - 2] == -198.0   # A-only: 2 - 200
+    assert d[7][3] == 70.0          # B-only: 100 - 30
+    T = A.T.ewise_mult(B.T, binary.times).new()
+    rt, ct, vt = T.to_coo()
+    assert (rt.tolist(), ct.tolist(), vt.tolist()) == ([5], [0], [10.0])
+    # other sparse ops at huge dims: apply / select / reduce / dup / isequal
+    assert A.apply("ainv").new().to_coo()[2].tolist() == [-1.0, -2.0, -3.0]
+    assert A.select("value>", 1.5).new().nvals == 2
+    assert float(A.reduce_scalar().new().value) == 6.0
+    assert A.isequal(A.dup())
+
+
+def test_sparse_ewise_vs_dense_oracle(rng):
+    """Random sparse-sparse ewise mult/add/union vs the dense-engine result."""
+    n = 24
+    r1, c1 = rng.integers(0, n, 40), rng.integers(0, n, 40)
+    r2, c2 = rng.integers(0, n, 40), rng.integers(0, n, 40)
+    v1, v2 = rng.random(40), rng.random(40)
+    with tx.config.set(dense_limit=0):
+        S1 = Matrix.from_coo(r1, c1, v1, dtypes.FP64, nrows=n, ncols=n, dup_op="plus")
+        S2 = Matrix.from_coo(r2, c2, v2, dtypes.FP64, nrows=n, ncols=n, dup_op="plus")
+        got_m = S1.ewise_mult(S2, binary.times).new().to_dicts()
+        got_a = S1.ewise_add(S2, binary.max).new().to_dicts()
+        got_u = S1.ewise_union(S2, binary.minus, 5.0, 7.0).new().to_dicts()
+    D1 = Matrix.from_coo(*S1.to_coo(), dtypes.FP64, nrows=n, ncols=n)
+    D2 = Matrix.from_coo(*S2.to_coo(), dtypes.FP64, nrows=n, ncols=n)
+    assert D1._sparse is None
+    assert got_m == D1.ewise_mult(D2, binary.times).new().to_dicts()
+    assert got_a == D1.ewise_add(D2, binary.max).new().to_dicts()
+    assert got_u == D1.ewise_union(D2, binary.minus, 5.0, 7.0).new().to_dicts()
