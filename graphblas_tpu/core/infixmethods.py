@@ -108,6 +108,32 @@ class InfixMixin:
     def __xor__(self, other):
         return self._arith(other, "lxor")
 
+    # -- comparison dunders: elementwise BOOL expressions (reference:
+    #    core/infixmethods.py __lt__/__le__/__gt__/__ge__/__eq__/__ne__;
+    #    use isequal/isclose for whole-collection equality) ----------------
+
+    def __lt__(self, other):
+        return self._arith(other, "lt")
+
+    def __le__(self, other):
+        return self._arith(other, "le")
+
+    def __gt__(self, other):
+        return self._arith(other, "gt")
+
+    def __ge__(self, other):
+        return self._arith(other, "ge")
+
+    def __eq__(self, other):
+        return self._arith(other, "eq")
+
+    def __ne__(self, other):
+        return self._arith(other, "ne")
+
+    # defining __eq__ would otherwise clear hashability; collections hash by
+    # identity like the reference's
+    __hash__ = object.__hash__
+
     def __neg__(self):
         import graphblas_tpu.unary as unary
 

@@ -133,3 +133,82 @@ def test_vector_matrix_broadcast_ewise():
         Vector(dtypes.INT64, 5).ewise_add(A, binary.plus).new()
     with pytest.raises(gb.exceptions.DimensionMismatch):
         (A & Vector(dtypes.INT64, 5)).new()
+
+
+def test_scalar_mixing_dunders(vw):
+    """Arithmetic dunders with python scalars map to apply with a bound
+    operand (reference: core/infixmethods.py:10-79)."""
+    v, _ = vw
+    orc.assert_equal_dicts(orc.to_dict((v + 10).new()), {0: 11, 1: 12, 3: 13})
+    orc.assert_equal_dicts(orc.to_dict((10 + v).new()), {0: 11, 1: 12, 3: 13})
+    orc.assert_equal_dicts(orc.to_dict((v * 2).new()), {0: 2, 1: 4, 3: 6})
+    orc.assert_equal_dicts(orc.to_dict((2 - v).new()), {0: 1, 1: 0, 3: -1})
+    orc.assert_equal_dicts(orc.to_dict((v**2).new()), {0: 1, 1: 4, 3: 9})
+    orc.assert_equal_dicts(orc.to_dict((-v).new()), {0: -1, 1: -2, 3: -3})
+    orc.assert_equal_dicts(orc.to_dict(abs(-v).new()), {0: 1, 1: 2, 3: 3})
+    got = (v % 2).new()
+    orc.assert_equal_dicts(orc.to_dict(got), {0: 1, 1: 0, 3: 1})
+    got = (v // 2).new()
+    orc.assert_equal_dicts(orc.to_dict(got), {0: 0, 1: 1, 3: 1})
+
+
+def test_comparison_dunders_produce_bool(vw):
+    """Elementwise comparison dunders (reference: core/infixmethods.py
+    __lt__ etc. — ewise_mult intersection with the BOOL comparison op)."""
+    v, w = vw
+    got = (v < w).new()
+    assert got.dtype is dtypes.BOOL
+    orc.assert_equal_dicts(orc.to_dict(got), {1: True, 3: True})
+    orc.assert_equal_dicts(orc.to_dict((v >= w).new()), {1: False, 3: False})
+    orc.assert_equal_dicts(orc.to_dict((v == w).new()), {1: False, 3: False})
+    orc.assert_equal_dicts(orc.to_dict((v != w).new()), {1: True, 3: True})
+    # scalar comparison -> apply with bound thunk
+    orc.assert_equal_dicts(orc.to_dict((v > 1).new()), {0: False, 1: True, 3: True})
+    # collections stay hashable (identity), like the reference
+    assert len({id(v), id(w)}) == 2 and {v: 1}[v] == 1
+
+
+def test_semiring_call_on_matmul_infix(vw):
+    v, _ = vw
+    A = Matrix.from_coo([0, 1, 3], [1, 3, 0], [2, 4, 8], dtypes.INT64, nrows=4, ncols=4)
+    got = semiring.min_plus(A @ v).new()
+    expected = orc.to_dict(A.mxv(v, semiring.min_plus).new())
+    orc.assert_equal_dicts(orc.to_dict(got), expected)
+    got = semiring.max_times(v @ A).new()
+    expected = orc.to_dict(v.vxm(A, semiring.max_times).new())
+    orc.assert_equal_dicts(orc.to_dict(got), expected)
+
+
+def test_matrix_matmul_matrix_infix():
+    A = Matrix.from_coo([0, 1], [1, 0], [2, 3], dtypes.INT64, nrows=2, ncols=2)
+    B = Matrix.from_coo([0, 1], [0, 1], [5, 7], dtypes.INT64, nrows=2, ncols=2)
+    got = (A @ B).new()
+    expected = orc.to_dict(A.mxm(B, semiring.plus_times).new())
+    orc.assert_equal_dicts(orc.to_dict(got), expected)
+    # chained @ auto-computes the left expression
+    C = (A @ B @ A).new()
+    expected2 = orc.to_dict(A.mxm(B, "plus_times").new().mxm(A, "plus_times").new())
+    orc.assert_equal_dicts(orc.to_dict(C), expected2)
+
+
+def test_infix_expression_into_updater(vw):
+    """C(mask) << binary.op(x | y) — infix expressions through the full
+    updater protocol (mask + accum)."""
+    v, w = vw
+    out = Vector(dtypes.INT64, 4)
+    m = Vector.from_coo([0, 1], [True, True], dtypes.BOOL, size=4)
+    out(m.S) << binary.plus(v | w)
+    orc.assert_equal_dicts(orc.to_dict(out), {0: 1, 1: 12})
+    out(accum=binary.times) << binary.plus(v | w)
+    orc.assert_equal_dicts(orc.to_dict(out), {0: 1, 1: 144, 2: 20, 3: 33})
+
+
+def test_transposed_infix():
+    A = Matrix.from_coo([0, 1], [1, 0], [2.0, 3.0], dtypes.FP64, nrows=2, ncols=2)
+    B = Matrix.from_coo([0, 1], [1, 1], [5.0, 7.0], dtypes.FP64, nrows=2, ncols=2)
+    got = binary.plus(A.T | B).new()
+    ref = orc.to_dict(A.T.new().ewise_add(B, binary.plus).new())
+    orc.assert_equal_dicts(orc.to_dict(got), ref)
+    got = (A.T @ B).new()
+    ref = orc.to_dict(A.T.new().mxm(B, "plus_times").new())
+    orc.assert_equal_dicts(orc.to_dict(got), ref)
