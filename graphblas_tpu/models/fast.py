@@ -25,6 +25,22 @@ from ..ops.fastspmv import (
 _BIG = jnp.float32(3.4e38) / 4
 
 
+def _spmv_state_update(plan, x_start, mode, state, depth):
+    """Loop-layout SpMV step with the BFS/SSSP state update fused into the
+    reduce kernel: fill -> permute -> one segmented_scan_state pass."""
+    from ..ops.fastspmv import _interpret_scan, _seg_fill
+    from ..ops.pallas_scan import segmented_scan_state
+    from ..ops.permute import apply_plan
+
+    xe = _seg_fill(plan, x_start)
+    xe_dst = apply_plan(xe, plan.perm_plan)
+    w = plan.w_dst_order if mode == "sssp" else None
+    return segmented_scan_state(
+        mode, xe_dst, w, plan.valid_dst_order, plan.seg_start_dst,
+        plan.is_last_dst, state, depth, interpret=_interpret_scan(),
+    )
+
+
 def _no_x64(fn):
     import functools as _ft
 
@@ -100,10 +116,10 @@ def _bfs_loop_v3(plan, source, n):
         levels, frontier, depth, _ = state
         x_start = state_to_start(plan, frontier, jnp.zeros((), fdt))
         x_start = jnp.maximum(x_start, src_inject)
-        scanned = spmv_state(plan, x_start, "max", "first")
-        nxt = is_last & (scanned > 0) & (levels < 0)
-        levels = jnp.where(nxt, depth + 1, levels)
-        return levels, nxt.astype(fdt), depth + 1, nxt.any()
+        # fused reduce + level update: the contrib scan applies the
+        # frontier/levels epilogue in-VMEM (ops/pallas_scan._state_kernel)
+        levels, frontier = _spmv_state_update(plan, x_start, "bfs", levels, depth)
+        return levels, frontier, depth + 1, frontier.max() > 0
 
     levels, _, _, _ = jax.lax.while_loop(
         cond, body, (levels0, frontier0, jnp.int32(0), jnp.asarray(True))
@@ -191,9 +207,8 @@ def _sssp_loop_v3(plan, source, n):
         dist, _, it = state
         x_start = state_to_start(plan, dist, _BIG)
         x_start = jnp.where(src_inject, jnp.float32(0), x_start)
-        scanned = spmv_state(plan, x_start, "min", "plus")
-        new = jnp.where(is_last, jnp.minimum(dist, scanned), jnp.float32(0))
-        return new, (new < dist).any(), it + 1
+        new, changed = _spmv_state_update(plan, x_start, "sssp", dist, it)
+        return new, changed.max() > 0, it + 1
 
     dist, _, _ = jax.lax.while_loop(cond, body, (dist0, jnp.asarray(True), jnp.int32(0)))
     out = state_to_n(plan, dist, _BIG)

@@ -153,6 +153,92 @@ def _no_x64(fn):
     return wrapper
 
 
+def _state_kernel(mode, blk, x_ref, w_ref, valid_ref, f_ref, il_ref, st_ref, d_ref, o_st_ref, o_fr_ref, cv_ref, cf_ref):
+    """Fused SpMV-reduce + per-iteration state update (BFS / SSSP loop
+    bodies): the contrib scan's epilogue applies the frontier/distance
+    update in-VMEM instead of a separate full-HBM elementwise pass."""
+    op = "max" if mode == "bfs" else "min"
+    cdtype = jnp.float32
+    ident = jnp.asarray(_ident(op, np.float32), cdtype)
+    x = x_ref[:, :]
+    if w_ref is not None:
+        x = x + w_ref[:, :]
+    contrib = jnp.where(valid_ref[:, :] != 0, x, ident)
+    out_v, _ = _scan_tile(op, blk, contrib, f_ref[:, :].astype(jnp.int32), cv_ref, cf_ref)
+    il = il_ref[:, :] != 0
+    if mode == "bfs":
+        lv = st_ref[:, :]
+        depth = d_ref[0, 0]
+        nxt = il & (out_v > 0) & (lv < 0)
+        o_st_ref[:, :] = jnp.where(nxt, depth + 1, lv)
+        o_fr_ref[:, :] = nxt.astype(jnp.float32)
+    else:  # sssp
+        dist = st_ref[:, :]
+        new = jnp.where(il, jnp.minimum(dist, out_v), jnp.float32(0))
+        o_st_ref[:, :] = new
+        o_fr_ref[:, :] = (new < dist).astype(jnp.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+@_no_x64
+def segmented_scan_state(mode, xe, w, valid, flags, is_last, state, depth, interpret=False):
+    """One fused pass: segmented reduce of dst-sorted contributions + the
+    BFS/SSSP state update read at segment-last slots.
+
+    mode="bfs": state is levels (int32); returns (new_levels, frontier f32).
+    mode="sssp": state is dist (f32); returns (new_dist, changed f32)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = xe.shape[0]
+    r = n // 128
+    blk = min(_BLK, r)
+    assert n % 128 == 0 and r % blk == 0, "spmv e_pad sizes are block multiples"
+    x2 = xe.astype(jnp.float32).reshape(r, 128)
+    f2 = flags.astype(jnp.int8).reshape(r, 128)
+    v2 = valid.astype(jnp.int8).reshape(r, 128)
+    il2 = is_last.astype(jnp.int8).reshape(r, 128)
+    st2 = state.reshape(r, 128)
+    d2 = jnp.asarray(depth, jnp.int32).reshape(1, 1)
+    blockspec = pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    smemspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    if w is not None:
+        kernel = functools.partial(_state_kernel, mode, blk)
+        args = (x2, w.reshape(r, 128), v2, f2, il2, st2, d2)
+        in_specs = [blockspec] * 6 + [smemspec]
+    else:
+        kernel = functools.partial(
+            lambda mode, blk, x_ref, valid_ref, f_ref, il_ref, st_ref, d_ref, o_st, o_fr, cv, cf: _state_kernel(
+                mode, blk, x_ref, None, valid_ref, f_ref, il_ref, st_ref, d_ref, o_st, o_fr, cv, cf
+            ),
+            mode,
+            blk,
+        )
+        args = (x2, v2, f2, il2, st2, d2)
+        in_specs = [blockspec] * 5 + [smemspec]
+    out_st, out_fr = pl.pallas_call(
+        kernel,
+        grid=(r // blk,),
+        in_specs=in_specs,
+        out_specs=(blockspec, blockspec),
+        out_shape=(
+            jax.ShapeDtypeStruct((r, 128), state.dtype),
+            jax.ShapeDtypeStruct((r, 128), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((1, 1), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(*args)
+    return out_st.reshape(-1), out_fr.reshape(-1)
+
+
+
+
 @functools.partial(jax.jit, static_argnames=("op", "interpret"))
 @_no_x64
 def segmented_scan(values, flags, op, interpret=False):

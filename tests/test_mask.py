@@ -169,3 +169,60 @@ def test_input_mask_extract(rng):
     mask_keys = orc.mask_bits(dm, (5, 5), structural=True, complement=False)
     expected = {i: v for (i, j), v in dc.items() if j == 2 and (i, 2) in mask_keys}
     orc.assert_equal_dicts(orc.to_dict(w), expected)
+
+
+def test_mask_combinations_full_16(rng):
+    """All 16 mask-kind pairs x {&, |} vs brute-force key sets, and the
+    combined mask used as a real mask in an update (reference:
+    core/mask.py:205-513 recipe tables; tests/test_mask.py)."""
+    d1 = orc.random_matrix_dict(rng, 5, 5, 0.5, np.bool_)
+    d2 = orc.random_matrix_dict(rng, 5, 5, 0.5, np.bool_)
+    da = orc.random_matrix_dict(rng, 5, 5, 0.8, np.int64, 1, 9)
+    M1 = orc.matrix_from_dict(gb, d1, 5, 5, dtypes.BOOL)
+    M2 = orc.matrix_from_dict(gb, d2, 5, 5, dtypes.BOOL)
+    A = orc.matrix_from_dict(gb, da, 5, 5, dtypes.INT64)
+
+    def variants(M, d):
+        return [
+            (M.S, orc.mask_bits(d, (5, 5), structural=True, complement=False)),
+            (M.V, orc.mask_bits(d, (5, 5), structural=False, complement=False)),
+            (~M.S, orc.mask_bits(d, (5, 5), structural=True, complement=True)),
+            (~M.V, orc.mask_bits(d, (5, 5), structural=False, complement=True)),
+        ]
+
+    for m1, k1 in variants(M1, d1):
+        for m2, k2 in variants(M2, d2):
+            for combined, keys in [(m1 & m2, k1 & k2), (m1 | m2, k1 | k2)]:
+                assert set(orc.to_dict(combined.new())) == keys
+                # combined mask drives a masked dup of A
+                C = Matrix(dtypes.INT64, 5, 5)
+                C(combined) << A
+                expected = {k: v for k, v in da.items() if k in keys}
+                orc.assert_equal_dicts(orc.to_dict(C), expected)
+
+
+def test_complement_of_combined_mask(rng):
+    d1 = orc.random_matrix_dict(rng, 5, 5, 0.5, np.bool_)
+    d2 = orc.random_matrix_dict(rng, 5, 5, 0.5, np.bool_)
+    M1 = orc.matrix_from_dict(gb, d1, 5, 5, dtypes.BOOL)
+    M2 = orc.matrix_from_dict(gb, d2, 5, 5, dtypes.BOOL)
+    k1 = orc.mask_bits(d1, (5, 5), structural=True, complement=False)
+    k2 = orc.mask_bits(d2, (5, 5), structural=False, complement=False)
+    both = ~(M1.S & M2.V)
+    all_keys = {(i, j) for i in range(5) for j in range(5)}
+    assert set(orc.to_dict(both.new())) == all_keys - (k1 & k2)
+    either = ~(M1.S | M2.V)
+    assert set(orc.to_dict(either.new())) == all_keys - (k1 | k2)
+
+
+def test_vector_mask_combinations(rng):
+    dv = orc.random_vector_dict(rng, 8, 0.5, np.bool_)
+    dw = orc.random_vector_dict(rng, 8, 0.5, np.bool_)
+    V = orc.vector_from_dict(gb, dv, 8, dtypes.BOOL)
+    W = orc.vector_from_dict(gb, dw, 8, dtypes.BOOL)
+    kv = {i for i in dv}
+    kw = {i for i, val in dw.items() if val}
+    got = set(orc.to_dict((V.S & W.V).new()))
+    assert got == (kv & kw)
+    got = set(orc.to_dict((~V.S | W.V).new()))
+    assert got == (set(range(8)) - kv) | kw

@@ -96,3 +96,47 @@ def test_segmented_fill_static_vs_scan(rng):
             segmented_fill_static(jnp.asarray(x), jnp.asarray(j), jnp.asarray(hp), interpret=True)
         )
         np.testing.assert_array_equal(got, ref, err_msg=f"n={n} d={density}")
+
+
+def test_segmented_scan_state_vs_composed(rng):
+    """Fused reduce+state-update kernel == contrib scan + elementwise epilogue."""
+    import jax.numpy as jnp
+
+    from graphblas_tpu.ops.pallas_scan import segmented_scan_contrib, segmented_scan_state
+
+    n = 128 * 32
+    flags = rng.random(n) < 0.05
+    valid = rng.random(n) < 0.8
+    il = np.zeros(n, bool)
+    il[np.flatnonzero(flags) - 1] = True
+    x = rng.random(n).astype(np.float32)
+    w = rng.random(n).astype(np.float32)
+
+    dist = (rng.random(n) * 2).astype(np.float32)
+    ref = np.asarray(
+        segmented_scan_contrib(
+            jnp.asarray(x), jnp.asarray(w), jnp.asarray(valid), jnp.asarray(flags), "min", "plus", interpret=True
+        )
+    )
+    ref_new = np.where(il, np.minimum(dist, ref), 0.0)
+    got_new, got_ch = segmented_scan_state(
+        "sssp", jnp.asarray(x), jnp.asarray(w), jnp.asarray(valid), jnp.asarray(flags),
+        jnp.asarray(il), jnp.asarray(dist), 0, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_new), ref_new, rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(got_ch), (ref_new < dist).astype(np.float32))
+
+    lv = np.where(rng.random(n) < 0.3, 1, -1).astype(np.int32)
+    fr = (rng.random(n) < 0.2).astype(np.float32)
+    ref = np.asarray(
+        segmented_scan_contrib(
+            jnp.asarray(fr), None, jnp.asarray(valid), jnp.asarray(flags), "max", "first", interpret=True
+        )
+    )
+    nxt = il & (ref > 0) & (lv < 0)
+    got_lv, got_fr = segmented_scan_state(
+        "bfs", jnp.asarray(fr), None, jnp.asarray(valid), jnp.asarray(flags),
+        jnp.asarray(il), jnp.asarray(lv), 7, interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(got_lv), np.where(nxt, 8, lv))
+    np.testing.assert_array_equal(np.asarray(got_fr), nxt.astype(np.float32))
