@@ -180,12 +180,15 @@ def main():
         spgemm_gf, spgemm_nnz = -1.0, 0
 
     # ---- SSSP -------------------------------------------------------------
-    nsssp = 3
+    # amortize over 8 runs like BFS: at ~8 ms/run vs a ~30 ms dispatch
+    # floor, 3 runs left the measurement floor-noise-dominated
+    nsssp = 8
+    sssp_sources = sources[:4] * 2
 
     def run_sssp():
-        for src_node in sources[: nsssp - 1]:
+        for src_node in sssp_sources[:-1]:
             mf.sssp(plan, src_node, n)
-        return mf.sssp(plan, sources[nsssp - 1], n)
+        return mf.sssp(plan, sssp_sources[-1], n)
 
     sssp_time = measure(run_sssp, nsssp)
     sssp_gteps = e / sssp_time / 1e9

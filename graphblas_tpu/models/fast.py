@@ -27,7 +27,12 @@ _BIG = jnp.float32(3.4e38) / 4
 
 def _spmv_state_update(plan, x_start, mode, state, depth):
     """Loop-layout SpMV step with the BFS/SSSP state update fused into the
-    reduce kernel: fill -> permute -> one segmented_scan_state pass."""
+    reduce kernel: fill -> permute -> one segmented_scan_state pass.
+
+    (Measured on v5e: additionally folding the start-state mask + source
+    inject INTO the fill kernel regressed BFS 8.4 -> 10.2 ms — XLA fuses
+    those elementwise passes better than Mosaic schedules the bigger
+    kernel.  Keep them as XLA ops.)"""
     from ..ops.fastspmv import _interpret_scan, _seg_fill
     from ..ops.pallas_scan import segmented_scan_state
     from ..ops.permute import apply_plan
@@ -116,8 +121,6 @@ def _bfs_loop_v3(plan, source, n):
         levels, frontier, depth, _ = state
         x_start = state_to_start(plan, frontier, jnp.zeros((), fdt))
         x_start = jnp.maximum(x_start, src_inject)
-        # fused reduce + level update: the contrib scan applies the
-        # frontier/levels epilogue in-VMEM (ops/pallas_scan._state_kernel)
         levels, frontier = _spmv_state_update(plan, x_start, "bfs", levels, depth)
         return levels, frontier, depth + 1, frontier.max() > 0
 

@@ -27,14 +27,36 @@ def pytest_addoption(parser):
 
 
 def pytest_configure(config):
-    # Randomized-config axis (reference: graphblas/tests/conftest.py backend
-    # randomization): GRAPHBLAS_TEST_MXM_STRATEGY=auto|mxu|generic|pallas
-    # forces every mxm in the suite through one lowering.
+    # Randomized-config axes (reference: graphblas/tests/conftest.py backend/
+    # blocking/record randomization):
+    # - GRAPHBLAS_TEST_MXM_STRATEGY=auto|mxu|generic|pallas forces every mxm
+    #   through one lowering
+    # - GRAPHBLAS_TEST_BLOCKING=1 runs the whole suite in blocking mode
+    #   (every mutating statement materializes -> error-timing differences
+    #   surface)
     strategy = os.environ.get("GRAPHBLAS_TEST_MXM_STRATEGY")
     if strategy:
         from graphblas_tpu.tx import config as txconfig
 
         txconfig["mxm_strategy"] = strategy
+    if os.environ.get("GRAPHBLAS_TEST_BLOCKING"):
+        import graphblas_tpu
+
+        graphblas_tpu.init("jax", blocking=True)
+    if config.getoption("--record", default=False):
+        # reference --record: wrap the run in a Recorder and dump every
+        # engine call to record.txt (graphblas/tests/conftest.py:111-120)
+        import graphblas_tpu
+
+        config._gb_recorder = graphblas_tpu.Recorder(start=True, max_rows=1 << 30)
+
+
+def pytest_unconfigure(config):
+    rec = getattr(config, "_gb_recorder", None)
+    if rec is not None:
+        rec.stop()
+        with open("record.txt", "w") as f:
+            f.write("\n".join(rec.data) + "\n")
 
 
 def pytest_collection_modifyitems(config, items):

@@ -147,3 +147,48 @@ def test_random_vector_chain(seed):
     for step in range(N_STEPS):
         vd = _step_vector(rng, v, vd, ad)
         oracle.assert_equal_dicts(oracle.to_dict(v), vd), f"seed={seed} step={step}"
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_random_sparse_chain(seed):
+    """Random chains over the SPARSE (analyzed-COO) container: every step's
+    output must stay in sparse storage and match the oracle — exercises the
+    merge-join ewise, sparse apply/select, and sparse transpose paths."""
+    from graphblas_tpu import tx
+
+    rng = np.random.default_rng(3000 + seed)
+    with tx.config.set(dense_limit=0):
+        cd = oracle.random_matrix_dict(rng, N, N, density=0.5, dtype=np.int64, low=-3, high=4)
+        C = oracle.matrix_from_dict(gb, cd, N, N, dtype=dtypes.INT64)
+        assert C._sparse is not None
+        for step in range(N_STEPS):
+            kind = rng.choice(["ewise_add", "ewise_mult", "ewise_union", "apply", "select", "transpose"])
+            od = oracle.random_matrix_dict(rng, N, N, density=0.5, dtype=np.int64, low=-3, high=4)
+            other = oracle.matrix_from_dict(gb, od, N, N, dtype=dtypes.INT64)
+            opname = rng.choice(["plus", "min", "max", "first", "minus"])
+            op, fn = _BINOPS[opname]
+            if kind == "ewise_add":
+                C = C.ewise_add(other, op).new()
+                cd = oracle.ewise_add(cd, od, fn)
+            elif kind == "ewise_mult":
+                C = C.ewise_mult(other, op).new()
+                cd = oracle.ewise_mult(cd, od, fn)
+            elif kind == "ewise_union":
+                C = C.ewise_union(other, op, -7, 9).new()
+                cd = {
+                    k: fn(cd.get(k, -7), od.get(k, 9))
+                    for k in set(cd) | set(od)
+                }
+            elif kind == "apply":
+                c = int(rng.integers(-3, 4))
+                C = C.apply(op, right=c).new()
+                cd = {k: fn(v, c) for k, v in cd.items()}
+            elif kind == "select":
+                c = int(rng.integers(-5, 6))
+                C = C.select("valuegt", c).new()
+                cd = {k: v for k, v in cd.items() if v > c}
+            else:
+                C = C.T.new()
+                cd = {(j, i): v for (i, j), v in cd.items()}
+            assert C._sparse is not None, f"seed={seed} step={step} {kind} left sparse storage"
+            oracle.assert_equal_dicts(oracle.to_dict(C), cd)
