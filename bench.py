@@ -179,6 +179,28 @@ def main():
     except Exception:
         spgemm_gf, spgemm_nnz = -1.0, 0
 
+    # ---- dense tropical (min_plus) mxm ------------------------------------
+    def tropical_tops():
+        from graphblas_tpu.ops.pallas_mxm import tropical_mxm_filled
+
+        mt = 2048
+        rng_t = np.random.default_rng(3)
+        a = jnp.asarray(rng_t.random((mt, mt), np.float32))
+        b = jnp.asarray(rng_t.random((mt, mt), np.float32))
+
+        def run8():  # amortize past the dispatch floor
+            for _ in range(7):
+                tropical_mxm_filled(a, b, "min", "plus")
+            return tropical_mxm_filled(a, b, "min", "plus")
+
+        t = measure(run8, 8)
+        return 2 * mt**3 / t / 1e12
+
+    try:
+        trop_tops = tropical_tops()
+    except Exception:
+        trop_tops = -1.0
+
     # ---- SSSP -------------------------------------------------------------
     # amortize over 8 runs like BFS: at ~8 ms/run vs a ~30 ms dispatch
     # floor, 3 runs left the measurement floor-noise-dominated
@@ -212,6 +234,7 @@ def main():
             "dispatch_floor_ms": round(floor * 1e3, 2),
             "masked_spgemm_gflops": round(spgemm_gf, 4),
             "masked_spgemm_mask_nnz": spgemm_nnz,
+            "tropical_mxm_tops": round(trop_tops, 4),
         },
     }
     print(json.dumps(result))
