@@ -151,6 +151,12 @@ def counting_sort(keys, n):
     """Stable counting sort permutation of int keys in [0, n)."""
     keys = np.ascontiguousarray(keys, np.int32)
     E = len(keys)
+    if E and (int(keys.min()) < 0 or int(keys.max()) >= n):
+        # the C++ sort indexes its count table by key: out-of-range keys
+        # would corrupt the heap (segfault), so validate here
+        raise IndexError(
+            f"counting_sort keys out of range [0, {n}): min={int(keys.min())}, max={int(keys.max())}"
+        )
     perm = np.empty(E, np.int64)
     lib = get_lib()
     if lib is not None:

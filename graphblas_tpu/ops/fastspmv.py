@@ -138,6 +138,15 @@ def _register_spmv_pytree():
 _register_spmv_pytree()
 
 
+def _exc_index_out_of_bounds(n, src, dst):
+    from ..exceptions import IndexOutOfBound
+
+    return IndexOutOfBound(
+        f"edge endpoints out of range for n={n}: "
+        f"src in [{int(src.min())}, {int(src.max())}], dst in [{int(dst.min())}, {int(dst.max())}]"
+    )
+
+
 def _complete_permutation(partial, e_pad):
     """Fill -1 targets of a partial routing with the unused sources."""
     used = np.zeros(e_pad, bool)
@@ -162,6 +171,13 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0):
     e = len(src)
     if n is None:
         n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
+    elif e and (
+        min(int(src.min()), int(dst.min())) < 0
+        or max(int(src.max()), int(dst.max())) >= n
+    ):
+        # reference raises GrB_INDEX_OUT_OF_BOUNDS for edges past the
+        # dimension (core/matrix.py from_coo validation)
+        raise _exc_index_out_of_bounds(n, src, dst)
     # the place/collect endpoints embed n-vectors in the edge space
     e_pad = padded_size(max(e, n, pad_to))
     # pad with edges (n-1 -> n-1) marked invalid; they sort to the end-ish but

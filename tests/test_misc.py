@@ -338,3 +338,18 @@ def test_from_coo_string_dup_op():
     assert A.get(0, 1) == 5.0
     v = Vector.from_coo([0, 0, 2], [1, 7, 5], size=3, dup_op="max")
     assert v.get(0) == 7
+
+
+def test_build_spmv_plan_rejects_out_of_range():
+    """Out-of-range edge endpoints raise IndexOutOfBound instead of
+    corrupting the native counting sort (reference: GrB index validation)."""
+    from graphblas_tpu.exceptions import IndexOutOfBound
+    from graphblas_tpu.native import counting_sort
+    from graphblas_tpu.ops.fastspmv import build_spmv_plan
+
+    with pytest.raises(IndexOutOfBound):
+        build_spmv_plan(np.array([0, 70]), np.array([1, 2]), None, n=64)
+    with pytest.raises(IndexError):
+        counting_sort(np.array([0, 99], np.int32), 10)
+    with pytest.raises(IndexError):
+        counting_sort(np.array([-1, 3], np.int32), 10)
