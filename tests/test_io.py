@@ -116,3 +116,20 @@ def test_tx_hyper_import_export():
         values=d2["values"], nrows=d2["nrows"], ncols=d2["ncols"],
     )
     assert C.isequal(A)
+
+
+def test_viz_draw_and_spy():
+    """Smoke-test the viz helpers on the Agg backend (reference: viz.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from graphblas_tpu import viz
+
+    A = Matrix.from_coo([0, 1, 2], [1, 2, 0], [1.0, 2.0, 3.0], dtypes.FP64, nrows=3, ncols=3)
+    g = viz.draw(A)
+    assert g.number_of_edges() == 3
+    ax = viz.spy(A, show=False)
+    assert ax is not None
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
