@@ -847,6 +847,14 @@ def _finalize_eq_buckets(task_groups, n_entries_cap):
         # and never larger than the padded task count itself
         chunk = max(512, _SPGEMM_EQ_BUDGET // (Wa * Wb) // 512 * 512)
         chunk = min(chunk, -(-T // 512) * 512)
+        # the Pallas eq-join's swept task tile must divide the padded count:
+        # round chunk to a tile multiple (tile is a power-of-2 multiple of
+        # 512, chunk any multiple of 512)
+        from ..ops.pallas_eqjoin import task_tile
+
+        tile = task_tile(Wa, Wb)
+        chunk = max(tile, chunk // tile * tile)
+        chunk = min(chunk, -(-T // tile) * tile)
         pad = (-T) % chunk
         if pad:
             ak = np.pad(ak, ((0, pad), (0, 0)), constant_values=-1)

@@ -19,7 +19,27 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_BLK = 512  # tasks per tile (lane dim; multiple of 128)
+_BLK = 512  # default tasks per tile (lane dim; multiple of 512)
+
+# Per-(Wa, Wb) task-tile widths, swept on v5e (plus_times, warm, >1.5x wins
+# only — pairs not listed measured within noise of 512).  Narrow-W tiles
+# need wider task blocks to fill the VPU lanes (same lesson as the tropical
+# mxm's wide-N tiles).
+_BLK_TABLE = {
+    (4, 16): 4096,
+    (4, 64): 1024,
+    (4, 256): 2048,
+    (64, 16): 1024,
+    (64, 64): 2048,
+    (64, 256): 2048,
+    (256, 16): 1024,
+    (256, 64): 1024,
+}
+
+
+def task_tile(Wa, Wb):
+    """Swept task-tile width for a (Wa, Wb) bucket."""
+    return _BLK_TABLE.get((int(Wa), int(Wb)), _BLK)
 
 _ADD_OPS = frozenset({"plus", "min", "max", "any", "lor", "land", "times"})
 _MUL_OPS = frozenset({"pair", "times", "plus", "first", "second"})
@@ -117,7 +137,7 @@ def eqjoin(akT, avT, bkT, bvT, add, mul, interpret=False):
 
     Wa, T = akT.shape
     Wb = bkT.shape[0]
-    blk = min(_BLK, T)
+    blk = min(task_tile(Wa, Wb), T)
     assert T % blk == 0, "task count must be padded to the tile size"
     aspec = pl.BlockSpec((Wa, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((Wb, blk), lambda i: (0, i), memory_space=pltpu.VMEM)
