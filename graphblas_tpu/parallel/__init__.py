@@ -11,9 +11,11 @@ import threading
 
 from .fastspmv import (  # noqa: F401
     build_sharded_spmv_plan,
+    sharded_bfs_level,
     sharded_pagerank,
     sharded_spmv,
     sharded_spmv_masked,
+    sharded_sssp,
 )
 from .summa import (  # noqa: F401
     sharded_spmv_step,

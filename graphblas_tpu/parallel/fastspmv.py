@@ -162,6 +162,61 @@ def sharded_spmv_masked(splan, x, xs, add="plus", mul="times"):
     return fn(splan.stacked, jnp.asarray(x, jnp.float32), jnp.asarray(xs, bool))
 
 
+def sharded_bfs_level(splan, source):
+    """Level BFS over the mesh: one sharded max/first SpMV per level, whole
+    loop in ONE jitted program (single collective per level)."""
+    n = splan.n
+    spmv_fn = _get_fn(splan, "max", "first", False)
+    source = int(source)
+
+    @jax.jit
+    def run(stacked):
+        levels0 = jnp.full((n,), -1, jnp.int32).at[source].set(0)
+        frontier0 = jnp.zeros((n,), jnp.float32).at[source].set(1.0)
+
+        def cond(state):
+            _, frontier, depth = state
+            return (frontier.max() > 0) & (depth < n)
+
+        def body(state):
+            levels, frontier, depth = state
+            reached = spmv_fn(stacked, frontier) > 0
+            nxt = reached & (levels < 0)
+            return jnp.where(nxt, depth + 1, levels), nxt.astype(jnp.float32), depth + 1
+
+        levels, _, _ = jax.lax.while_loop(cond, body, (levels0, frontier0, jnp.int32(0)))
+        return levels
+
+    return run(splan.stacked)
+
+
+def sharded_sssp(splan, source):
+    """Bellman-Ford over the mesh (min/plus; the plan must carry weights)."""
+    n = splan.n
+    big = jnp.float32(3.4e38) / 4
+    spmv_fn = _get_fn(splan, "min", "plus", False)
+    source = int(source)
+
+    @jax.jit
+    def run(stacked):
+        dist0 = jnp.full((n,), big, jnp.float32).at[source].set(0.0)
+
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < n)
+
+        def body(state):
+            dist, _, it = state
+            relaxed = spmv_fn(stacked, dist)
+            new = jnp.minimum(dist, relaxed)
+            return new, (new < dist).any(), it + 1
+
+        dist, _, _ = jax.lax.while_loop(cond, body, (dist0, jnp.asarray(True), jnp.int32(0)))
+        return dist
+
+    return run(splan.stacked)
+
+
 def sharded_pagerank(splan, *, damping=0.85, tol=1e-6, max_iters=100, outdeg=None):
     """PageRank over the mesh: per-iteration one sharded plus_times SpMV +
     replicated elementwise update, the whole loop in ONE jitted program.

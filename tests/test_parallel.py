@@ -325,3 +325,24 @@ def test_dsl_sparse_mxv_inside_context(mesh, rng):
         expected_vxm = x.vxm(A, semiring.min_plus).new()
     assert got.isclose(expected, rel_tol=1e-5)
     assert got_vxm.isclose(expected_vxm, rel_tol=1e-5)
+
+
+def test_sharded_bfs_and_sssp(sharded_graph):
+    """Whole BFS/SSSP loops over the mesh vs the single-device fast engine."""
+    from graphblas_tpu.models import fast as mf
+    from graphblas_tpu.parallel import sharded_bfs_level, sharded_sssp
+
+    splan, src, dst, w, n = sharded_graph
+    plan = mf.build_spmv_plan(src, dst, w, n=n)
+    for s0 in [0, 7]:
+        lv = np.asarray(sharded_bfs_level(splan, s0))
+        ref = np.asarray(mf.bfs_level(plan, s0, n))
+        np.testing.assert_array_equal(lv, ref, err_msg=f"bfs src={s0}")
+        d = np.asarray(sharded_sssp(splan, s0))
+        rd = np.asarray(mf.sssp(plan, s0, n))
+        big = 1e30
+        both_unreached = (d > big) & (rd > big)
+        np.testing.assert_allclose(
+            np.where(both_unreached, 0, d), np.where(both_unreached, 0, rd),
+            rtol=1e-5, err_msg=f"sssp src={s0}",
+        )
