@@ -192,3 +192,86 @@ def test_random_sparse_chain(seed):
                 cd = {(j, i): v for (i, j), v in cd.items()}
             assert C._sparse is not None, f"seed={seed} step={step} {kind} left sparse storage"
             oracle.assert_equal_dicts(oracle.to_dict(C), cd)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_assign_extract_chain(seed):
+    """Random region assign/extract/delete chains vs a dict oracle —
+    targets the reference's most intricate semantic surface
+    (_prep_for_assign, core/matrix.py:3116-3529)."""
+    rng = np.random.default_rng(4000 + seed)
+    M = 6
+    cd = oracle.random_matrix_dict(rng, M, M, density=0.5, dtype=np.int64, low=-9, high=10)
+    C = oracle.matrix_from_dict(gb, cd, M, M, dtype=dtypes.INT64)
+
+    def rand_region():
+        kind = rng.choice(["slice", "list", "int"])
+        if kind == "slice":
+            a, b = sorted(rng.choice(M + 1, size=2, replace=False).tolist())
+            step = int(rng.integers(1, 3))
+            return slice(a, b, step), list(range(a, b, step))
+        if kind == "list":
+            k = int(rng.integers(1, M))
+            idx = sorted(rng.choice(M, size=k, replace=False).tolist())
+            return idx, idx
+        i = int(rng.integers(0, M))
+        return i, [i]
+
+    for step in range(10):
+        op = rng.choice(["assign_scalar", "assign_vector", "extract", "delete_elem", "setelem"])
+        if op == "assign_scalar":
+            r_sel, r_keys = rand_region()
+            c_sel, c_keys = rand_region()
+            val = int(rng.integers(-5, 6))
+            C[r_sel, c_sel] = val
+            for i in r_keys:
+                for j in c_keys:
+                    cd[(i, j)] = val
+        elif op == "assign_vector":
+            i = int(rng.integers(0, M))
+            vd = oracle.random_vector_dict(rng, M, density=0.7, dtype=np.int64, low=-9, high=10)
+            v = oracle.vector_from_dict(gb, vd, M, dtype=dtypes.INT64)
+            C[i, :] = v
+            for j in range(M):
+                if j in vd:
+                    cd[(i, j)] = vd[j]
+                else:
+                    cd.pop((i, j), None)
+        elif op == "extract":
+            r_sel, r_keys = rand_region()
+            c_sel, c_keys = rand_region()
+            if isinstance(r_sel, int) and isinstance(c_sel, int):
+                got = C[r_sel, c_sel].new() if hasattr(C[r_sel, c_sel], "new") else C[r_sel, c_sel]
+                expected = cd.get((r_sel, c_sel))
+                gv = got.value if hasattr(got, "value") else got
+                assert (gv is None and expected is None) or gv == expected
+            elif isinstance(r_sel, int) or isinstance(c_sel, int):
+                sub = C[r_sel, c_sel].new()
+                if isinstance(r_sel, int):
+                    expected = {
+                        jj: cd[(r_sel, j)] for jj, j in enumerate(c_keys) if (r_sel, j) in cd
+                    }
+                else:
+                    expected = {
+                        ii: cd[(i, c_sel)] for ii, i in enumerate(r_keys) if (i, c_sel) in cd
+                    }
+                oracle.assert_equal_dicts(oracle.to_dict(sub), expected)
+            else:
+                sub = C[r_sel, c_sel].new()
+                expected = {
+                    (ii, jj): cd[(i, j)]
+                    for ii, i in enumerate(r_keys)
+                    for jj, j in enumerate(c_keys)
+                    if (i, j) in cd
+                }
+                oracle.assert_equal_dicts(oracle.to_dict(sub), expected)
+        elif op == "delete_elem":
+            i, j = int(rng.integers(0, M)), int(rng.integers(0, M))
+            del C[i, j]
+            cd.pop((i, j), None)
+        else:
+            i, j = int(rng.integers(0, M)), int(rng.integers(0, M))
+            val = int(rng.integers(-5, 6))
+            C[i, j] = val
+            cd[(i, j)] = val
+        oracle.assert_equal_dicts(oracle.to_dict(C), cd), f"seed={seed} step={step} {op}"
