@@ -157,3 +157,19 @@ def test_per_call_engine_opts(A):
     # global config context still works
     with gb.tx.config.set(mxm_strategy="generic"):
         assert A.mxm(A, "plus_times").new().isequal(ref)
+
+
+def test_expression_recomputes_at_use():
+    """Expressions are delayed: operand mutations before materialization are
+    observed (reference: expressions carry operand references and compute at
+    << / .new(), docs/user_guide/fundamentals.rst)."""
+    v = Vector.from_coo([0, 1], [1.0, 2.0], dtypes.FP64, size=2)
+    w = Vector.from_coo([0, 1], [10.0, 20.0], dtypes.FP64, size=2)
+    expr = v.ewise_add(w, binary.plus)
+    v[0] = 100.0
+    assert expr.new().to_coo()[1].tolist() == [110.0, 22.0]
+    # each .new() recomputes from current operand state
+    e2 = v.ewise_mult(w, binary.times)
+    assert e2.new().to_coo()[1].tolist() == [1000.0, 40.0]
+    v[0] = 5.0
+    assert e2.new().to_coo()[1].tolist() == [50.0, 40.0]
