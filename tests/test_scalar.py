@@ -164,3 +164,16 @@ def test_scalar_ewise_union_defaults():
     assert got.value == 100.0 - 5.0
     got = e.ewise_union(e, binary.minus, 100.0, 200.0).new()
     assert got.value is None
+
+
+def test_scalar_infix_or_and():
+    """Scalar ewise infix (reference ScalarInfixExpr): union keeps the
+    present side, intersection drops on empty."""
+    s = Scalar.from_value(5, dtypes.INT64)
+    t = Scalar.from_value(3, dtypes.INT64)
+    e = Scalar(dtypes.INT64)
+    assert binary.plus(s | t).new().value == 8
+    assert binary.plus(s | e).new().value == 5
+    assert binary.times(s & t).new().value == 15
+    assert binary.times(s & e).new().value is None
+    assert bool((~Scalar.from_value(True)).new().value) is False
