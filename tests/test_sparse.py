@@ -471,3 +471,47 @@ def test_sparse_ewise_vs_dense_oracle(rng):
     assert got_m == D1.ewise_mult(D2, binary.times).new().to_dicts()
     assert got_a == D1.ewise_add(D2, binary.max).new().to_dicts()
     assert got_u == D1.ewise_union(D2, binary.minus, 5.0, 7.0).new().to_dicts()
+
+
+def test_sparse_ewise_int_dtypes_exact(rng):
+    """Sparse merge-join ewise is bit-exact for integer dtypes."""
+    n = 40
+    r1, c1 = rng.integers(0, n, 60), rng.integers(0, n, 60)
+    r2, c2 = rng.integers(0, n, 60), rng.integers(0, n, 60)
+    v1 = rng.integers(-100, 100, 60)
+    v2 = rng.integers(-100, 100, 60)
+    with tx.config.set(dense_limit=0):
+        S1 = Matrix.from_coo(r1, c1, v1, dtypes.INT64, nrows=n, ncols=n, dup_op="plus")
+        S2 = Matrix.from_coo(r2, c2, v2, dtypes.INT64, nrows=n, ncols=n, dup_op="plus")
+        got = S1.ewise_add(S2, binary.minus).new()
+        assert got._sparse is not None and got.dtype is dtypes.INT64
+        gotm = S1.ewise_mult(S2, binary.times).new()
+    d1 = S1.to_dicts()
+    d2 = S2.to_dicts()
+    flat1 = {(i, j): v for i, r in d1.items() for j, v in r.items()}
+    flat2 = {(i, j): v for i, r in d2.items() for j, v in r.items()}
+    exp_add = {k: flat1.get(k, 0) - flat2.get(k, 0) if k in flat1 and k in flat2
+               else flat1.get(k, flat2.get(k)) for k in set(flat1) | set(flat2)}
+    # ewise_add with minus: both -> a-b; single side -> passthrough
+    got_flat = {(i, j): v for i, r in got.to_dicts().items() for j, v in r.items()}
+    assert got_flat == exp_add
+    exp_mult = {k: flat1[k] * flat2[k] for k in set(flat1) & set(flat2)}
+    gotm_flat = {(i, j): v for i, r in gotm.to_dicts().items() for j, v in r.items()}
+    assert gotm_flat == exp_mult
+
+
+def test_sparse_reduce_and_apply_int(rng):
+    n = 30
+    r1, c1 = rng.integers(0, n, 50), rng.integers(0, n, 50)
+    v1 = rng.integers(1, 50, 50)
+    with tx.config.set(dense_limit=0):
+        S = Matrix.from_coo(r1, c1, v1, dtypes.INT64, nrows=n, ncols=n, dup_op="max")
+        total = int(S.reduce_scalar("plus").new().value)
+        mx = int(S.reduce_scalar("max").new().value)
+        doubled = S.apply(binary.times, right=2).new()
+        assert doubled._sparse is not None
+    flat = {(i, j): v for i, r in S.to_dicts().items() for j, v in r.items()}
+    assert total == sum(flat.values())
+    assert mx == max(flat.values())
+    dflat = {(i, j): v for i, r in doubled.to_dicts().items() for j, v in r.items()}
+    assert dflat == {k: 2 * v for k, v in flat.items()}
