@@ -673,3 +673,24 @@ def test_broadcasting_vector_matrix(v):
     dv = orc.to_dict(v)
     expected = {(i, j): x + dv[j] for (i, j), x in da.items() if j in dv}
     orc.assert_equal_dicts(orc.to_dict(got), expected)
+
+
+def test_reference_edge_behaviors():
+    """Assorted reference contracts: weakref-able, np.array refusal, Scalar
+    indices, expression attribute delegation, delete-via-empty-scalar."""
+    import weakref
+
+    v = Vector.from_coo([0, 1, 3], [1.0, 2.0, 3.0], dtypes.FP64, size=4)
+    assert weakref.ref(v)() is v
+    with pytest.raises(TypeError):
+        np.array(v)
+    assert v[Scalar.from_value(1)].new().value == 2.0
+    assert v[-1].new().value == 3.0
+    expr = v.apply(unary.ainv)
+    assert expr.size == 4 and expr.nvals == 3  # autocompute delegation
+    assert expr.dup().to_coo()[1].tolist() == [-1.0, -2.0, -3.0]
+    _, vals = v.to_coo(indices=False)
+    assert vals.tolist() == [1.0, 2.0, 3.0]
+    w = v.dup()
+    w[0] = Scalar(dtypes.FP64)  # assigning an empty scalar deletes
+    assert w.nvals == 2 and w.get(0) is None
