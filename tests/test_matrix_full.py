@@ -836,3 +836,21 @@ def test_reduce_string_default_without_monoid_import():
     env.update(JAX_PLATFORMS="cpu", GRAPHBLAS_TPU_PLATFORM="cpu")
     proc = subprocess.run([_sys.executable, "-c", code], env=env, capture_output=True, text=True)
     assert proc.returncode == 0, proc.stderr
+
+
+def test_reference_edge_behaviors_matrix():
+    """Matrix-side reference contracts: np.array refusal, Scalar indices,
+    expression attribute/T delegation, delete-via-empty-scalar, sizeof."""
+    import sys as _sys
+
+    A = Matrix.from_coo([0, 1], [1, 0], [1.0, 2.0], dtypes.FP64, nrows=2, ncols=2)
+    with pytest.raises(TypeError):
+        np.array(A)
+    assert A[Scalar.from_value(0), Scalar.from_value(1)].new().value == 1.0
+    expr = A.apply(unary.ainv)
+    assert expr.nrows == 2 and expr.ncols == 2
+    assert A.mxm(A).T.new().shape == (2, 2)
+    C = A.dup()
+    C[0, 1] = Scalar(dtypes.FP64)  # empty-scalar assign deletes
+    assert C.nvals == 1 and C.get(0, 1) is None
+    assert _sys.getsizeof(A) > 0
