@@ -87,7 +87,16 @@ def main():
     # kernel executions, GAP-style.
     tick = jax.jit(lambda v: v + 1.0)
     probe = jnp.ones((8,), jnp.float32)
-    _force(tick(probe))
+    # the remote tunnel occasionally comes up wedged (FAILED_PRECONDITION on
+    # the first host read); back off and retry before giving up the run
+    for attempt in range(4):
+        try:
+            _force(tick(probe))
+            break
+        except Exception:
+            if attempt == 3:
+                raise
+            time.sleep(60 * (attempt + 1))
     floors = []
     for _ in range(5):
         t0 = time.perf_counter()
