@@ -119,3 +119,50 @@ def test_cross_dtype_ewise(rng):
     out = v32.ewise_add(vf, binary.plus).new()
     assert out.dtype == dtypes.FP64  # numpy promotion of int32 x float32
     assert out.to_dict() == {0: 1.0, 1: 2.5, 2: 1.5}
+
+
+def test_reduce_output_dtypes_through_dsl():
+    """Monoid reductions through the DSL return the monoid's declared type
+    for every registered dtype (reference test_operator_types patterns)."""
+    from graphblas_tpu import Vector, monoid
+
+    for name in ["plus", "times", "min", "max", "lor", "land", "lxor"]:
+        op = getattr(monoid, name)
+        for dtype, ret in op.types.items():
+            if dtype._is_complex:
+                continue
+            v = Vector.from_coo([0, 1, 2], _sample(dtype), dtype, size=4)
+            out = v.reduce(op).new()
+            assert out.dtype is ret, f"{name}[{dtype}] -> {out.dtype} != {ret}"
+
+
+def test_ewise_output_dtypes_through_dsl(rng):
+    """Binary op result dtypes through ewise_mult match the typed tables."""
+    from graphblas_tpu import Vector, binary
+
+    for name in ["plus", "minus", "times", "eq", "lt", "land", "first", "pow"]:
+        op = getattr(binary, name)
+        for dtype in [dtypes.BOOL, dtypes.INT8, dtypes.INT64, dtypes.UINT16, dtypes.FP32, dtypes.FP64]:
+            if dtype not in op.types:
+                continue
+            ret = op.types[dtype]
+            v = Vector.from_coo([0, 1, 2], _sample(dtype), dtype, size=3)
+            out = v.ewise_mult(v, op).new()
+            assert out.dtype is ret, f"{name}[{dtype}] -> {out.dtype} != {ret}"
+
+
+def test_semiring_output_dtypes_through_dsl():
+    """Semiring mxv output dtypes match the add-monoid's declared type."""
+    from graphblas_tpu import Matrix, Vector, semiring
+
+    A_idx = ([0, 1], [1, 0])
+    for name in ["plus_times", "min_plus", "max_first", "lor_land", "plus_pair"]:
+        sr = getattr(semiring, name)
+        for dtype in [dtypes.INT32, dtypes.FP32, dtypes.FP64, dtypes.BOOL]:
+            if dtype not in sr.types:
+                continue
+            ret = sr.types[dtype]
+            A = Matrix.from_coo(*A_idx, _sample(dtype)[:2], dtype, nrows=2, ncols=2)
+            v = Vector.from_coo([0, 1], _sample(dtype)[:2], dtype, size=2)
+            out = A.mxv(v, sr).new()
+            assert out.dtype is ret, f"{name}[{dtype}] -> {out.dtype} != {ret}"
