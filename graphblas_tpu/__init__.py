@@ -80,6 +80,11 @@ _SPECIAL_ATTRS = {
     "models",
     "parallel",
     "backend",
+    "compile",
+    "loop",
+    "until",
+    "loop_runner",
+    "until_runner",
 }
 
 _initialized = False
@@ -169,6 +174,12 @@ _CLASS_HOMES = {
     "Vector": "graphblas_tpu.core.vector",
     "Scalar": "graphblas_tpu.core.scalar",
     "Recorder": "graphblas_tpu.core.recorder",
+    # loop capture: whole Python loops of DSL statements -> ONE XLA program
+    "compile": "graphblas_tpu.core.compiler",
+    "loop": "graphblas_tpu.core.compiler",
+    "until": "graphblas_tpu.core.compiler",
+    "loop_runner": "graphblas_tpu.core.compiler",
+    "until_runner": "graphblas_tpu.core.compiler",
 }
 
 

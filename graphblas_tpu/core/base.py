@@ -53,6 +53,8 @@ def _maybe_block(obj):
     if _gb.is_blocking:
         import jax
 
+        if isinstance(obj._values, jax.core.Tracer) or isinstance(obj._struct, jax.core.Tracer):
+            return  # inside a gb.compile/loop trace: nothing to synchronize
         try:
             jax.block_until_ready((obj._values, obj._struct))
         except AttributeError:  # sparse storage: host-canonical, nothing pending

@@ -72,7 +72,7 @@ class Matrix(InfixMixin, BaseType):
             }
         else:
             self._values = device_asarray(np.zeros((nrows, ncols), self._dtype.np_type))
-        self._struct = jnp.zeros((nrows, ncols), bool)
+        self._struct = _dm.s_zeros((nrows, ncols))
         self.name = name
 
     @classmethod
@@ -385,7 +385,7 @@ class Matrix(InfixMixin, BaseType):
         dtype = _dt.lookup_dtype(dtype) if dtype is not None else sc.dtype
         return cls._from_arrays(
             jnp.full((nrows, ncols), sc._device_value(dtype.np_type)),
-            jnp.ones((nrows, ncols), bool),
+            _dm.s_ones((nrows, ncols)),
             dtype,
             name=name,
         )

@@ -180,7 +180,20 @@ class Scalar(InfixMixin, BaseType):
             self.value = value
 
     def _update_from_expr(self, expr, accum):
+        import jax
+
         v, s = expr._compute()
+        if isinstance(v, jax.core.Tracer) or isinstance(s, jax.core.Tracer):
+            # inside a gb.compile/loop trace: keep the abstract device value;
+            # presence is structural (absent reduces already yield identity)
+            import jax.numpy as jnp
+
+            if accum is not None and not self._empty:
+                v = accum.fn(self._device_value(), jnp.asarray(v, self._dtype.np_type))
+            self._values = jnp.asarray(v).astype(self._dtype.np_type)
+            self._struct = s
+            self._empty = False
+            return
         present = bool(s)
         if not present:
             if accum is None:

@@ -135,8 +135,17 @@ class SparseMatrixData:
 
     def device(self, key):
         """Device array cache: rows/cols/vals in row ('r') or col ('c') order."""
+        import jax
         import jax.numpy as jnp
 
+        if key not in self._dev:
+            # a first touch may happen inside a gb.compile/loop trace; the
+            # cache must hold CONCRETE device arrays, never tracers
+            with jax.ensure_compile_time_eval():
+                return self._device_build(key, jnp)
+        return self._dev[key]
+
+    def _device_build(self, key, jnp):
         if key not in self._dev:
             idt = self._idx_dtype()
             if key == "rows_r":
@@ -183,8 +192,16 @@ class SparseMatrixData:
         and, when GRAPHBLAS_TPU_PLAN_CACHE points at a directory, on disk.
         """
         if direction not in self._plans:
+            import jax
+
             from ..ops import fastspmv as _fs
 
+            with jax.ensure_compile_time_eval():
+                return self._plan_build(direction, _fs)
+        return self._plans[direction]
+
+    def _plan_build(self, direction, _fs):
+        if direction not in self._plans:
             n = max(self.nrows, self.ncols)
             src, dst = (self.cols, self.rows) if direction == "pull" else (self.rows, self.cols)
             w = None
@@ -291,7 +308,16 @@ def _segment_reduce(contrib, valid, seg_ids, num_segments, monoid_t):
         iv = jnp.zeros((), out_dt) if ident is None else jnp.asarray(ident, out_dt)
         return jnp.full((num_segments,), iv), jnp.zeros((num_segments,), bool)
 
-    ys = jax.ops.segment_max(valid.astype(jnp.int32), seg_ids, num_segments=num_segments) > 0
+    from ..ops.densemasked import _host_concrete
+
+    if _host_concrete(valid, seg_ids):
+        # structure hoisting (core/compiler.py): structure output stays a
+        # host-side trace-time constant when the inputs are
+        ys = np.bincount(
+            np.asarray(seg_ids), weights=np.asarray(valid), minlength=num_segments
+        )[:num_segments] > 0
+    else:
+        ys = jax.ops.segment_max(valid.astype(jnp.int32), seg_ids, num_segments=num_segments) > 0
 
     if name in _SEGMENT_OPS:
         if name == "plus":
@@ -388,7 +414,10 @@ def sparse_mxv(sp, pull, a_first, xv, xs, sr, out_dtype):
         src = sp.device("rows_c")
         avals = sp.device("vals_c")
     xg = xv[src]
-    valid = xs[src]
+    from ..ops.densemasked import _host_concrete as _hc
+
+    # keep the structure gather host-side under traces (structure hoisting)
+    valid = np.asarray(xs)[np.asarray(src)] if _hc(xs, src) else xs[src]
     if pos is not None:
         which, delta = pos
         role = _positional_role(which, a_first)
@@ -482,6 +511,12 @@ def _plan_mxv(sp, pull, xv, xs, add_name, plan_mul, pos, out_np):
     xs_in = xs
     if xs_in.shape[0] != n:
         xs_in = jnp.pad(xs_in, (0, n - xs_in.shape[0]))
+    # structure hoisting (gb.compile/loop): when x's structure is a
+    # trace-time constant and full, skip the structure channel entirely —
+    # the traced DSL mxv then does identical work to the hand-written models
+    import jax as _jax
+
+    x_full = not isinstance(xs, _jax.core.Tracer) and bool(np.asarray(xs).all())
     from .collection_ops import _mesh_context
 
     ctx = _mesh_context()
@@ -494,7 +529,7 @@ def _plan_mxv(sp, pull, xv, xs, add_name, plan_mul, pos, out_np):
         splan = sp.sharded_plan("pull" if pull else "push", ctx.mesh)
         yv, ys = sharded_spmv_masked(splan, x_in, xs_in, add=add_name, mul=plan_mul)
     else:
-        yv, ys = _fs.spmv_masked(plan, x_in, xs_in, add=add_name, mul=plan_mul)
+        yv, ys = _fs.spmv_masked(plan, x_in, xs_in, add=add_name, mul=plan_mul, x_full=x_full)
     if pos is not None:
         _, delta = pos
         if delta:

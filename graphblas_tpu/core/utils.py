@@ -183,6 +183,9 @@ def device_asarray(x, np_type=None):
     import jax
     import jax.numpy as jnp
 
+    if isinstance(x, jax.core.Tracer):
+        # inside a gb.compile/loop trace: abstract values pass through
+        return x if np_type is None else x.astype(np_type)
     if np_type is not None:
         x = np.asarray(x, np_type)
     dt = getattr(x, "dtype", None)

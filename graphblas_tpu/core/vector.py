@@ -95,7 +95,7 @@ class Vector(InfixMixin, BaseType):
             }
         else:
             self._values = device_asarray(np.zeros((size,), self._dtype.np_type))
-        self._struct = jnp.zeros((size,), bool)
+        self._struct = _dm.s_zeros((size,))
         self.name = name
 
     @classmethod
@@ -205,7 +205,7 @@ class Vector(InfixMixin, BaseType):
         dtype = _dt.lookup_dtype(dtype) if dtype is not None else sc.dtype
         size = ensure_int(size, "size")
         return cls._from_arrays(
-            jnp.full((size,), sc._device_value(dtype.np_type)), jnp.ones((size,), bool), dtype, name=name
+            jnp.full((size,), sc._device_value(dtype.np_type)), _dm.s_ones((size,)), dtype, name=name
         )
 
     @classmethod

@@ -24,3 +24,4 @@ from .centrality import betweenness_centrality  # noqa: F401
 from .ktruss import k_truss  # noqa: F401
 from .matching import maximal_matching  # noqa: F401
 from . import fast  # noqa: F401
+from . import dsl  # noqa: F401

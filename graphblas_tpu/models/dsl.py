@@ -1,0 +1,209 @@
+"""The acceptance-workload algorithms expressed in the USER DSL, compiled.
+
+These are the same recipes as the reference notebooks (PageRank Demo,
+Example B.1 level BFS, Intro SSSP, FastSV connected components), written as
+ordinary DSL statements (mxv / ewise / apply / assign / reduce over
+Matrix/Vector/Scalar) and compiled with ``gb.loop`` / ``gb.until`` so the
+whole iteration runs as ONE jitted XLA program — the DSL *is* the fast path
+(reference promise: one statement = one fused call,
+docs/user_guide/fundamentals.rst:118-120; here: one loop = one program).
+
+The matrix argument ``AT`` is the pull-oriented adjacency: ``AT[i, j]`` is an
+edge j -> i, so ``AT.mxv(x)`` computes y[i] = REDUCE over in-neighbors j of
+x[j] (*) w(j, i).  Build it with ``Matrix.from_coo(dst, src, w)``.
+"""
+
+import numpy as np
+
+_BIG = float(np.float32(3.4e38) / 4)
+
+
+def _gb():
+    import graphblas_tpu as gb
+
+    return gb
+
+
+def pagerank(AT, *, damping=0.85, max_iters=50, dtype=None):
+    """PageRank via DSL statements in one compiled loop.
+
+    Matches models/fast.pagerank semantics (dangling mass redistributed,
+    fixed iteration count).  Reference recipe: notebooks/Pagerank Demo.
+    """
+    return pagerank_runner(AT, damping=damping, max_iters=max_iters, dtype=dtype)()
+
+
+def pagerank_runner(AT, *, damping=0.85, max_iters=50, dtype=None):
+    """Build the compiled PageRank program once; call the result repeatedly
+    (each call re-runs the SAME XLA program from r0 = 1/n)."""
+    gb = _gb()
+    from .. import binary, semiring
+    from ..core import dtypes as dtm
+    from ..core.vector import Vector
+
+    dtype = dtm.FP32 if dtype is None else dtype
+    n = AT.nrows
+    d = float(damping)
+
+    # -- setup (host-side, once): out-degree, dangling indicator ------------
+    outdeg = AT.reduce_columnwise("plus").new(dtype)  # out-degree of each src
+    deg = outdeg.to_dense(fill_value=0.0).astype(np.float64)
+    inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1.0), 0.0)
+    inv_deg = Vector.from_dense(inv.astype(np.float32), dtype=dtype)
+    dang = Vector.from_dense((deg == 0).astype(np.float32), dtype=dtype)
+
+    r0 = Vector.from_scalar(1.0 / n, n, dtype)
+
+    def body(r):
+        q = r.ewise_mult(inv_deg, binary.times).new(dtype)  # r / outdeg
+        dm = r.ewise_mult(dang, binary.times).reduce("plus").new(dtype)
+        pulled = AT.mxv(q, semiring.plus_times).new(dtype)
+        # teleport term: (1-d)/n + d * dangling_mass / n  (scalar DSL algebra)
+        t = (dm * (d / n) + (1.0 - d) / n).new(dtype)
+        tv = Vector.from_scalar(t, n, dtype)
+        scaled = pulled.apply(binary.times, right=d).new(dtype)
+        r_new = tv.ewise_add(scaled, binary.plus).new(dtype)
+        return r_new
+
+    return gb.loop_runner(int(max_iters), body, r0)
+
+
+def bfs_level(AT, source, *, max_iters=None):
+    """Level BFS via DSL statements in one compiled while-loop.
+
+    Reference recipe: notebooks/Example B.1 — ``v(q.S)[:] = level`` then
+    ``q(~v.S, replace) << q.vxm(A, any_pair)``; here the pull form
+    ``AT.mxv(q)`` is used (same result on the transposed matrix).
+    Returns an INT32 Vector of levels (entries only at reached vertices).
+    """
+    return bfs_level_runner(AT, source, max_iters=max_iters)()
+
+
+def bfs_level_runner(AT, source, *, max_iters=None):
+    gb = _gb()
+    from .. import monoid, semiring
+    from ..core import dtypes as dtm
+    from ..core.scalar import Scalar
+    from ..core.vector import Vector
+
+    n = AT.nrows
+    v0 = Vector(dtm.INT32, n, name="levels")
+    q0 = Vector(dtm.BOOL, n, name="frontier")
+    q0[int(source)] = True
+    lvl0 = Scalar.from_value(0, dtm.INT32)
+
+    def cond(v, q, lvl):
+        return q.reduce(monoid.lor)
+
+    def body(v, q, lvl):
+        v(q.S)[:] = lvl
+        q_new = Vector(dtm.BOOL, n)
+        q_new(~v.S, replace=True) << AT.mxv(q, semiring.any_pair["BOOL"])
+        lvl_new = (lvl + 1).new(dtm.INT32)
+        return v, q_new, lvl_new
+
+    runner = gb.until_runner(cond, body, v0, q0, lvl0, max_iters=max_iters or n)
+
+    def run():
+        v, _, _ = runner()
+        return v
+
+    run.mode = runner.mode
+    return run
+
+
+def sssp(AT, source, *, max_iters=None):
+    """Bellman-Ford SSSP via DSL statements in one compiled while-loop.
+
+    Reference recipe: notebooks/Intro to GraphBLAS + SSSP example —
+    ``w(accum=min) << A.mxv(w, min_plus)`` until no distance improves.
+    Distances ride a dense FP32 vector (unreached = _BIG) so the loop state
+    is structurally stable and the compiled loop hoists every structure
+    channel to trace-time constants.
+    """
+    return sssp_runner(AT, source, max_iters=max_iters)()
+
+
+def sssp_runner(AT, source, *, max_iters=None):
+    gb = _gb()
+    from .. import binary, monoid, semiring
+    from ..core import dtypes as dtm
+    from ..core.scalar import Scalar
+    from ..core.vector import Vector
+
+    n = AT.nrows
+    d0 = Vector.from_scalar(_BIG, n, dtm.FP32, name="dist")
+    d0[int(source)] = 0.0
+    ch0 = Scalar.from_value(True, dtm.BOOL)
+
+    def cond(dist, changed):
+        return changed
+
+    def body(dist, changed):
+        relaxed = AT.mxv(dist, semiring.min_plus).new(dtm.FP32)
+        new = dist.dup()
+        new(accum=binary.min) << relaxed
+        ch = new.ewise_mult(dist, binary.lt).reduce(monoid.lor).new(dtm.BOOL)
+        return new, ch
+
+    runner = gb.until_runner(cond, body, d0, ch0, max_iters=max_iters or n)
+
+    def run():
+        dist, _ = runner()
+        return dist
+
+    run.mode = runner.mode
+    return run
+
+
+def connected_components(AT, *, max_iters=None, dtype=None):
+    """Connected components via DSL statements in one compiled while-loop.
+
+    The acceptance workload is FastSV (reference: notebooks/Connected
+    Components -- FastSV.ipynb); its hooking/shortcutting steps are
+    data-dependent gathers, which on TPU are the slow primitive (XLA gather
+    ~90 M elem/s vs ~5 G elem/s network passes — CLAUDE.md measured facts).
+    The TPU-native recipe is min-label propagation: every vertex repeatedly
+    adopts the minimum label among itself and its neighbors — each round is
+    ONE ``min_second`` mxv + one accumulate, entirely on the O(E) plan
+    engine, converging in O(diameter) rounds.  Same fixed point (the
+    component minimum) as FastSV; models/fastsv.py keeps the pointer-jumping
+    variant for high-diameter graphs.
+
+    ``AT`` must be structurally symmetric (undirected adjacency).  Labels
+    ride FP32 (exact for n < 2**24); pass ``dtype=INT64`` past that.
+    Returns a Vector where each vertex holds its component's minimum id.
+    """
+    return connected_components_runner(AT, max_iters=max_iters, dtype=dtype)()
+
+
+def connected_components_runner(AT, *, max_iters=None, dtype=None):
+    gb = _gb()
+    from .. import binary, monoid, semiring
+    from ..core import dtypes as dtm
+    from ..core.scalar import Scalar
+    from ..core.vector import Vector
+
+    dtype = dtm.FP32 if dtype is None else dtype
+    n = AT.nrows
+    p0 = Vector.from_dense(np.arange(n, dtype=np.int64), dtype=dtype, name="labels")
+    ch0 = Scalar.from_value(True, dtm.BOOL)
+
+    def cond(p, changed):
+        return changed
+
+    def body(p, changed):
+        m = AT.mxv(p, semiring.min_second).new(dtype)
+        new = p.dup()
+        new(accum=binary.min) << m
+        ch = new.ewise_mult(p, binary.lt).reduce(monoid.lor).new(dtm.BOOL)
+        return new, ch
+
+    runner = gb.until_runner(cond, body, p0, ch0, max_iters=max_iters or n)
+
+    def run():
+        p, _ = runner()
+        return p
+
+    run.mode = runner.mode
+    return run

@@ -61,6 +61,13 @@ def _jit(fn=None, *, static=()):
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
+        from jax._src import core as _jcore
+
+        if not _jcore.trace_state_clean():
+            # inside a gb.compile/loop trace: inline the raw function so
+            # concrete (structure) inputs stay concrete — an inner jit would
+            # turn every output into a tracer and defeat structure hoisting
+            return fn(*args, **kwargs)
         if jax.default_backend() == "cpu" or not _has_complex((args, kwargs)):
             return jfn(*args, **kwargs)
         cpu = _cpu_device()
@@ -92,6 +99,74 @@ def tmap(fn, values, *rest):
             out[key] = fn(values[key], *(r[key] for r in rest))
         return out
     return fn(values, *rest)
+
+
+# ---------------------------------------------------------------------------
+# Structure math that stays HOST-side during outer traces
+# ---------------------------------------------------------------------------
+#
+# Inside a gb.compile/gb.loop trace every jnp op binds to the trace — even on
+# concrete (non-abstract) operands — so device structure bitmaps would become
+# tracers after one combine, defeating structure hoisting (core/compiler.py).
+# These combinators detect "in an outer trace AND all operands concrete" and
+# run the structure op in numpy on the host (a trace-time constant);
+# otherwise they are plain jnp ops.
+
+
+def _host_concrete(*arrays):
+    import jax
+    from jax._src import core as _jcore
+
+    if _jcore.trace_state_clean():
+        return False
+    return all(not isinstance(a, jax.core.Tracer) for a in arrays)
+
+
+def s_and(a, b):
+    if _host_concrete(a, b):
+        return np.logical_and(np.asarray(a), np.asarray(b))
+    return a & b
+
+
+def s_or(a, b):
+    if _host_concrete(a, b):
+        return np.logical_or(np.asarray(a), np.asarray(b))
+    return a | b
+
+
+def s_not(a):
+    if _host_concrete(a):
+        return np.logical_not(np.asarray(a))
+    return ~a
+
+
+def s_where(c, a, b):
+    if _host_concrete(c, a, b):
+        return np.where(np.asarray(c), np.asarray(a), np.asarray(b))
+    return jnp.where(c, a, b)
+
+
+def s_any(a, axis=None):
+    if _host_concrete(a):
+        return np.any(np.asarray(a), axis=axis)
+    return jnp.any(a, axis=axis)
+
+
+def s_zeros(shape):
+    """Fresh all-absent structure bitmap (np inside traces, device outside)."""
+    from jax._src import core as _jcore
+
+    if not _jcore.trace_state_clean():
+        return np.zeros(shape, bool)
+    return jnp.zeros(shape, bool)
+
+
+def s_ones(shape):
+    from jax._src import core as _jcore
+
+    if not _jcore.trace_state_clean():
+        return np.ones(shape, bool)
+    return jnp.ones(shape, bool)
 
 
 def canonical(values, struct):
@@ -165,7 +240,7 @@ def _monoid_reduce(values, struct, monoid, axes):
         else:  # max
             ident = monoid.identity
             out = jnp.max(jnp.where(struct, values, ident), axis=axes)
-        return out, jnp.any(struct, axis=axes)
+        return out, s_any(struct, axis=axes)
     return _pair_reduce(values, struct, monoid.fn if monoid.fn is not None else (lambda a, b: a), tuple(axes))
 
 
@@ -267,7 +342,7 @@ def select_op(values, struct, op, thunk):
 @_jit(static=("op",))
 def ewise_mult(av, as_, bv, bs, op):
     """GrB_Matrix_eWiseMult (intersection).  Reference: core/matrix.py:1952."""
-    struct = as_ & bs
+    struct = s_and(as_, bs)
     if op.is_positional:
         return _positional_ewise(_shape_of(av), struct, op)
     if _is_soa(av):
@@ -281,10 +356,10 @@ def ewise_mult(av, as_, bv, bs, op):
 def ewise_add(av, as_, bv, bs, op):
     """GrB_Matrix_eWiseAdd (union; both-present uses op).
     Reference: core/matrix.py:1861."""
-    struct = as_ | bs
+    struct = s_or(as_, bs)
     if op.is_positional:
         return _positional_ewise(_shape_of(av), struct, op)
-    both = as_ & bs
+    both = s_and(as_, bs)
     if _is_soa(av):
         out = op.fn(av, bv)
         out = {
@@ -301,7 +376,7 @@ def ewise_add(av, as_, bv, bs, op):
 def ewise_union(av, as_, bv, bs, op, left_default, right_default):
     """GxB_Matrix_eWiseUnion (union; absent side uses default).
     Reference: core/matrix.py:2043."""
-    struct = as_ | bs
+    struct = s_or(as_, bs)
     if op.is_positional:
         return _positional_ewise(av.shape, struct, op)
     a_filled = jnp.where(as_, av, left_default.astype(av.dtype))
@@ -497,6 +572,20 @@ def _mxm_soa(av, as_, bv, bs, semiring, out_dtype):
 
 @_jit(static=("semiring", "out_dtype", "strategy"))
 def mxm(av, as_, bv, bs, semiring, out_dtype, strategy="auto"):
+    """GrB_mxm dispatcher; see _mxm_paths.  When the operand structures are
+    trace-time constants (structure hoisting, core/compiler.py), the output
+    structure — any_k(as_[i,k] & bs[k,j]), semiring-independent — is computed
+    host-side so it stays constant through compiled loops."""
+    cv, cs = _mxm_paths(av, as_, bv, bs, semiring, out_dtype, strategy)
+    if _host_concrete(as_, bs) and not _is_soa(av) and not _is_soa(bv):
+        a_np = np.asarray(as_).astype(np.float32)
+        b_np = np.asarray(bs).astype(np.float32)
+        cs_np = (a_np @ b_np) > 0
+        return tmap(lambda v: jnp.where(cs_np, v, zero_of(v.dtype)), cv), cs_np
+    return cv, cs
+
+
+def _mxm_paths(av, as_, bv, bs, semiring, out_dtype, strategy="auto"):
     """GrB_mxm over any semiring (reference: core/matrix.py:2264-2331).
 
     Strategy 1: MXU matmul forms for plus_times-family semirings.
@@ -573,23 +662,42 @@ def mxm(av, as_, bv, bs, semiring, out_dtype, strategy="auto"):
     return canonical(cv, cs)
 
 
+def _s_col(st):
+    """struct[:, None] that stays host-side when concrete under a trace."""
+    if _host_concrete(st):
+        return np.asarray(st)[:, None]
+    return st[:, None]
+
+
+def _s_row(st):
+    if _host_concrete(st):
+        return np.asarray(st)[None, :]
+    return st[None, :]
+
+
+def _s_take0(st, axis):
+    if _host_concrete(st):
+        return np.asarray(st)[:, 0] if axis == 1 else np.asarray(st)[0]
+    return st[:, 0] if axis == 1 else st[0]
+
+
 @_jit(static=("semiring", "out_dtype", "strategy"))
 def mxv(av, as_, xv, xs, semiring, out_dtype, strategy="auto"):
     """GrB_mxv (reference: core/matrix.py:2203).  Treats v as a column so
     positional multiplies see j = 0."""
     cv, cs = mxm(
-        av, as_, tmap(lambda x: x[:, None], xv), xs[:, None], semiring, out_dtype, strategy
+        av, as_, tmap(lambda x: x[:, None], xv), _s_col(xs), semiring, out_dtype, strategy
     )
-    return tmap(lambda x: x[:, 0], cv), cs[:, 0]
+    return tmap(lambda x: x[:, 0], cv), _s_take0(cs, 1)
 
 
 @_jit(static=("semiring", "out_dtype", "strategy"))
 def vxm(xv, xs, bv, bs, semiring, out_dtype, strategy="auto"):
     """GrB_vxm (reference: core/vector.py:1309)."""
     cv, cs = mxm(
-        tmap(lambda x: x[None, :], xv), xs[None, :], bv, bs, semiring, out_dtype, strategy
+        tmap(lambda x: x[None, :], xv), _s_row(xs), bv, bs, semiring, out_dtype, strategy
     )
-    return tmap(lambda x: x[0], cv), cs[0]
+    return tmap(lambda x: x[0], cv), _s_take0(cs, 0)
 
 
 @_jit(static=("op", "out_dtype"))
@@ -670,19 +778,19 @@ def masked_merge(cv, cs, zv, zs, mask_bits, accum, replace, has_mask, region=Non
     """
     if _is_soa(cv):
         if accum is not None:
-            both = cs & zs
+            both = s_and(cs, zs)
             acc_out = accum.fn(cv, zv)
             zv = {
                 key: jnp.where(both, acc_out[key], jnp.where(zs, zv[key], cv[key]))
                 for key in cv
             }
-            zs = cs | zs
+            zs = s_or(cs, zs)
     else:
         zv = zv.astype(cv.dtype)
         if accum is not None:
-            both = cs & zs
+            both = s_and(cs, zs)
             merged = jnp.where(both, accum.fn(cv, zv).astype(cv.dtype), jnp.where(zs, zv, cv))
-            zs = cs | zs
+            zs = s_or(cs, zs)
             zv = merged
     if not has_mask:
         if region is None:
@@ -692,15 +800,15 @@ def masked_merge(cv, cs, zv, zs, mask_bits, accum, replace, has_mask, region=Non
     m = mask_bits
     if region is not None:
         # mask applies only within the region; outside-region keeps C
-        keep_z = m & region
-        out_s = jnp.where(keep_z, zs, jnp.where(region & replace, jnp.zeros_like(cs), cs)) if replace else jnp.where(keep_z, zs, cs)
+        keep_z = s_and(m, region)
+        out_s = s_where(keep_z, zs, s_where(s_and(region, replace), np.zeros((), bool), cs)) if replace else s_where(keep_z, zs, cs)
         out_v = jnp.where(keep_z, zv, cv)
         return canonical(out_v, out_s)
     if replace:
-        out_s = m & zs
+        out_s = s_and(m, zs)
         out_v = tmap(lambda z: jnp.where(m, z, zero_of(z.dtype)), zv)
     else:
-        out_s = jnp.where(m, zs, cs)
+        out_s = s_where(m, zs, cs)
         out_v = tmap(lambda z, c: jnp.where(m, z, c), zv, cv)
     return canonical(out_v, out_s)
 
@@ -712,9 +820,9 @@ def mask_to_bits(mv, ms, complement, structural):
     if structural:
         bits = ms
     else:
-        bits = ms & (mv != 0 if mv.dtype != jnp.bool_ else mv)
+        bits = s_and(ms, mv != 0 if mv.dtype != jnp.bool_ else mv)
     if complement:
-        bits = ~bits
+        bits = s_not(bits)
     return bits
 
 

@@ -21,7 +21,18 @@ import numpy as np
 def _jit(fn=None, *, static=()):
     if fn is None:
         return functools.partial(_jit, static=static)
-    return jax.jit(fn, static_argnames=static)
+    jfn = jax.jit(fn, static_argnames=static)
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        from jax._src import core as _jcore
+
+        if not _jcore.trace_state_clean():
+            # inside a gb.compile/loop trace: inline (see densemasked._jit)
+            return fn(*args, **kwargs)
+        return jfn(*args, **kwargs)
+
+    return wrapper
 
 
 def pad_edges(src, dst, w=None, *, pad_to=None):

@@ -481,7 +481,27 @@ def _no_x64(fn):
     return wrapper
 
 
-@functools.partial(jax.jit, static_argnames=("add", "mul", "x_full"))
+def _engine_jit(*static):
+    """jax.jit that inlines when already inside an outer (gb.compile) trace,
+    so concrete structure inputs stay concrete through the engine."""
+
+    def deco(fn):
+        jfn = jax.jit(fn, static_argnames=static)
+
+        @functools.wraps(fn)
+        def wrapper(*args, **kwargs):
+            from jax._src import core as _jcore
+
+            if not _jcore.trace_state_clean():
+                return fn(*args, **kwargs)
+            return jfn(*args, **kwargs)
+
+        return wrapper
+
+    return deco
+
+
+@_engine_jit("add", "mul", "x_full")
 @_no_x64
 def spmv_masked(plan: SpmvPlan, x, xs, add="plus", mul="times", x_full=False):
     """DSL-exact SpMV: like ``spmv`` but honors x's structure and returns
@@ -546,7 +566,7 @@ def spmv_masked(plan: SpmvPlan, x, xs, add="plus", mul="times", x_full=False):
     return jnp.where(ys, yv, jnp.zeros((), yv.dtype)), ys
 
 
-@functools.partial(jax.jit, static_argnames=("add", "mul"))
+@_engine_jit("add", "mul")
 @_no_x64
 def spmv(plan: SpmvPlan, x, add="plus", mul="times"):
     """y[d] = ADD over edges (s->d) of (x[s] MUL w).  add in {plus,min,max};

@@ -20,6 +20,12 @@ def main():
     parser.add_argument("--seed", type=int, default=5)
     parser.add_argument("--out", required=True)
     parser.add_argument("--graph-out", default=None, help="also save the COO arrays")
+    parser.add_argument(
+        "--dsl-cache",
+        default=None,
+        help="also build the DSL Matrix plans (pagerank/sssp/cc) into this "
+        "plan-cache dir + save their canonical COOs next to --graph-out",
+    )
     args = parser.parse_args()
 
     # force CPU: this tool must run without the TPU tunnel attached
@@ -39,6 +45,56 @@ def main():
     if args.graph_out:
         np.savez(args.graph_out, src=src, dst=dst, w=w, n=np.asarray([g.n]))
     print(f"plan saved: n={plan.n} e_pad={plan.e_pad} stages={plan.perm_plan}")
+
+    if args.dsl_cache:
+        _build_dsl_plans(src, dst, w, g.n, args.dsl_cache, args.graph_out)
+
+
+def _build_dsl_plans(src, dst, w, n, cache_dir, graph_out):
+    """Build the DSL matrices' pull plans into the on-disk plan cache and
+    save their canonical COO arrays (bench.py reconstructs the same
+    Matrix objects without re-sorting and the plan() content hash hits)."""
+    import time
+
+    import numpy as np
+
+    os.environ["GRAPHBLAS_TPU_PLAN_CACHE"] = cache_dir
+    os.makedirs(cache_dir, exist_ok=True)
+    import graphblas_tpu as gb
+    from graphblas_tpu import binary
+    from graphblas_tpu.core import dtypes as dtm
+    from graphblas_tpu.core.matrix import Matrix
+    from graphblas_tpu.tx import config as txconfig
+
+    arrays = {}
+    with txconfig.set(dense_limit=0):
+        t0 = time.perf_counter()
+        # pagerank/bfs matrix: AT[dst, src]; duplicate edges fold into the
+        # value (plus) so plus_times pagerank matches the raw multigraph
+        AT = Matrix.from_coo(dst, src, np.ones(len(src), np.float32), dtm.FP32, nrows=n, ncols=n, dup_op=binary.plus)
+        AT._sparse.plan("pull")
+        arrays.update(pr_rows=AT._sparse.rows, pr_cols=AT._sparse.cols, pr_vals=AT._sparse.vals)
+        print(f"dsl pagerank plan: {time.perf_counter() - t0:.1f}s nvals={AT._sparse.nvals}")
+
+        t0 = time.perf_counter()
+        # sssp matrix: weighted, duplicates fold with min (equivalent relax)
+        ATw = Matrix.from_coo(dst, src, w.astype(np.float32), dtm.FP32, nrows=n, ncols=n, dup_op=binary.min)
+        ATw._sparse.plan("pull")
+        arrays.update(ss_rows=ATw._sparse.rows, ss_cols=ATw._sparse.cols, ss_vals=ATw._sparse.vals)
+        print(f"dsl sssp plan: {time.perf_counter() - t0:.1f}s nvals={ATw._sparse.nvals}")
+
+        t0 = time.perf_counter()
+        # cc matrix: symmetrized, structural
+        us = np.concatenate([src, dst])
+        vs = np.concatenate([dst, src])
+        ATs = Matrix.from_coo(vs, us, np.ones(len(us), np.float32), dtm.FP32, nrows=n, ncols=n, dup_op=binary.first)
+        ATs._sparse.plan("pull")
+        arrays.update(cc_rows=ATs._sparse.rows, cc_cols=ATs._sparse.cols, cc_vals=ATs._sparse.vals)
+        print(f"dsl cc plan: {time.perf_counter() - t0:.1f}s nvals={ATs._sparse.nvals}")
+
+    out = (graph_out or "graph.npz").replace(".npz", "_dsl.npz")
+    np.savez(out, n=np.asarray([n]), **arrays)
+    print(f"dsl COOs saved: {out}")
 
 
 if __name__ == "__main__":
