@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 
-def _build_plan_subprocess(scale, ef, seed, plan_path, graph_path):
+def _build_plan_subprocess(scale, ef, seed, plan_path, graph_path, dsl_cache):
     env = dict(os.environ)
     env.pop("PALLAS_AXON_POOL_IPS", None)  # detach the TPU tunnel: host speed
     env["JAX_PLATFORMS"] = "cpu"
@@ -40,6 +40,8 @@ def _build_plan_subprocess(scale, ef, seed, plan_path, graph_path):
         plan_path,
         "--graph-out",
         graph_path,
+        "--dsl-cache",
+        dsl_cache,
     ]
     subprocess.run(cmd, check=True, env=env, cwd=os.path.dirname(os.path.abspath(__file__)))
 
@@ -63,8 +65,12 @@ def main():
     cache = os.environ.get("GRAPHBLAS_BENCH_CACHE", tempfile.gettempdir())
     plan_path = os.path.join(cache, f"gbtpu_plan_v3_s{scale}_e{ef}_{seed}.npz")
     graph_path = os.path.join(cache, f"gbtpu_graph_s{scale}_e{ef}_{seed}.npz")
-    if not (os.path.exists(plan_path) and os.path.exists(graph_path)):
-        _build_plan_subprocess(scale, ef, seed, plan_path, graph_path)
+    dsl_cache = os.path.join(cache, f"gbtpu_dslplans_s{scale}_e{ef}_{seed}")
+    dsl_graph_path = graph_path.replace(".npz", "_dsl.npz")
+    if not (os.path.exists(plan_path) and os.path.exists(graph_path) and os.path.exists(dsl_graph_path)):
+        _build_plan_subprocess(scale, ef, seed, plan_path, graph_path, dsl_cache)
+    # DSL matrices load their (pre-built) plans from this on-disk cache
+    os.environ["GRAPHBLAS_TPU_PLAN_CACHE"] = dsl_cache
 
     plan = load_spmv_plan(plan_path)
     gdata = np.load(graph_path)
@@ -210,6 +216,80 @@ def main():
     except Exception:
         trop_tops = -1.0
 
+    # ---- DSL-expressed algorithms (loop capture, VERDICT r2 #1) -----------
+    # The same workloads written as USER DSL statements, compiled by
+    # gb.loop/gb.until into one XLA program each; plans pre-built by the
+    # subprocess and loaded from the on-disk plan cache.
+    def dsl_metrics():
+        from graphblas_tpu import tx as txmod
+        from graphblas_tpu.core import dtypes as dtmod
+        from graphblas_tpu.core.matrix import Matrix
+        from graphblas_tpu.core.sparse import SparseMatrixData
+        from graphblas_tpu.models import dsl
+
+        dd = np.load(dsl_graph_path)
+        nn = int(dd["n"][0])
+
+        def mk(prefix):
+            sp = SparseMatrixData(
+                dd[f"{prefix}_rows"], dd[f"{prefix}_cols"], dd[f"{prefix}_vals"], nn, nn
+            )
+            return Matrix._from_sparse(sp, dtmod.FP32)
+
+        out = {}
+        with txmod.config.set(mxv_strategy="plan"):
+            # PageRank: dup edges fold into values (plus), so the DSL result
+            # equals the model's multigraph pagerank exactly; GTEPS uses the
+            # raw edge count like the model metric
+            AT = mk("pr")
+            pr_run = dsl.pagerank_runner(AT, max_iters=iters)
+            t = measure(lambda: pr_run()._values, iters)
+            out["dsl_pagerank_gteps_per_iter"] = round(e / t / 1e9, 4)
+            out["dsl_pagerank_iter_ms"] = round(t * 1e3, 3)
+            out["dsl_pagerank_mode"] = pr_run.mode
+            out["dsl_vs_model_iter_ratio"] = round(t / pr_time, 3)
+
+            # BFS (same sources as the model metric)
+            bfs_runs = [dsl.bfs_level_runner(AT, s_) for s_ in sources[:2]]
+
+            def run_dsl_bfs():
+                bfs_runs[0]()
+                return bfs_runs[1]()._values
+
+            t = measure(run_dsl_bfs, 2)
+            out["dsl_bfs_gteps"] = round(e / t / 1e9, 4)
+            out["dsl_bfs_mode"] = bfs_runs[0].mode
+
+            # SSSP (min-folded duplicate edges: identical relaxations)
+            ATw = mk("ss")
+            sssp_runs = [dsl.sssp_runner(ATw, s_) for s_ in sources[:2]]
+
+            def run_dsl_sssp():
+                sssp_runs[0]()
+                return sssp_runs[1]()._values
+
+            t = measure(run_dsl_sssp, 2)
+            out["dsl_sssp_gteps"] = round(e / t / 1e9, 4)
+            out["dsl_sssp_mode"] = sssp_runs[0].mode
+
+            # Connected components (acceptance workload #4): min-label
+            # propagation over the symmetrized graph, whole run timed
+            ATs = mk("cc")
+            e_sym = int(dd["cc_rows"].shape[0])
+            cc_run = dsl.connected_components_runner(ATs)
+            t = measure(lambda: cc_run()._values, 1)
+            out["cc_gteps"] = round(e_sym / t / 1e9, 4)
+            out["cc_ms"] = round(t * 1e3, 2)
+            out["cc_iters"] = int(cc_run.runner.last_iters)
+            out["cc_edges_sym"] = e_sym
+            out["cc_mode"] = cc_run.mode
+        return out
+
+    try:
+        dsl_out = dsl_metrics()
+    except Exception as ex:  # pragma: no cover - bench resilience
+        dsl_out = {"dsl_error": f"{type(ex).__name__}: {ex}"}
+
     # ---- SSSP -------------------------------------------------------------
     # amortize over 8 runs like BFS: at ~8 ms/run vs a ~30 ms dispatch
     # floor, 3 runs left the measurement floor-noise-dominated
@@ -244,6 +324,7 @@ def main():
             "masked_spgemm_gflops": round(spgemm_gf, 4),
             "masked_spgemm_mask_nnz": spgemm_nnz,
             "tropical_mxm_tops": round(trop_tops, 4),
+            **dsl_out,
         },
     }
     print(json.dumps(result))

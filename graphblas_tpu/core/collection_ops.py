@@ -33,10 +33,34 @@ def _mesh_context():
 def _sparse_of(obj):
     """(SparseMatrixData, is_transposed) for sparse-format operands, else (None, False)."""
     from .matrix import TransposedMatrix
+    from .sparse import SparseMatrixData
 
     if isinstance(obj, TransposedMatrix):
-        return getattr(obj._matrix, "_sparse", None), True
-    return getattr(obj, "_sparse", None), False
+        sp = getattr(obj._matrix, "_sparse", None)
+    else:
+        sp = getattr(obj, "_sparse", None)
+    if not isinstance(sp, SparseMatrixData):
+        return None, False
+    return sp, isinstance(obj, TransposedMatrix)
+
+
+def _vec_sparse_of(obj):
+    """SparseVectorData for sparse-format Vector operands, else None."""
+    from .sparse import SparseVectorData
+
+    sv = getattr(obj, "_sparse", None)
+    return sv if isinstance(sv, SparseVectorData) else None
+
+
+def _to_sv(vec):
+    """SparseVectorData view of any Vector (host conversion when dense)."""
+    from .sparse import SparseVectorData
+
+    sv = _vec_sparse_of(vec)
+    if sv is not None:
+        return sv
+    idx, vals = vec.to_coo()
+    return SparseVectorData(idx.astype(np.int64), vals, vec.size)
 
 
 def _cast_values(v, np_type, dtype):
@@ -127,6 +151,25 @@ def ewise_expr(self, other, op, how, *, left_default=None, right_default=None):
     # (keeps 2^60-scale dimensions representable — reference hypersparse,
     # graphblas/__init__.py:210-213)
     sparse_fn = None
+    if self.ndim == 1 and other.ndim == 1:
+        a_sv = _vec_sparse_of(self)
+        b_sv = _vec_sparse_of(other)
+        if a_sv is not None or b_sv is not None:
+
+            def sparse_fn():
+                from .sparse import sparse_vec_ewise
+                from .vector import Vector
+
+                asv = _to_sv(self)
+                bsv = _to_sv(other)
+                if how == "union":
+                    ldv = np.asarray(ld.value if hasattr(ld, "value") else ld)[()]
+                    rdv = np.asarray(rd.value if hasattr(rd, "value") else rd)[()]
+                    sv2 = sparse_vec_ewise(asv, bsv, op_t, "union", op_t.return_type, ld=ldv, rd=rdv)
+                else:
+                    sv2 = sparse_vec_ewise(asv, bsv, op_t, how, op_t.return_type)
+                return Vector._from_sparse(sv2, op_t.return_type)
+
     if self.ndim == 2 and other.ndim == 2:
         a_sp, a_t = _sparse_of(self)
         b_sp, b_t = _sparse_of(other)
@@ -195,6 +238,7 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
 
         sparse_fn = None
         sp, transposed = _sparse_of(self)
+        sv = _vec_sparse_of(self)
         if sp is not None and not transposed:
 
             def sparse_fn():
@@ -205,6 +249,17 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
                     sp, op_t, thunk_s._device_value(), np.dtype(op_t.return_type.np_type)
                 )
                 return Matrix._from_sparse(sp2, op_t.return_type)
+
+        elif sv is not None:
+
+            def sparse_fn():
+                from .sparse import sparse_vec_apply_indexunary
+                from .vector import Vector
+
+                sv2 = sparse_vec_apply_indexunary(
+                    sv, op_t, thunk_s._device_value(), np.dtype(op_t.return_type.np_type)
+                )
+                return Vector._from_sparse(sv2, op_t.return_type)
 
         return BaseExpression(
             "apply", out_cls, compute, op=op_t, dtype=op_t.return_type, shape=self.shape, args=(self,), opname=f"apply[{op_t.name}]", sparse_compute=sparse_fn
@@ -219,6 +274,7 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
                 "provide `left=` or `right=` to bind one argument"
             )
         sp, transposed = _sparse_of(self)
+        sv = _vec_sparse_of(self)
         sparse_fn = None
         if getattr(op_t, "positional", None) is not None:
             def compute():
@@ -237,6 +293,19 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
                         sp, which, delta, np.dtype(op_t.return_type.np_type)
                     )
                     return Matrix._from_sparse(sp2, op_t.return_type)
+
+            elif sv is not None:
+
+                def sparse_fn():
+                    from .sparse import sparse_vec_apply_positional
+                    from .vector import Vector
+
+                    pos = op_t.positional
+                    which, delta = pos if not isinstance(pos, str) else (pos, 0)
+                    sv2 = sparse_vec_apply_positional(
+                        sv, which, delta, np.dtype(op_t.return_type.np_type)
+                    )
+                    return Vector._from_sparse(sv2, op_t.return_type)
 
         else:
             def compute():
@@ -257,6 +326,20 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
                         np.dtype(op_t.return_type.np_type),
                     )
                     return Matrix._from_sparse(sp2, op_t.return_type)
+
+            elif sv is not None:
+
+                def sparse_fn():
+                    from .sparse import sparse_vec_apply_values
+                    from .vector import Vector
+
+                    in_np = np.dtype(op_t.type_.np_type)
+                    sv2 = sparse_vec_apply_values(
+                        sv,
+                        lambda v: op_t.fn(v.astype(in_np)),
+                        np.dtype(op_t.return_type.np_type),
+                    )
+                    return Vector._from_sparse(sv2, op_t.return_type)
 
         return BaseExpression(
             "apply", out_cls, compute, op=op_t, dtype=op_t.return_type, shape=self.shape, args=(self,), opname=f"apply[{op_t.name}]", sparse_compute=sparse_fn
@@ -283,11 +366,13 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
 
     sparse_fn = None
     sp, transposed = _sparse_of(self)
-    if sp is not None and not transposed and getattr(op_t, "positional", None) is None:
+    sv = _vec_sparse_of(self)
+    if (sp is not None and not transposed or sv is not None) and getattr(op_t, "positional", None) is None:
 
         def sparse_fn():
             from .matrix import Matrix
-            from .sparse import sparse_apply_values
+            from .sparse import sparse_apply_values, sparse_vec_apply_values
+            from .vector import Vector
 
             in_np = np.dtype((op_t.type_ if right is not None else op_t.type2).np_type)
             b = bound._device_value(
@@ -297,6 +382,9 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
                 fn = lambda v: op_t.fn(v.astype(in_np), b)  # noqa: E731
             else:
                 fn = lambda v: op_t.fn(b, v.astype(in_np))  # noqa: E731
+            if sv is not None:
+                sv2 = sparse_vec_apply_values(sv, fn, np.dtype(op_t.return_type.np_type))
+                return Vector._from_sparse(sv2, op_t.return_type)
             sp2 = sparse_apply_values(sp, fn, np.dtype(op_t.return_type.np_type))
             return Matrix._from_sparse(sp2, op_t.return_type)
 
@@ -368,6 +456,7 @@ def select_expr(self, op, thunk=None):
 
     sparse_fn = None
     sp, transposed = _sparse_of(self)
+    sv = _vec_sparse_of(self)
     if sp is not None and not transposed:
 
         def sparse_fn():
@@ -376,6 +465,15 @@ def select_expr(self, op, thunk=None):
 
             sp2 = sparse_select(sp, op_t, thunk_s._device_value())
             return Matrix._from_sparse(sp2, self.dtype)
+
+    elif sv is not None:
+
+        def sparse_fn():
+            from .sparse import sparse_vec_select
+            from .vector import Vector
+
+            sv2 = sparse_vec_select(sv, op_t, thunk_s._device_value())
+            return Vector._from_sparse(sv2, self.dtype)
 
     return BaseExpression(
         "select", out_cls, compute, op=op_t, dtype=self.dtype, shape=self.shape, args=(self,), opname=f"select[{op_t.name}]", sparse_compute=sparse_fn
@@ -454,9 +552,14 @@ def reduce_scalar_expr(self, monoid, allow_empty, method_name="reduce_scalar"):
         )
 
     sp, _ = _sparse_of(self)
+    sv = _vec_sparse_of(self)
 
     def compute():
-        if sp is not None:
+        if sv is not None:
+            from .sparse import sparse_vec_reduce_scalar
+
+            val, present = sparse_vec_reduce_scalar(sv, monoid_t)
+        elif sp is not None:
             from .sparse import sparse_reduce_scalar
 
             val, present = sparse_reduce_scalar(sp, monoid_t)
@@ -532,21 +635,52 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
     a_sp, a_t = _sparse_of(a) if not a_is_vec else (None, False)
     b_sp, b_t = _sparse_of(b) if not b_is_vec else (None, False)
     sparse_mv = None
+    msp = vec = pull_dir = a_first = None
     if a_sp is not None and b_is_vec:
-
-        def sparse_mv():  # GrB_mxv: y = A (.) x ; A.T flips to the push direction
-            from .sparse import sparse_mxv
-
-            xv, xs = _arrays_of(b)
-            return sparse_mxv(a_sp, not a_t, True, xv, xs, sr, sr.return_type)
-
+        # GrB_mxv: y = A (.) x ; A.T flips to the push direction
+        msp, vec, pull_dir, a_first = a_sp, b, not a_t, True
     elif b_sp is not None and a_is_vec:
+        # GrB_vxm: w = x (.) A ; the vector is the op's first arg
+        msp, vec, pull_dir, a_first = b_sp, a, b_t, False
 
-        def sparse_mv():  # GrB_vxm: w = x (.) A ; the vector is the op's first arg
+    if msp is not None:
+        from .sparse import _dense_limit
+
+        vec_sv = _vec_sparse_of(vec)
+        n_out = shape[0]
+        out_sparse = n_out > _dense_limit()
+        if vec_sv is not None or out_sparse:
+            # sparse vector operand and/or huge output dimension: the host
+            # O(E log nnz(x)) join path produces a SPARSE vector — nothing
+            # densifies at any dimension (reference hypersparse semantics)
+            def sv_compute():
+                from .sparse import sparse_mxv_sv
+                from .vector import Vector
+
+                sv2 = sparse_mxv_sv(msp, pull_dir, a_first, _to_sv(vec), sr, sr.return_type)
+                return Vector._from_sparse(sv2, sr.return_type)
+
+            def compute_dense():
+                out = sv_compute()
+                return out._sparse.densify(np.dtype(sr.return_type.np_type))
+
+            return BaseExpression(
+                method_name,
+                out_cls,
+                compute_dense,
+                op=sr,
+                dtype=sr.return_type,
+                shape=shape,
+                args=(a, b),
+                opname=f"{method_name}[{sr.name}]",
+                sparse_compute=sv_compute if out_sparse else None,
+            )
+
+        def sparse_mv():  # dense vector in, dense (n_out,) out: device engine
             from .sparse import sparse_mxv
 
-            xv, xs = _arrays_of(a)
-            return sparse_mxv(b_sp, b_t, False, xv, xs, sr, sr.return_type)
+            xv, xs = _arrays_of(vec)
+            return sparse_mxv(msp, pull_dir, a_first, xv, xs, sr, sr.return_type)
 
     if sparse_mv is not None:
         return BaseExpression(

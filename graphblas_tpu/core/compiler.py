@@ -273,6 +273,7 @@ class CompiledLoop:
         self._cond = cond
         self._max_iters = max_iters
         self.mode = None
+        self.last_iters = None  # while-loops: iteration count of the last run
         self._jit = None
         self._structs = None
         self._build()
@@ -317,8 +318,8 @@ class CompiledLoop:
                 vals_c, it = carry
                 return lbody(vals_c), it + 1
 
-            final, _ = lax.while_loop(wcond, wbody, (tuple(vals), it0))
-            return final
+            final, it = lax.while_loop(wcond, wbody, (tuple(vals), it0))
+            return final, it
 
         return run
 
@@ -401,6 +402,9 @@ class CompiledLoop:
             else:
                 values = self._values0
             final_values = self._jit(tuple(values))
+            if self._kind == "while":
+                final_values, it = final_values
+                self.last_iters = it
             out_leaves, pos = [], 0
             for i, sp in enumerate(specs):
                 n = _n_leaves(sp, with_struct=False)
@@ -411,6 +415,9 @@ class CompiledLoop:
             out = _rebuild_state(specs, out_leaves)
         else:
             final = self._jit(tuple(leaves))
+            if self._kind == "while":
+                final, it = final
+                self.last_iters = it
             out = _rebuild_state(specs, list(final))
         return out[0] if self._single else tuple(out)
 

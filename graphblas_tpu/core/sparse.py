@@ -1334,3 +1334,236 @@ def _np_monoid_fn(name, addm):
         return table[name]
     fn = addm.fn
     return lambda a, b: np.asarray(fn(a, b))[()]
+
+
+# ---------------------------------------------------------------------------
+# Sparse Vector storage (reference: hypersparse vectors to 2^60,
+# /root/reference/graphblas/core/vector.py:682+, graphblas/__init__.py:210-213)
+# ---------------------------------------------------------------------------
+
+
+class SparseVectorData:
+    """Canonical sorted-unique (index, value) arrays for one Vector."""
+
+    __slots__ = ("idx", "vals", "size", "_dev")
+
+    def __init__(self, idx, vals, size):
+        self.idx = idx  # np.int64, sorted unique
+        self.vals = vals  # np array of the Vector dtype
+        self.size = int(size)
+        self._dev = {}
+
+    @classmethod
+    def from_arrays(cls, idx, vals, size, dup_op=None, *, sorted_dedup=False):
+        idx = np.asarray(idx, np.int64).reshape(-1)
+        vals = np.asarray(vals).reshape(-1)
+        if not sorted_dedup and idx.size:
+            order = np.argsort(idx, kind="stable")
+            idx, vals = idx[order], vals[order]
+            dup = idx[1:] == idx[:-1]
+            if dup.any():
+                rows, _, vals = _combine_dups(idx, np.zeros_like(idx), vals, dup, dup_op)
+                idx = rows
+        return cls(idx, vals, size)
+
+    @property
+    def nvals(self):
+        return int(self.idx.size)
+
+    def copy(self, vals=None):
+        return SparseVectorData(self.idx, self.vals if vals is None else vals, self.size)
+
+    def device(self, key):
+        import jax
+
+        if key not in self._dev:
+            import jax.numpy as jnp
+
+            with jax.ensure_compile_time_eval():
+                if key == "idx":
+                    idt = np.int32 if self.size <= _INT32_MAX else np.int64
+                    return self._dev.setdefault(key, jnp.asarray(self.idx.astype(idt)))
+                if key == "vals":
+                    return self._dev.setdefault(key, jnp.asarray(self.vals))
+                raise KeyError(key)  # pragma: no cover
+        return self._dev[key]
+
+    def densify(self, np_dtype, *, limit=None):
+        import jax.numpy as jnp
+
+        limit = _densify_limit() if limit is None else limit
+        if self.size > limit:
+            raise _exc.OutOfMemory(
+                f"operation requires densifying a size-{self.size} sparse Vector "
+                f"(> tx.config['densify_limit']={limit}); use sparse-supported ops "
+                "or raise the limit"
+            )
+        dv = np.zeros(self.size, self.vals.dtype)
+        ds = np.zeros(self.size, bool)
+        dv[self.idx] = self.vals
+        ds[self.idx] = True
+        from .utils import device_asarray
+
+        return device_asarray(dv), jnp.asarray(ds)
+
+
+def _np_reduce_groups(vals, starts, name, monoid_t, out_np):
+    """Reduce each sorted group (given by ``starts``) with the named monoid
+    on the host; generic monoids run the op fn pairwise."""
+    np_fn = _NP_COMBINE.get(name)
+    if np_fn is not None:
+        return np_fn.reduceat(vals, starts).astype(out_np, copy=False)
+    if name == "any":
+        ends = np.concatenate([starts[1:], [len(vals)]]) - 1
+        return vals[ends].astype(out_np, copy=False)
+    fn = monoid_t.fn
+    ends = np.concatenate([starts[1:], [len(vals)]])
+    out = np.empty(len(starts), out_np)
+    for gi, (s0, e0) in enumerate(zip(starts, ends)):
+        acc = vals[s0]
+        for k in range(s0 + 1, e0):
+            acc = np.asarray(fn(acc, vals[k]))
+        out[gi] = acc
+    return out
+
+
+def sparse_vec_ewise(a, b, op_t, how, out_dtype, ld=None, rd=None):
+    """Sparse-sparse vector eWiseMult/Add/Union: host merge-join on sorted
+    index lists + one device combine (no densify at any size)."""
+    out_np = np.dtype(out_dtype.np_type)
+    t1 = np.dtype(op_t.type_.np_type)
+    t2 = np.dtype(op_t.type2.np_type)
+    pos = np.searchsorted(b.idx, a.idx)
+    pos_c = np.minimum(pos, max(len(b.idx) - 1, 0))
+    in_both = (len(b.idx) > 0) & (pos < len(b.idx))
+    if len(b.idx):
+        in_both &= b.idx[pos_c] == a.idx
+    ia = np.flatnonzero(in_both)
+    ib = pos[ia] if len(ia) else np.zeros(0, np.int64)
+
+    def combine(av, bv):
+        if len(av) == 0:
+            return np.empty(0, out_np)
+        import jax.numpy as jnp
+
+        r = op_t.fn(jnp.asarray(av.astype(t1)), jnp.asarray(bv.astype(t2)))
+        return np.asarray(r).astype(out_np)
+
+    if how == "mult":
+        return SparseVectorData(a.idx[ia], combine(a.vals[ia], b.vals[ib]), a.size)
+    only_a = np.ones(len(a.idx), bool)
+    only_a[ia] = False
+    only_b = np.ones(len(b.idx), bool)
+    only_b[ib] = False
+    oa = np.flatnonzero(only_a)
+    ob = np.flatnonzero(only_b)
+    both_vals = combine(a.vals[ia], b.vals[ib])
+    if how == "add":
+        a_vals = a.vals[oa].astype(out_np)
+        b_vals = b.vals[ob].astype(out_np)
+    else:
+        a_vals = combine(a.vals[oa], np.full(len(oa), rd, t2))
+        b_vals = combine(np.full(len(ob), ld, t1), b.vals[ob])
+    idx = np.concatenate([a.idx[ia], a.idx[oa], b.idx[ob]])
+    vals = np.concatenate([both_vals, a_vals, b_vals])
+    order = np.argsort(idx, kind="stable")
+    return SparseVectorData(idx[order], vals[order], a.size)
+
+
+def sparse_vec_apply_values(sv, fn, out_np):
+    import jax.numpy as jnp
+
+    if sv.nvals == 0:
+        return sv.copy(vals=sv.vals.astype(out_np))
+    res = np.asarray(fn(jnp.asarray(sv.vals))).astype(out_np)
+    return sv.copy(vals=res)
+
+
+def sparse_vec_apply_indexunary(sv, op_t, thunk_dev, out_np):
+    import jax.numpy as jnp
+
+    if sv.nvals == 0:
+        return sv.copy(vals=sv.vals.astype(out_np))
+    vals = jnp.asarray(sv.vals.astype(np.dtype(op_t.type_.np_type)))
+    rows = jnp.asarray(sv.idx)
+    res = op_t.fn(vals, rows, jnp.zeros_like(rows), thunk_dev)
+    return sv.copy(vals=np.asarray(res).astype(out_np))
+
+
+def sparse_vec_select(sv, op_t, thunk_dev):
+    import jax.numpy as jnp
+
+    if sv.nvals == 0:
+        return sv.copy()
+    vals = jnp.asarray(sv.vals)
+    rows = jnp.asarray(sv.idx)
+    keep = np.asarray(op_t.fn(vals, rows, jnp.zeros_like(rows), thunk_dev)).astype(bool)
+    return SparseVectorData(sv.idx[keep], sv.vals[keep], sv.size)
+
+
+def sparse_vec_apply_positional(sv, which, delta, out_np):
+    idx = sv.idx if which == "i" else np.zeros_like(sv.idx)
+    return sv.copy(vals=(idx + delta).astype(out_np))
+
+
+def sparse_vec_reduce_scalar(sv, monoid_t):
+    import jax.numpy as jnp
+
+    out_np = np.dtype(monoid_t.type_.np_type)
+    if sv.nvals == 0:
+        return jnp.zeros((), out_np), jnp.asarray(False)
+    name = monoid_t.parent.name
+    vals = sv.vals.astype(out_np)
+    out = _np_reduce_groups(vals, np.zeros(1, np.int64), name, monoid_t, out_np)
+    return jnp.asarray(out[0]), jnp.asarray(True)
+
+
+def sparse_mxv_sv(sp, pull, a_first, sv, sr, out_dtype):
+    """Semiring mxv/vxm with a SPARSE vector operand -> SparseVectorData.
+
+    Host path (O(E log nnz(x))): the scalable-correctness route for huge
+    dimensions where neither the vector nor the output can be dense.
+    Reference: GrB_mxv core/matrix.py:2203 over hypersparse operands.
+    """
+    out_np = np.dtype(out_dtype.np_type)
+    n_out = sp.nrows if pull else sp.ncols
+    if pull:
+        dst, src, avals = sp.rows, sp.cols, sp.vals
+    else:
+        order = sp.col_order()
+        dst, src, avals = sp.cols[order], sp.rows[order], sp.vals[order]
+    # join edges against the vector pattern
+    pos = np.searchsorted(sv.idx, src)
+    pos_c = np.minimum(pos, max(len(sv.idx) - 1, 0))
+    valid = (len(sv.idx) > 0) & (pos < len(sv.idx))
+    if len(sv.idx):
+        valid &= sv.idx[pos_c] == src
+    sel = np.flatnonzero(valid)
+    if len(sel) == 0:
+        return SparseVectorData(np.empty(0, np.int64), np.empty(0, out_np), n_out)
+    dstv = dst[sel]
+    mul = sr.binaryop
+    addm = sr.monoid
+    pos_mul = mul.positional
+    if pos_mul is not None:
+        which, delta = pos_mul
+        role = _positional_role(which, a_first)
+        if role == "src":
+            contrib = (src[sel] + delta).astype(out_np)
+        elif role == "dst":
+            contrib = (dstv + delta).astype(out_np)
+        else:
+            contrib = np.full(len(sel), delta, out_np)
+    else:
+        import jax.numpy as jnp
+
+        a_c = avals[sel].astype(np.dtype((mul.type_ if a_first else mul.type2).np_type))
+        x_c = sv.vals[pos_c[sel]].astype(np.dtype((mul.type2 if a_first else mul.type_).np_type))
+        r = mul.fn(jnp.asarray(a_c), jnp.asarray(x_c)) if a_first else mul.fn(jnp.asarray(x_c), jnp.asarray(a_c))
+        contrib = np.asarray(r).astype(out_np)
+    # group by dst (already sorted in dst-major order for both directions)
+    starts = np.flatnonzero(np.concatenate([[True], dstv[1:] != dstv[:-1]]))
+    out_idx = dstv[starts]
+    monoid_t = addm if addm.type_.np_type == out_np else _retype_monoid(addm, out_dtype)
+    out_vals = _np_reduce_groups(contrib, starts, addm.parent.name, monoid_t, out_np)
+    return SparseVectorData(out_idx, out_vals, n_out)

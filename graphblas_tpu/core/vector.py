@@ -19,6 +19,12 @@ from .scalar import Scalar, _as_scalar, _is_scalar_like
 from .utils import device_asarray, ensure_int, values_to_numpy_buffer
 
 
+def _vec_sparse_limit():
+    from .sparse import _dense_limit
+
+    return _dense_limit()
+
+
 def _apply_dup(rows_or_idx, values, dup_op):
     """Host-side duplicate combination for build/from_coo."""
     if dup_op is None:
@@ -68,17 +74,34 @@ def _apply_dup(rows_or_idx, values, dup_op):
 
 
 class Vector(InfixMixin, BaseType):
-    """A 1-D collection of (index, value) pairs over a dtype domain."""
+    """A 1-D collection of (index, value) pairs over a dtype domain.
 
-    __slots__ = ("_tx_config",)
+    Two storage formats, like Matrix: dense-masked (values + struct device
+    arrays, the default below ``tx.config['dense_limit']`` entries) and
+    sparse (index, value) host-canonical arrays — the scalable format for
+    huge dimensions (reference: hypersparse vectors to 2^60,
+    /root/reference/graphblas/core/vector.py:682+).
+    """
+
+    __slots__ = ("_sparse", "_tx_config")
     ndim = 1
     _output_type = None  # set after class definition
 
     def _set_storage(self, fmt):
-        """Vectors have one storage format (dense outputs are the contract
-        of every mxv/reduce); only 'densemasked' is valid."""
-        if fmt not in ("densemasked", "auto"):
-            raise ValueError(f"Vector storage must be 'densemasked'; got {fmt!r}")
+        """Convert storage format in place (per-object tx.config['storage'])."""
+        if fmt in ("coo", "sparse"):
+            if self._sparse is None:
+                from .sparse import SparseVectorData
+
+                idx, vals = self.to_coo()
+                self._adopt_sparse(
+                    SparseVectorData(idx.astype(np.int64), vals, self.size)
+                )
+        elif fmt in ("densemasked", "auto"):
+            if self._sparse is not None:
+                self._values  # noqa: B018 — densify (guarded by densify_limit)
+        else:
+            raise ValueError(f"unknown storage format: {fmt!r}")
 
     def __init__(self, dtype=_dt.FP64, size=0, *, name=None):
         import jax.numpy as jnp
@@ -88,6 +111,15 @@ class Vector(InfixMixin, BaseType):
         _init_jax()
         self._dtype = _dt.lookup_dtype(dtype)
         size = ensure_int(size, "size")
+        self._sparse = None
+        if not self._dtype._is_udt and size > _vec_sparse_limit():
+            from .sparse import SparseVectorData
+
+            self._sparse = SparseVectorData(
+                np.empty(0, np.int64), np.empty(0, self._dtype.np_type), size
+            )
+            self.name = name
+            return
         if self._dtype._is_udt:
             self._values = {
                 f: jnp.zeros((size,), self._dtype.np_type[f])
@@ -102,16 +134,90 @@ class Vector(InfixMixin, BaseType):
     def _from_arrays(cls, values, struct, dtype, name=None):
         obj = cls.__new__(cls)
         obj._dtype = _dt.lookup_dtype(dtype)
+        obj._sparse = None
         obj._values = values
         obj._struct = struct
         obj.name = name
         return obj
 
+    @classmethod
+    def _from_sparse(cls, sv, dtype, name=None):
+        """Wrap a SparseVectorData as a sparse-format Vector."""
+        obj = cls.__new__(cls)
+        obj._dtype = _dt.lookup_dtype(dtype)
+        obj._sparse = sv
+        obj.name = name
+        return obj
+
+    def __getattr__(self, name):
+        # sparse-format vectors leave the dense slots unset; first dense
+        # touch materializes (guarded by tx.config['densify_limit'])
+        if name in ("_values", "_struct"):
+            try:
+                sv = BaseType.__getattribute__(self, "_sparse")
+            except AttributeError:
+                sv = None
+            if sv is not None:
+                v, st = sv.densify(self._dtype.np_type)
+                self._values = v
+                self._struct = st
+                self._sparse = None
+                return v if name == "_values" else st
+        raise AttributeError(name)
+
+    def _set_arrays(self, values, struct):
+        self._sparse = None
+        self._values = values
+        self._struct = struct
+
+    def _adopt_sparse(self, sv):
+        """Switch this Vector to sparse storage (dropping dense arrays)."""
+        for slot in ("_values", "_struct"):
+            try:
+                delattr(self, slot)
+            except AttributeError:
+                pass
+        self._sparse = sv
+
     # -- introspection -----------------------------------------------------------
 
     @property
     def size(self):
-        return self._struct.shape[0]
+        sv = self._sparse
+        return sv.size if sv is not None else self._struct.shape[0]
+
+    @property
+    def nvals(self):
+        sv = self._sparse
+        if sv is not None:
+            return sv.nvals
+        return BaseType.nvals.fget(self)
+
+    def clear(self):
+        sv = self._sparse
+        if sv is not None:
+            self._adopt_sparse(
+                type(sv)(np.empty(0, np.int64), np.empty(0, sv.vals.dtype), sv.size)
+            )
+            return
+        BaseType.clear(self)
+
+    def wait(self, how="materialize"):
+        if self._sparse is not None:
+            return self  # host-canonical storage has nothing pending
+        return BaseType.wait(self, how)
+
+    def isequal(self, other, *, check_dtype=False):
+        if self._sparse is not None or getattr(other, "_sparse", None) is not None:
+            other = self._expect_type(other, type(self), within="isequal", argname="other")
+            if check_dtype and self.dtype != other.dtype:
+                return False
+            if self.shape != other.shape:
+                return False
+            i1, v1 = self.to_coo()
+            i2, v2 = other.to_coo()
+            return np.array_equal(i1, i2) and np.array_equal(v1, v2)
+        return BaseType.isequal(self, other, check_dtype=check_dtype)
 
     @property
     def shape(self):
@@ -121,6 +227,9 @@ class Vector(InfixMixin, BaseType):
         return self.nvals
 
     def __sizeof__(self):
+        sv = self._sparse
+        if sv is not None:
+            return object.__sizeof__(self) + sv.idx.nbytes + sv.vals.nbytes
         vb = (
             sum(a.nbytes for a in self._values.values())
             if isinstance(self._values, dict)
@@ -138,8 +247,18 @@ class Vector(InfixMixin, BaseType):
 
         return format_vector_html(self)
 
+    def _sparse_find(self, i):
+        """Index into sparse storage for entry i, or -1 (host binary search)."""
+        sv = self._sparse
+        j = int(np.searchsorted(sv.idx, i))
+        if j < len(sv.idx) and sv.idx[j] == i:
+            return j
+        return -1
+
     def __contains__(self, index):
         idx = IndexerResolver(self, index).indices[0]
+        if self._sparse is not None:
+            return self._sparse_find(idx.index) >= 0
         return bool(self._struct[idx.index])
 
     def __iter__(self):
@@ -176,6 +295,14 @@ class Vector(InfixMixin, BaseType):
                 raise _exc.IndexOutOfBound(f"index out of range for size {size}")
         if indices.size != np.unique(indices).size:
             indices, values = _apply_dup(indices, values, dup_op)
+        if not dtype._is_udt and size > _vec_sparse_limit():
+            from .sparse import SparseVectorData
+
+            order = np.argsort(indices, kind="stable")
+            sv = SparseVectorData(
+                indices[order], values[order].astype(dtype.np_type), size
+            )
+            return cls._from_sparse(sv, dtype, name=name)
         dense_v = np.zeros(size, dtype.np_type)
         dense_s = np.zeros(size, bool)
         dense_v[indices] = values
@@ -246,6 +373,15 @@ class Vector(InfixMixin, BaseType):
 
     def to_coo(self, dtype=None, *, indices=True, values=True, sort=True):
         """(indices, values) as numpy arrays (reference: core/vector.py:618)."""
+        sv = self._sparse
+        if sv is not None:
+            out_idx = sv.idx.astype(np.uint64) if indices else None
+            out_vals = None
+            if values:
+                out_vals = sv.vals.copy()
+                if dtype is not None:
+                    out_vals = out_vals.astype(_dt.lookup_dtype(dtype).np_type)
+            return out_idx, out_vals
         struct = np.asarray(self._struct)
         idx = np.nonzero(struct)[0].astype(np.uint64)
         out_idx = idx if indices else None
@@ -305,6 +441,10 @@ class Vector(InfixMixin, BaseType):
         dtype = _dt.lookup_dtype(dtype) if dtype is not None else self._dtype
         if clear:
             return Vector(dtype, self.size, name=name)
+        if self._sparse is not None and mask is None:
+            sv = self._sparse
+            vals = sv.vals.astype(dtype.np_type)
+            return Vector._from_sparse(sv.copy(vals=vals.copy()), dtype, name=name)
         if self._dtype._is_udt:
             if dtype != self._dtype:
                 raise TypeError("Cannot cast a UDT Vector to another dtype in dup")
@@ -342,6 +482,9 @@ class Vector(InfixMixin, BaseType):
     def get(self, index, default=None):
         """Element or default (reference: core/vector.py:499)."""
         idx = IndexerResolver(self, index).indices[0]
+        if self._sparse is not None:
+            j = self._sparse_find(idx.index)
+            return self._sparse.vals[j].item() if j >= 0 else default
         if bool(self._struct[idx.index]):
             if self._dtype._is_udt:
                 out = np.zeros((), self._dtype.np_type)

@@ -109,6 +109,7 @@ def bfs_level_runner(AT, source, *, max_iters=None):
         return v
 
     run.mode = runner.mode
+    run.runner = runner
     return run
 
 
@@ -153,6 +154,7 @@ def sssp_runner(AT, source, *, max_iters=None):
         return dist
 
     run.mode = runner.mode
+    run.runner = runner
     return run
 
 
@@ -206,4 +208,5 @@ def connected_components_runner(AT, *, max_iters=None, dtype=None):
         return p
 
     run.mode = runner.mode
+    run.runner = runner
     return run
