@@ -654,9 +654,30 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
             # O(E log nnz(x)) join path produces a SPARSE vector — nothing
             # densifies at any dimension (reference hypersparse semantics)
             def sv_compute():
-                from .sparse import sparse_mxv_sv
+                from .sparse import (
+                    SparseVectorData,
+                    _densify_limit,
+                    sparse_mxv,
+                    sparse_mxv_sv,
+                )
                 from .vector import Vector
 
+                ctx = _mesh_context()
+                if (
+                    ctx is not None
+                    and vec.size <= _densify_limit()
+                    and n_out <= _densify_limit()
+                ):
+                    # engaged mesh Context: densify x and run the device
+                    # (sharded-plan) engine, then re-sparsify the output
+                    xv, xs = _to_sv(vec).densify(np.dtype(sr.binaryop.type2.np_type if a_first else sr.binaryop.type_.np_type))
+                    yv, ys = sparse_mxv(msp, pull_dir, a_first, xv, xs, sr, sr.return_type)
+                    keep = np.asarray(ys)
+                    idx = np.flatnonzero(keep)
+                    sv2 = SparseVectorData(
+                        idx.astype(np.int64), np.asarray(yv)[idx], n_out
+                    )
+                    return Vector._from_sparse(sv2, sr.return_type)
                 sv2 = sparse_mxv_sv(msp, pull_dir, a_first, _to_sv(vec), sr, sr.return_type)
                 return Vector._from_sparse(sv2, sr.return_type)
 
@@ -694,14 +715,10 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
             opname=f"{method_name}[{sr.name}]",
         )
 
-    if (
-        a_sp is not None
-        and b_sp is not None
-        and not a_is_vec
-        and not b_is_vec
-        and not a_t
-        and not b_t
-    ):
+    if a_sp is not None and b_sp is not None and not a_is_vec and not b_is_vec:
+        def _operand_sps():
+            return (a_sp.transposed() if a_t else a_sp), (b_sp.transposed() if b_t else b_sp)
+
         # masked sparse SpGEMM: consumed by _update when C(M) << A.mxm(B)
         # (reference: masked dot method, core/ss/descriptor.py:76-82)
         def sparse_masked_mxm(mask):
@@ -715,13 +732,25 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
             if not mask.structure:
                 keep = np.asarray(mv).astype(bool)
                 mr, mc = mr[keep], mc[keep]
+            asp, bsp = _operand_sps()
             rows, cols, vals, flops = sparse_mxm_masked(
-                a_sp, b_sp, mr.astype(np.int64), mc.astype(np.int64), sr, sr.return_type
+                asp, bsp, mr.astype(np.int64), mc.astype(np.int64), sr, sr.return_type
             )
             sp = SparseMatrixData.from_arrays(
                 rows, cols, vals, shape[0], shape[1], sorted_dedup=True
             )
             return Matrix._from_sparse(sp, sr.return_type)
+
+        # unmasked sparse x sparse: sparse OUTPUT via the host Gustavson
+        # expand-join (reference: GrB_mxm always yields sparse output,
+        # core/matrix.py:2264-2331)
+        def sparse_full_mxm():
+            from .matrix import Matrix
+            from .sparse import sparse_spgemm_full
+
+            asp, bsp = _operand_sps()
+            sp2 = sparse_spgemm_full(asp, bsp, sr, sr.return_type)
+            return Matrix._from_sparse(sp2, sr.return_type)
 
         expr = BaseExpression(
             method_name,
@@ -732,6 +761,7 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
             shape=shape,
             args=(a, b),
             opname=f"{method_name}[{sr.name}]",
+            sparse_compute=sparse_full_mxm,
         )
         expr._sparse_masked_mxm = sparse_masked_mxm
 
@@ -854,6 +884,13 @@ def do_assign(self, resolved, value, *, mask, accum, replace, is_submask):
         value = value.new()
     elif isinstance(value, TransposedMatrix):
         value = value.new()
+
+    # -- sparse-storage assign: host pattern surgery, no densify ---------------
+    # (reference: _prep_for_assign core/matrix.py:3116-3529 over hypersparse;
+    # masked sparse assign falls through to the dense path, densify-guarded)
+    if getattr(self, "_sparse", None) is not None and mask is None:
+        if _sparse_do_assign(self, resolved, value, accum=accum):
+            return
 
     indices = resolved.indices
     dims = [ix for ix in indices]
@@ -982,6 +1019,149 @@ def do_assign(self, resolved, value, *, mask, accum, replace, is_submask):
     self._set_arrays(ncv, ncs)
 
 
+def _map_positions(pos, ix):
+    """Map value positions within a region dim to parent coordinates."""
+    if ix.kind == "int":
+        return np.full(len(pos), ix.index, np.int64)
+    if ix.kind == "all":
+        return np.asarray(pos, np.int64)
+    return np.atleast_1d(np.asarray(ix.index, np.int64))[np.asarray(pos, np.int64)]
+
+
+def _sparse_do_assign(self, resolved, value, *, accum):
+    """Assign into sparse storage.  Returns True when handled; False falls
+    back to the (densify-guarded) dense path."""
+    from .matrix import Matrix
+    from .sparse import (
+        _SCALAR_FILL_LIMIT,
+        sparse_assign,
+        sparse_delete_region,
+        sparse_vec_assign,
+        sparse_vec_delete_region,
+    )
+    from .vector import Vector
+
+    indices = resolved.indices
+    np_dtype = np.dtype(self.dtype.np_type)
+    sp = self._sparse
+
+    def region_cells():
+        cells = 1
+        for ix in indices:
+            cells *= 1 if ix.kind == "int" else ix.size
+        return cells
+
+    if _is_scalar_like(value) or isinstance(value, Scalar):
+        sc = _as_scalar(value)
+        if sc.is_empty:
+            if self.ndim == 1:
+                self._adopt_sparse(sparse_vec_delete_region(sp, indices[0]))
+            else:
+                self._adopt_sparse(sparse_delete_region(sp, indices))
+            return True
+        cells = region_cells()
+        if cells > _SCALAR_FILL_LIMIT:
+            raise _exc.OutOfMemory(
+                f"scalar assign would create {cells} entries "
+                f"(> {_SCALAR_FILL_LIMIT}); iso-valued regions of that size are "
+                "not supported on sparse storage"
+            )
+        val = np.asarray(sc.value, np_dtype)
+        if self.ndim == 1:
+            ix = indices[0]
+            tgt = (
+                np.asarray([ix.index], np.int64)
+                if ix.kind == "int"
+                else _map_positions(np.arange(ix.size), ix)
+            )
+            new_v = np.full(len(tgt), val, np_dtype)
+            self._adopt_sparse(sparse_vec_assign(sp, ix, tgt, new_v, accum, np_dtype))
+            return True
+        rix, cix = indices
+        tr = (
+            np.asarray([rix.index], np.int64)
+            if rix.kind == "int"
+            else _map_positions(np.arange(rix.size), rix)
+        )
+        tc = (
+            np.asarray([cix.index], np.int64)
+            if cix.kind == "int"
+            else _map_positions(np.arange(cix.size), cix)
+        )
+        rr = np.repeat(tr, len(tc))
+        cc = np.tile(tc, len(tr))
+        new_v = np.full(len(rr), val, np_dtype)
+        self._adopt_sparse(sparse_assign(sp, indices, rr, cc, new_v, accum, np_dtype))
+        return True
+
+    if isinstance(value, (list, tuple, np.ndarray)):
+        arr = np.asarray(value)
+        if arr.ndim == 1:
+            value = Vector.from_dense(arr, dtype=self.dtype)
+        elif arr.ndim == 2:
+            value = Matrix.from_dense(arr, dtype=self.dtype)
+
+    if self.ndim == 1:
+        if not isinstance(value, Vector):
+            return False
+        ix = indices[0]
+        expected = 1 if ix.kind == "int" else ix.size
+        if value.size != expected:
+            raise _exc.DimensionMismatch(
+                f"shapes not compatible for assign: value {value.shape} into region ({expected},)"
+            )
+        vi, vv = value.to_coo()
+        tgt = _map_positions(vi.astype(np.int64), ix)
+        self._adopt_sparse(
+            sparse_vec_assign(sp, ix, tgt, np.asarray(vv), accum, np_dtype)
+        )
+        return True
+
+    rix, cix = indices
+    if isinstance(value, Vector):
+        vi, vv = value.to_coo()
+        vi = vi.astype(np.int64)
+        if rix.kind == "int":
+            expected = cix.size
+            if value.size != expected:
+                raise _exc.DimensionMismatch(
+                    f"shapes not compatible for assign: value {value.shape} into region ({expected},)"
+                )
+            rr = np.full(len(vi), rix.index, np.int64)
+            cc = _map_positions(vi, cix)
+        elif cix.kind == "int":
+            expected = rix.size
+            if value.size != expected:
+                raise _exc.DimensionMismatch(
+                    f"shapes not compatible for assign: value {value.shape} into region ({expected},)"
+                )
+            rr = _map_positions(vi, rix)
+            cc = np.full(len(vi), cix.index, np.int64)
+        else:
+            return False  # broadcast vector assign: dense path
+        self._adopt_sparse(
+            sparse_assign(sp, indices, rr, cc, np.asarray(vv), accum, np_dtype)
+        )
+        return True
+    if isinstance(value, Matrix):
+        expected = (
+            1 if rix.kind == "int" else rix.size,
+            1 if cix.kind == "int" else cix.size,
+        )
+        if value.shape != expected:
+            raise _exc.DimensionMismatch(
+                f"shapes not compatible for assign: value {value.shape} into region {expected}"
+            )
+        vr, vc, vv = value.to_coo()
+        rr = _map_positions(vr.astype(np.int64), rix)
+        cc = _map_positions(vc.astype(np.int64), cix)
+        self._adopt_sparse(
+            sparse_assign(sp, indices, rr, cc, np.asarray(vv), accum, np_dtype)
+        )
+        return True
+    return False
+
+
 def do_delete(self, resolved, mask=None):
     """del C[idx] — remove entries in the region (reference: __delitem__)."""
     import jax.numpy as jnp
@@ -998,6 +1178,14 @@ def do_delete(self, resolved, mask=None):
         )
     record_call("delete", self)
     indices = resolved.indices
+    if getattr(self, "_sparse", None) is not None:
+        from .sparse import sparse_delete_region, sparse_vec_delete_region
+
+        if self.ndim == 1:
+            self._adopt_sparse(sparse_vec_delete_region(self._sparse, indices[0]))
+        else:
+            self._adopt_sparse(sparse_delete_region(self._sparse, indices))
+        return
     cv, cs = self._values, self._struct
     if self.ndim == 1:
         idx = jnp.asarray(np.atleast_1d(indices[0].index))

@@ -40,7 +40,19 @@ def _parse_one(index, dim_size, dim_name):
             raise _exc.IndexOutOfBound(f"Index out of range: index={index}, {dim_name}={dim_size}")
         return _DimIndex("int", idx, None)
     if isinstance(index, slice):
-        arr = np.arange(*index.indices(dim_size), dtype=np.int64)
+        start, stop, step = index.indices(dim_size)
+        if step == 1 and start == 0 and stop == dim_size and dim_size > (1 << 26):
+            # full slice of a huge dimension: keep symbolic — materializing
+            # an arange would allocate dim_size int64 (reference handles this
+            # as GrB_ALL, core/slice.py)
+            return _DimIndex("all", slice(None), dim_size)
+        n_ix = max(0, -(-(stop - start) // step) if step > 0 else -(-(start - stop) // -step))
+        if n_ix > (1 << 28):
+            raise _exc.OutOfMemory(
+                f"slice selects {n_ix} indices; materializing that index array is "
+                "not supported — use a full slice (handled symbolically) or smaller ranges"
+            )
+        arr = np.arange(start, stop, step, dtype=np.int64)
         return _DimIndex("array", arr, len(arr))
     if isinstance(index, (list, tuple, np.ndarray, range)):
         if isinstance(index, (list, tuple)) and any(isinstance(ix, Scalar) for ix in index):
@@ -103,7 +115,7 @@ class IndexerResolver:
 
     @property
     def out_shape(self):
-        return tuple(ix.size for ix in self.indices if ix.kind == "array")
+        return tuple(ix.size for ix in self.indices if ix.kind in ("array", "all"))
 
     @property
     def is_single_element(self):
@@ -162,6 +174,10 @@ class AmbiguousAssignOrExtract:
         if input_mask is not None and input_mask.parent.shape != parent.shape:
             raise _exc.DimensionMismatch("input_mask shape must match the indexed collection")
 
+        sp_parent = getattr(parent, "_sparse", None)
+        if sp_parent is not None and input_mask is None:
+            return self._extract_delayed_sparse(sp_parent)
+
         def compute():
             import jax.numpy as jnp
 
@@ -218,6 +234,76 @@ class AmbiguousAssignOrExtract:
             shape=self.shape,
             args=(parent,),
             opname="extract",
+        )
+
+    def _extract_delayed_sparse(self, sp):
+        """Extraction over sparse storage: host pattern surgery, no densify
+        (reference: _prep_for_extract core/matrix.py:3051-3087 over
+        hypersparse operands)."""
+        parent = self.parent
+        res = self.resolved_indexes
+        out_cls = self.output_type
+        out_shape = self.shape
+
+        from .scalar import Scalar
+
+        if out_cls is Scalar:
+            def compute_scalar():
+                import jax.numpy as jnp
+
+                if parent.ndim == 1:
+                    j = parent._sparse_find(res.indices[0].index)
+                    val = sp.vals[j] if j >= 0 else np.zeros((), sp.vals.dtype)
+                    return jnp.asarray(val), jnp.asarray(j >= 0)
+                r, c = res.indices
+                j = parent._sparse_find(r.index, c.index)
+                val = sp.vals[j] if j >= 0 else np.zeros((), sp.vals.dtype)
+                return jnp.asarray(val), jnp.asarray(j >= 0)
+
+            return BaseExpression(
+                "extract_element", Scalar, compute_scalar,
+                dtype=parent.dtype, shape=(), args=(parent,), opname="extract_element",
+            )
+
+        def build_sparse():
+            from . import sparse as _sps
+
+            if parent.ndim == 1:
+                return _sps.sparse_vec_extract(sp, res.indices[0])
+            rows, cols = res.indices
+            if rows.kind == "int":
+                return _sps.sparse_extract_row(sp, rows.index, cols)
+            if cols.kind == "int":
+                return _sps.sparse_extract_col(sp, cols.index, rows)
+            return _sps.sparse_extract(sp, rows, cols)
+
+        def compute():
+            out_sp = build_sparse()
+            return out_sp.densify(np.dtype(parent.dtype.np_type))
+
+        from .sparse import _dense_limit
+
+        cells = 1
+        for d in out_shape:
+            cells *= d
+        sparse_compute = None
+        if cells > _dense_limit():
+            def sparse_compute():
+                out_sp = build_sparse()
+                from .sparse import SparseMatrixData
+
+                if isinstance(out_sp, SparseMatrixData):
+                    from .matrix import Matrix
+
+                    return Matrix._from_sparse(out_sp, parent.dtype)
+                from .vector import Vector
+
+                return Vector._from_sparse(out_sp, parent.dtype)
+
+        return BaseExpression(
+            "extract", out_cls, compute,
+            dtype=parent.dtype, shape=out_shape, args=(parent,), opname="extract",
+            sparse_compute=sparse_compute,
         )
 
     def new(self, dtype=None, *, mask=None, input_mask=None, name=None, **opts):
@@ -307,7 +393,7 @@ class AmbiguousAssignOrExtract:
 def _keys_of(resolved):
     keys = []
     for ix in resolved.indices:
-        keys.append(ix.index)
+        keys.append(slice(None) if ix.kind == "all" else ix.index)
     if len(keys) == 1:
         return keys[0]
     return tuple(keys)

@@ -1567,3 +1567,298 @@ def sparse_mxv_sv(sp, pull, a_first, sv, sr, out_dtype):
     monoid_t = addm if addm.type_.np_type == out_np else _retype_monoid(addm, out_dtype)
     out_vals = _np_reduce_groups(contrib, starts, addm.parent.name, monoid_t, out_np)
     return SparseVectorData(out_idx, out_vals, n_out)
+
+
+# ---------------------------------------------------------------------------
+# Sparse extract / assign / delete (host-side pattern surgery)
+# Reference: _prep_for_extract core/matrix.py:3051-3087, _prep_for_assign
+# core/matrix.py:3116-3529 — here over host-canonical COO with no densify,
+# so the FastSV-style assign/extract hot loops work at any dimension.
+# ---------------------------------------------------------------------------
+
+
+def _ix_arr(ix):
+    """Materialized np index array for a _DimIndex, or None for kind 'all'."""
+    if ix.kind == "all":
+        return None
+    return np.atleast_1d(np.asarray(ix.index, np.int64))
+
+
+def _join_positions(entry_keys, ixarr):
+    """All (entry, output-position) matches of sorted ``entry_keys`` against
+    index array ``ixarr`` (which may repeat values).  Returns
+    (entry_sel, out_pos)."""
+    order = np.argsort(ixarr, kind="stable")
+    sorted_ix = ixarr[order]
+    lo = np.searchsorted(sorted_ix, entry_keys, "left")
+    hi = np.searchsorted(sorted_ix, entry_keys, "right")
+    cnt = hi - lo
+    entry_sel = np.repeat(np.arange(len(entry_keys)), cnt)
+    total = int(cnt.sum())
+    offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    out_pos = order[np.repeat(lo, cnt) + offs]
+    return entry_sel, out_pos
+
+
+def _in_index(values, ixarr):
+    """Membership of ``values`` in ``ixarr`` (kind 'all' -> all True)."""
+    if ixarr is None:
+        return np.ones(len(values), bool)
+    return _in_sorted(values, np.unique(ixarr))
+
+
+def sparse_extract(sp, rows_ix, cols_ix):
+    """C = A[I, J] over sparse storage -> SparseMatrixData (no densify).
+
+    ``rows_ix``/``cols_ix`` are _DimIndex of kind 'array' or 'all'; duplicate
+    indices replicate entries like the reference."""
+    rarr = _ix_arr(rows_ix)
+    carr = _ix_arr(cols_ix)
+    nr = rows_ix.size
+    nc = cols_ix.size
+    rows, cols, vals = sp.rows, sp.cols, sp.vals
+    if rarr is not None:
+        sel, out_r = _join_positions(rows, rarr)
+        rows, cols, vals = out_r, cols[sel], vals[sel]
+    if carr is not None:
+        sel, out_c = _join_positions(cols, carr)
+        rows, cols, vals = rows[sel], out_c, vals[sel]
+    return SparseMatrixData.from_arrays(rows, cols, vals, nr, nc, dup_op="second")
+
+
+def sparse_extract_row(sp, r, cols_ix):
+    """w = A[r, J] -> SparseVectorData."""
+    lo = np.searchsorted(sp.rows, r, "left")
+    hi = np.searchsorted(sp.rows, r, "right")
+    cols, vals = sp.cols[lo:hi], sp.vals[lo:hi]
+    carr = _ix_arr(cols_ix)
+    if carr is None:
+        return SparseVectorData(cols.copy(), vals.copy(), cols_ix.size)
+    sel, out_c = _join_positions(cols, carr)
+    order = np.argsort(out_c, kind="stable")
+    return SparseVectorData(out_c[order], vals[sel][order], cols_ix.size)
+
+
+def sparse_extract_col(sp, c, rows_ix):
+    """w = A[I, c] -> SparseVectorData."""
+    order_c = sp.col_order()
+    cols_sorted = sp.cols[order_c]
+    lo = np.searchsorted(cols_sorted, c, "left")
+    hi = np.searchsorted(cols_sorted, c, "right")
+    rows = sp.rows[order_c][lo:hi]
+    vals = sp.vals[order_c][lo:hi]
+    rarr = _ix_arr(rows_ix)
+    if rarr is None:
+        ro = np.argsort(rows, kind="stable")
+        return SparseVectorData(rows[ro], vals[ro], rows_ix.size)
+    sel, out_r = _join_positions(rows, rarr)
+    ro = np.argsort(out_r, kind="stable")
+    return SparseVectorData(out_r[ro], vals[sel][ro], rows_ix.size)
+
+
+def sparse_vec_extract(sv, ix):
+    """w = v[I] -> SparseVectorData."""
+    iarr = _ix_arr(ix)
+    if iarr is None:
+        return sv.copy(vals=sv.vals.copy())
+    sel, out_i = _join_positions(sv.idx, iarr)
+    order = np.argsort(out_i, kind="stable")
+    return SparseVectorData(out_i[order], sv.vals[sel][order], ix.size)
+
+
+_SCALAR_FILL_LIMIT = 1 << 26  # scalar assign materializes the region pattern
+
+
+def _region_cells(ix_list):
+    cells = 1
+    for ix in ix_list:
+        cells *= 1 if ix.kind == "int" else ix.size
+    return cells
+
+
+def _dedup_last(keys_r, keys_c, vals):
+    """Keep the LAST occurrence per (r, c) (duplicate assign indices)."""
+    order = np.lexsort((np.arange(len(keys_r)), keys_c, keys_r))
+    kr, kc, kv = keys_r[order], keys_c[order], vals[order]
+    is_last = np.concatenate([(kr[1:] != kr[:-1]) | (kc[1:] != kc[:-1]), [True]])
+    return kr[is_last], kc[is_last], kv[is_last]
+
+
+def _np_accum(accum, a, b):
+    """Host accumulate of region intersections through the typed op."""
+    if len(a) == 0:
+        return a
+    import jax.numpy as jnp
+
+    r = accum.fn(jnp.asarray(a), jnp.asarray(b.astype(a.dtype)))
+    return np.asarray(r).astype(a.dtype)
+
+
+def sparse_assign(sp, ix_list, new_r, new_c, new_v, accum, np_dtype):
+    """Region assign on sparse matrix COO (unmasked GrB_assign semantics):
+    region entries of C are replaced by the new entries (accum=None) or
+    union-merged via accum.  Returns a new SparseMatrixData."""
+    rarr = _ix_arr(ix_list[0]) if ix_list[0].kind != "int" else np.asarray([ix_list[0].index], np.int64)
+    carr = _ix_arr(ix_list[1]) if ix_list[1].kind != "int" else np.asarray([ix_list[1].index], np.int64)
+    in_region = _in_index(sp.rows, rarr) & _in_index(sp.cols, carr)
+    keep = ~in_region
+    new_v = new_v.astype(np_dtype, copy=False)
+    new_r, new_c, new_v = _dedup_last(new_r, new_c, new_v)
+    if accum is not None and in_region.any():
+        # union-merge: C-region entries combine with new entries on intersection
+        cr, cc, cv = sp.rows[in_region], sp.cols[in_region], sp.vals[in_region]
+        ka = _pair_keys(cr, cc)
+        kb = _pair_keys(new_r, new_c)
+        pos = np.searchsorted(kb, ka)
+        pos_c = np.minimum(pos, max(len(kb) - 1, 0))
+        both_a = (len(kb) > 0) & (pos < len(kb))
+        if len(kb):
+            both_a &= kb[pos_c] == ka
+        ia = np.flatnonzero(both_a)
+        ib = pos[ia] if len(ia) else np.zeros(0, np.int64)
+        acc_v = _np_accum(accum, cv[ia].astype(np_dtype), new_v[ib])
+        only_new = np.ones(len(new_r), bool)
+        only_new[ib] = False
+        keep_c = np.ones(len(cr), bool)
+        keep_c[ia] = False
+        merged_r = np.concatenate([cr[ia], cr[keep_c], new_r[only_new]])
+        merged_c = np.concatenate([cc[ia], cc[keep_c], new_c[only_new]])
+        merged_v = np.concatenate([acc_v, cv[keep_c].astype(np_dtype), new_v[only_new]])
+        new_r, new_c, new_v = merged_r, merged_c, merged_v
+    rows = np.concatenate([sp.rows[keep], new_r])
+    cols = np.concatenate([sp.cols[keep], new_c])
+    vals = np.concatenate([sp.vals[keep].astype(np_dtype, copy=False), new_v])
+    return SparseMatrixData.from_arrays(rows, cols, vals, sp.nrows, sp.ncols, dup_op="second")
+
+
+def sparse_vec_assign(sv, ix, new_i, new_v, accum, np_dtype):
+    """Region assign on sparse vector (unmasked GrB_assign semantics)."""
+    iarr = _ix_arr(ix) if ix.kind != "int" else np.asarray([ix.index], np.int64)
+    in_region = _in_index(sv.idx, iarr)
+    keep = ~in_region
+    new_v = new_v.astype(np_dtype, copy=False)
+    new_i, _, new_v = _dedup_last(new_i, np.zeros_like(new_i), new_v)
+    if accum is not None and in_region.any():
+        ci, cv = sv.idx[in_region], sv.vals[in_region]
+        pos = np.searchsorted(new_i, ci)
+        pos_c = np.minimum(pos, max(len(new_i) - 1, 0))
+        both = (len(new_i) > 0) & (pos < len(new_i))
+        if len(new_i):
+            both &= new_i[pos_c] == ci
+        ia = np.flatnonzero(both)
+        ib = pos[ia] if len(ia) else np.zeros(0, np.int64)
+        acc_v = _np_accum(accum, cv[ia].astype(np_dtype), new_v[ib])
+        only_new = np.ones(len(new_i), bool)
+        only_new[ib] = False
+        keep_c = np.ones(len(ci), bool)
+        keep_c[ia] = False
+        new_i2 = np.concatenate([ci[ia], ci[keep_c], new_i[only_new]])
+        new_v2 = np.concatenate([acc_v, cv[keep_c].astype(np_dtype), new_v[only_new]])
+        new_i, new_v = new_i2, new_v2
+    idx = np.concatenate([sv.idx[keep], new_i])
+    vals = np.concatenate([sv.vals[keep].astype(np_dtype, copy=False), new_v])
+    order = np.argsort(idx, kind="stable")
+    return SparseVectorData(idx[order], vals[order], sv.size)
+
+
+def sparse_delete_region(sp, ix_list):
+    """del C[I, J] on sparse matrix storage."""
+    rarr = _ix_arr(ix_list[0]) if ix_list[0].kind != "int" else np.asarray([ix_list[0].index], np.int64)
+    carr = _ix_arr(ix_list[1]) if ix_list[1].kind != "int" else np.asarray([ix_list[1].index], np.int64)
+    keep = ~(_in_index(sp.rows, rarr) & _in_index(sp.cols, carr))
+    return SparseMatrixData(sp.rows[keep], sp.cols[keep], sp.vals[keep], sp.nrows, sp.ncols)
+
+
+def sparse_vec_delete_region(sv, ix):
+    iarr = _ix_arr(ix) if ix.kind != "int" else np.asarray([ix.index], np.int64)
+    keep = ~_in_index(sv.idx, iarr)
+    return SparseVectorData(sv.idx[keep], sv.vals[keep], sv.size)
+
+
+# ---------------------------------------------------------------------------
+# Unmasked sparse x sparse SpGEMM -> sparse output
+# Reference: GrB_mxm always produces sparse output (core/matrix.py:2264-2331)
+# ---------------------------------------------------------------------------
+
+
+def _spgemm_flop_limit():
+    from ..tx import config as _txconfig
+
+    return int(_txconfig.get("spgemm_flop_limit", 1 << 28))
+
+
+def sparse_spgemm_full(a_sp, b_sp, sr, out_dtype):
+    """C = A (+).(x) B over sparse operands -> SparseMatrixData.
+
+    Host expand-join Gustavson: intermediate products are materialized
+    (bounded by tx.config['spgemm_flop_limit']) then grouped by (i, j) and
+    reduced with the add monoid.  The masked dot-method plan engine
+    (sparse_mxm_masked) remains the performance path; this is the
+    semantically-complete unmasked route that never densifies.
+    """
+    out_np = np.dtype(out_dtype.np_type)
+    if a_sp.nvals == 0 or b_sp.nvals == 0:
+        return SparseMatrixData(
+            np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, out_np),
+            a_sp.nrows, b_sp.ncols,
+        )
+    # per-A-entry B-row ranges via binary search (no nrows-sized indptr:
+    # dimensions may be 2^40+)
+    lo = np.searchsorted(b_sp.rows, a_sp.cols, "left")
+    hi = np.searchsorted(b_sp.rows, a_sp.cols, "right")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    limit = _spgemm_flop_limit()
+    if total > limit:
+        raise _exc.OutOfMemory(
+            f"unmasked sparse mxm would materialize {total} intermediate products "
+            f"(> tx.config['spgemm_flop_limit']={limit}); provide a mask "
+            "(C(M) << A.mxm(B)) to run the masked dot engine, or raise the limit"
+        )
+    rep = np.repeat(np.arange(a_sp.nvals), cnt)
+    offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+    bpos = lo[rep] + offs
+    ci = a_sp.rows[rep]
+    cj = b_sp.cols[bpos]
+    mul = sr.binaryop
+    addm = sr.monoid
+    pos_mul = mul.positional
+    if pos_mul is not None:
+        which, delta = pos_mul
+        src_idx = {
+            "firsti": ci,
+            "firstj": a_sp.cols[rep],
+            "secondi": b_sp.rows[bpos],
+            "secondj": cj,
+        }[which]
+        prod = (src_idx + delta).astype(out_np)
+    else:
+        name = mul.parent.name
+        av = a_sp.vals[rep]
+        bv = b_sp.vals[bpos]
+        if name == "times":
+            prod = (av.astype(out_np) * bv.astype(out_np))
+        elif name == "plus":
+            prod = (av.astype(out_np) + bv.astype(out_np))
+        elif name == "first":
+            prod = av.astype(out_np)
+        elif name == "second":
+            prod = bv.astype(out_np)
+        elif name in ("pair", "oneb"):
+            prod = np.ones(total, out_np)
+        else:
+            import jax.numpy as jnp
+
+            t1 = np.dtype(mul.type_.np_type)
+            t2 = np.dtype(mul.type2.np_type)
+            prod = np.asarray(
+                mul.fn(jnp.asarray(av.astype(t1)), jnp.asarray(bv.astype(t2)))
+            ).astype(out_np)
+    order = np.lexsort((cj, ci))
+    ci, cj, prod = ci[order], cj[order], prod[order]
+    starts = np.flatnonzero(
+        np.concatenate([[True], (ci[1:] != ci[:-1]) | (cj[1:] != cj[:-1])])
+    )
+    monoid_t = addm if addm.type_.np_type == out_np else _retype_monoid(addm, out_dtype)
+    out_v = _np_reduce_groups(prod, starts, addm.parent.name, monoid_t, out_np)
+    return SparseMatrixData(ci[starts], cj[starts], out_v, a_sp.nrows, b_sp.ncols)

@@ -210,3 +210,47 @@ def connected_components_runner(AT, *, max_iters=None, dtype=None):
     run.mode = runner.mode
     run.runner = runner
     return run
+
+
+def fastsv(AT, *, max_iters=None, dtype=None):
+    """FastSV connected components — the reference notebook recipe verbatim.
+
+    Host-driven loop of DSL statements (reference: notebooks/Connected
+    Components -- FastSV.ipynb, LAGraph FastSV): min_second mxv hooking,
+    scatter-assign ``f(min)[I] << mngp``, min-merges, and the grandparent
+    extract ``gp << f[f_values]``.  Runs on sparse matrices at any scale with
+    no densify; per-iteration host reads (``to_coo``) make it slower than
+    :func:`connected_components` (the compiled min-label loop) — use that for
+    production CC; this one exists for recipe parity.
+
+    ``AT`` must be structurally symmetric.  Labels ride FP32 below 2**24
+    vertices (exact; enables the plan engine), INT64 above.
+    """
+    gb = _gb()
+    from .. import binary, monoid, semiring
+    from ..core import dtypes as dtm
+    from ..core.vector import Vector
+
+    n = AT.nrows
+    if dtype is None:
+        dtype = dtm.FP32 if n < (1 << 24) else dtm.INT64
+    I0 = np.arange(n)
+    f = Vector.from_coo(I0, I0, dtype, size=n, name="parents")
+    gp = f.dup()
+    gp_dup = gp.dup()
+    mngp = f.dup(name="min_grandparent")
+    change = True
+    it = 0
+    limit = max_iters or n
+    while change and it < limit:
+        mngp(binary.min) << AT.mxv(gp, semiring.min_second)
+        f(binary.min)[I0] << mngp
+        f << f.ewise_mult(mngp, binary.min)
+        f << f.ewise_mult(gp, binary.min)
+        _, fv = f.to_coo()
+        gp << f[fv.astype(np.int64)]
+        mod = gp.ewise_mult(gp_dup, binary.ne).new(dtm.BOOL)
+        change = bool(mod.reduce(monoid.lor).new().value)
+        gp_dup << gp
+        it += 1
+    return f

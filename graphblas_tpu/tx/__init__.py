@@ -29,6 +29,9 @@ config = Config(
         "densify_limit": 1 << 26,
         # sparse mxv/vxm lowering: auto | plan (permutation network) | generic
         "mxv_strategy": "auto",
+        # unmasked sparse mxm: max intermediate products the host Gustavson
+        # expand-join may materialize (masked SpGEMM has no such limit)
+        "spgemm_flop_limit": 1 << 28,
         # accepted for compatibility; XLA owns threading
         "nthreads": 0,
         "chunk": 0,

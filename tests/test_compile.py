@@ -349,3 +349,48 @@ def test_dsl_cc_plan_strategy():
     with txmod.config.set(mxv_strategy="plan"):
         p1 = dsl.connected_components(ATs).to_dense(fill_value=-1)
     np.testing.assert_allclose(p0, p1)
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_dsl_fastsv_matches_unionfind(sparse):
+    src, dst, _ = _rand_graph(seed=9)
+    n = 120
+    u = np.concatenate([src, dst])
+    v = np.concatenate([dst, src])
+    ATs = _pull_matrix(u, v, None, n, sparse, None)
+    f = dsl.fastsv(ATs)
+    fv = f.to_dense(fill_value=-1).astype(np.int64)
+    # oracle
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, t in zip(src, dst):
+        rs, rt = find(int(s)), find(int(t))
+        if rs != rt:
+            parent[rs] = rt
+    roots = np.array([find(i) for i in range(n)])
+    minlab = {}
+    for i in range(n):
+        minlab.setdefault(roots[i], i)
+    expect = np.array([minlab[roots[i]] for i in range(n)])
+    assert np.array_equal(fv, expect)
+
+
+def test_dsl_fastsv_plan_strategy():
+    import graphblas_tpu.tx as txmod
+
+    src, dst, _ = _rand_graph(seed=10)
+    n = 120
+    u = np.concatenate([src, dst])
+    v = np.concatenate([dst, src])
+    with txmod.config.set(dense_limit=0):
+        ATs = Matrix.from_coo(v, u, np.float32(1.0), dtm.FP32, nrows=n, ncols=n, dup_op=binary.first)
+    f0 = dsl.fastsv(ATs).to_dense(fill_value=-1)
+    with txmod.config.set(mxv_strategy="plan"):
+        f1 = dsl.fastsv(ATs).to_dense(fill_value=-1)
+    np.testing.assert_allclose(f0, f1)

@@ -262,8 +262,12 @@ def test_tx_per_object_config_persists():
         A.tx.config["nonsense"] = 1
     v = Vector.from_coo([0], [1.0], size=2)
     assert v.tx.config["storage"] == "auto"
-    with pytest.raises(ValueError):
-        v.tx.config["storage"] = "coo"
+    # round 3: Vectors support sparse storage like Matrix
+    v.tx.config["storage"] = "coo"
+    assert v._sparse is not None
+    assert v.to_dict() == {0: 1.0}
+    v.tx.config["storage"] = "densemasked"
+    assert v._sparse is None
 
 
 def test_tx_binary_serialize_roundtrip():
