@@ -73,6 +73,7 @@ class SparseMatrixData:
         "_plans",
         "_sharded_plans",
         "_col_order",
+        "_stats",
     )
 
     def __init__(self, rows, cols, vals, nrows, ncols):
@@ -85,6 +86,7 @@ class SparseMatrixData:
         self._plans = {}
         self._sharded_plans = {}
         self._col_order = None
+        self._stats = {}
 
     # ------------------------------------------------------------------
     # construction
@@ -164,6 +166,25 @@ class SparseMatrixData:
                 raise KeyError(key)
         return self._dev[key]
 
+    def _vals_absmax(self):
+        """max |value| (cached; 64-bit plan-channel range gate)."""
+        if "absmax" not in self._stats:
+            v = self.vals
+            self._stats["absmax"] = float(np.max(np.abs(v.astype(np.float64)))) if v.size else 0.0
+        return self._stats["absmax"]
+
+    def _indeg_max(self, direction):
+        """max segment length over the dst axis (cached)."""
+        key = f"degmax_{direction}"
+        if key not in self._stats:
+            dst = self.rows if direction == "pull" else self.cols
+            if dst.size == 0:
+                self._stats[key] = 0
+            else:
+                _, cnt = np.unique(dst, return_counts=True)
+                self._stats[key] = int(cnt.max())
+        return self._stats[key]
+
     # ------------------------------------------------------------------
     # permutation-network plans
     # ------------------------------------------------------------------
@@ -204,9 +225,7 @@ class SparseMatrixData:
         if direction not in self._plans:
             n = max(self.nrows, self.ncols)
             src, dst = (self.cols, self.rows) if direction == "pull" else (self.rows, self.cols)
-            w = None
-            if self.vals is not None and not np.issubdtype(self.vals.dtype, np.bool_):
-                w = self.vals.astype(np.float32)
+            w = _channel_weights(self.vals)
             cache_dir = os.environ.get("GRAPHBLAS_TPU_PLAN_CACHE")
             path = None
             if cache_dir:
@@ -218,7 +237,7 @@ class SparseMatrixData:
                 h.update(self.cols.tobytes())
                 if w is not None:
                     h.update(w.tobytes())
-                path = os.path.join(cache_dir, f"gbtpu_plan_{direction}_{h.hexdigest()}.npz")
+                path = os.path.join(cache_dir, f"gbtpu_plan2_{direction}_{h.hexdigest()}.npz")
                 if os.path.exists(path):
                     self._plans[direction] = _fs.load_spmv_plan(path)
                     return self._plans[direction]
@@ -397,9 +416,10 @@ def sparse_mxv(sp, pull, a_first, xv, xs, sr, out_dtype):
     strategy = _mxv_strategy()
 
     plan_mul = _plan_mul_name(mul, a_first, pos)
-    use_plan = _plan_allowed(sp, strategy, add_name, plan_mul, out_np, pos)
+    use_plan = _plan_allowed(sp, strategy, add_name, plan_mul, out_np, pos, xv)
     if use_plan:
-        yv, ys = _plan_mxv(sp, pull, xv, xs, add_name, plan_mul, pos, out_np)
+        channel = _plan_channel(sp, strategy, add_name, plan_mul, out_np, pos, xv)
+        yv, ys = _plan_mxv(sp, pull, xv, xs, add_name, plan_mul, pos, out_np, channel)
         if yv.shape[0] != n_out:
             yv, ys = yv[:n_out], ys[:n_out]
         return yv.astype(out_np), ys
@@ -476,15 +496,77 @@ def _plan_mul_name(mul, a_first, pos):
     return "first" if a_first else "second"
 
 
-def _plan_allowed(sp, strategy, add_name, plan_mul, out_np, pos):
+def _channel_weights(vals):
+    """Edge-weight channel array for the plan engine: f32 for floats, int32
+    for integer/bool dtypes (astype sign/zero-extends narrow ints and wraps
+    64-bit — 64-bit use is range-gated in _plan_channel)."""
+    if vals is None:
+        return None
+    if np.issubdtype(vals.dtype, np.floating):
+        return vals.astype(np.float32)
+    return vals.astype(np.int32)
+
+
+def _plan_channel(sp, strategy, add_name, plan_mul, out_np, pos, xv):
+    """The plan-engine payload dtype (np.float32 | np.int32) for this
+    dispatch, or None to use the generic path.
+
+    Exactness rules (GraphBLAS integer ops wrap at the output width — C
+    semantics, reference: SuiteSparse builtin typed ops):
+    - FP32: f32 channel (native).
+    - INT8/16/32, UINT8/16, BOOL: int32 channel, bit-exact — modular
+      arithmetic commutes with truncation, and min/max compare contributions
+      wrapped to the output width in-kernel (pallas_scan wrap=).
+    - UINT32: int32 channel for plus/any (modular / representation-agnostic);
+      min/max would compare sign-flipped — generic path.
+    - INT64/UINT64: int32 channel only when a conservative range bound on
+      every intermediate (matrix values x concrete vector values x max
+      in-degree for plus) fits int32 — else generic.  Exactness is never
+      silently lost.
+    - FP64: generic (the engine would round to f32).
+    """
     if strategy == "generic" or plan_mul is None or add_name not in _PLAN_ADDS:
-        return False
+        return None
     if pos is not None:
-        # src-id channel is exact in f32 below 2^24
-        if max(sp.nrows, sp.ncols) >= (1 << 24):
-            return False
-    elif out_np != np.float32:
-        # value channel runs in f32; never silently degrade other dtypes
+        # src-id channel is int32: exact below 2^31
+        if max(sp.nrows, sp.ncols) >= (1 << 31):
+            return None
+        return np.float32
+    kind = out_np.kind
+    if out_np == np.float32:
+        return np.float32
+    if kind == "b" or (kind in "iu" and out_np.itemsize <= 2) or out_np == np.int32:
+        return np.int32
+    if out_np == np.uint32:
+        return np.int32 if add_name in ("plus", "any") else None
+    if kind in "iu" and out_np.itemsize == 8:
+        import jax as _jax
+
+        if isinstance(xv, _jax.core.Tracer):
+            return None  # cannot range-check abstract values
+        try:
+            xmax = float(np.max(np.abs(np.asarray(xv)))) if np.asarray(xv).size else 0.0
+        except TypeError:
+            return None
+        mmax = sp._vals_absmax()
+        if plan_mul == "times":
+            bound = mmax * xmax
+        elif plan_mul == "plus":
+            bound = mmax + xmax
+        elif plan_mul == "first":
+            bound = xmax
+        elif plan_mul == "second":
+            bound = mmax
+        else:  # pair
+            bound = 1.0
+        if add_name == "plus":
+            bound *= max(sp._indeg_max("pull"), 1)
+        return np.int32 if bound < float(1 << 31) else None
+    return None
+
+
+def _plan_allowed(sp, strategy, add_name, plan_mul, out_np, pos, xv):
+    if _plan_channel(sp, strategy, add_name, plan_mul, out_np, pos, xv) is None:
         return False
     if strategy == "plan":
         return True
@@ -494,18 +576,24 @@ def _plan_allowed(sp, strategy, add_name, plan_mul, out_np, pos):
     return jax.default_backend() == "tpu" and sp.nvals >= (1 << 17)
 
 
-def _plan_mxv(sp, pull, xv, xs, add_name, plan_mul, pos, out_np):
+def _plan_mxv(sp, pull, xv, xs, add_name, plan_mul, pos, out_np, channel):
     import jax.numpy as jnp
 
     from ..ops import fastspmv as _fs
 
     plan = sp.plan("pull" if pull else "push")
     n = plan.n
+    ch = jnp.int32 if channel == np.int32 else jnp.float32
+    # narrow integer outputs: contributions wrap to the output width
+    # in-kernel so min/max compare the wrapped (C-semantics) values
+    wrap = None
+    if channel == np.int32 and out_np.kind in "iu" and out_np.itemsize < 4:
+        wrap = (out_np.itemsize * 8, out_np.kind == "i")
     if plan_mul == "pair":
-        x_in = jnp.ones((n,), jnp.float32)
+        x_in = jnp.ones((n,), ch)
         plan_mul = "first"
     else:
-        x_in = xv.astype(jnp.float32)
+        x_in = xv.astype(ch)
         if x_in.shape[0] != n:
             x_in = jnp.pad(x_in, (0, n - x_in.shape[0]))
     xs_in = xs
@@ -520,16 +608,18 @@ def _plan_mxv(sp, pull, xv, xs, add_name, plan_mul, pos, out_np):
     from .collection_ops import _mesh_context
 
     ctx = _mesh_context()
-    if ctx is not None and ctx.mesh.devices.size > 1:
+    if ctx is not None and ctx.mesh.devices.size > 1 and channel == np.float32:
         # engaged mesh Context: the DSL's mxv/vxm runs the multi-chip
         # engine (reference Context semantics scope resources,
-        # core/ss/context.py:19-151; here the resource is the mesh)
+        # core/ss/context.py:19-151; here the resource is the mesh).
+        # The sharded stack carries f32 channels; integer channels run
+        # single-device.
         from ..parallel.fastspmv import sharded_spmv_masked
 
         splan = sp.sharded_plan("pull" if pull else "push", ctx.mesh)
         yv, ys = sharded_spmv_masked(splan, x_in, xs_in, add=add_name, mul=plan_mul)
     else:
-        yv, ys = _fs.spmv_masked(plan, x_in, xs_in, add=add_name, mul=plan_mul, x_full=x_full)
+        yv, ys = _fs.spmv_masked(plan, x_in, xs_in, add=add_name, mul=plan_mul, x_full=x_full, wrap=wrap)
     if pos is not None:
         _, delta = pos
         if delta:

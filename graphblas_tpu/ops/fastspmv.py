@@ -189,7 +189,10 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0):
     valid_p[:e] = True
     w_p = None
     if w is not None:
-        w_p = np.concatenate([np.asarray(w, np.float32), np.zeros(pad, np.float32)])
+        w_arr = np.asarray(w)
+        if w_arr.dtype not in (np.dtype(np.float32), np.dtype(np.int32)):
+            w_arr = w_arr.astype(np.float32)
+        w_p = np.concatenate([w_arr, np.zeros(pad, w_arr.dtype)])
 
     order_src = counting_sort(src_p, n)  # src-sorted edge ids
     order_dst = counting_sort(dst_p, n)  # dst-sorted edge ids
@@ -273,7 +276,7 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0):
         jnp.asarray(indptr_dst),
         perm_plan,
         jnp.asarray(valid_p[order_dst]),
-        jnp.asarray(src_p[order_dst].astype(np.float32)),
+        jnp.asarray(src_p[order_dst].astype(np.int32)),
         place_plan,
         collect_plan,
         jnp.asarray(seg_start_src) if seg_start_src is not None else None,
@@ -451,7 +454,7 @@ def load_spmv_plan(path):
         jnp.asarray(data["indptr_dst"]),
         perm_plan,
         jnp.asarray(data["valid_dst_order"]),
-        jnp.asarray(data["src_dst_order"]) if "src_dst_order" in data else None,
+        jnp.asarray(data["src_dst_order"].astype(np.int32)) if "src_dst_order" in data else None,
         _unpack_network(data, "p0_", e_pad),
         _unpack_network(data, "p2_", e_pad),
         jnp.asarray(data["seg_start_src"]) if "seg_start_src" in data else None,
@@ -501,9 +504,9 @@ def _engine_jit(*static):
     return deco
 
 
-@_engine_jit("add", "mul", "x_full")
+@_engine_jit("add", "mul", "x_full", "wrap")
 @_no_x64
-def spmv_masked(plan: SpmvPlan, x, xs, add="plus", mul="times", x_full=False):
+def spmv_masked(plan: SpmvPlan, x, xs, add="plus", mul="times", x_full=False, wrap=None):
     """DSL-exact SpMV: like ``spmv`` but honors x's structure and returns
     (values, struct).
 
@@ -546,8 +549,12 @@ def spmv_masked(plan: SpmvPlan, x, xs, add="plus", mul="times", x_full=False):
     else:
         xe_dst = expand(x)
         w = plan.w_dst_order if mul in ("times", "plus", "second") else None
+        if w is not None and w.dtype != xe_dst.dtype:
+            # channel mismatch (e.g. bool matrix weights with an f32 x):
+            # align dtypes ahead of the fused kernel
+            w = w.astype(xe_dst.dtype)
         chan_mul = mul
-    scanned = segmented_scan_contrib(xe_dst, w, validc, seg_start, op, chan_mul, interpret=interp)
+    scanned = segmented_scan_contrib(xe_dst, w, validc, seg_start, op, chan_mul, interpret=interp, wrap=wrap)
     ident = _ident_of(scanned.dtype, "max" if add == "any" else add)
 
     if v2:

@@ -117,9 +117,14 @@ def _kernel(op, blk, v_ref, f_ref, o_ref, cv_ref, cf_ref):
     o_ref[:, :] = out_v.astype(io_dtype)
 
 
-def _fused_kernel(op, mul, blk, x_ref, w_ref, valid_ref, f_ref, o_ref, cv_ref, cf_ref):
+def _fused_kernel(op, mul, blk, x_ref, w_ref, valid_ref, f_ref, o_ref, cv_ref, cf_ref, wrap=None):
     """Per-edge semiring multiply + validity mask fused ahead of the scan
-    (saves two full HBM round trips in the SpMV pipeline)."""
+    (saves two full HBM round trips in the SpMV pipeline).
+
+    ``wrap=(bits, signed)`` truncates each contribution to a narrower integer
+    width after the multiply — GraphBLAS integer semirings wrap at the output
+    width (C semantics), so min/max over int32-computed products must compare
+    the WRAPPED values to be bit-exact for INT8/INT16/UINT8/UINT16."""
     io_dtype = o_ref.dtype
     cdtype = _compute_dtype(io_dtype)
     # mask identity in the IO dtype's range (so the final downcast is exact)
@@ -137,6 +142,15 @@ def _fused_kernel(op, mul, blk, x_ref, w_ref, valid_ref, f_ref, o_ref, cv_ref, c
             contrib = x
     else:
         contrib = x
+    if wrap is not None and mul in ("times", "plus"):
+        bits, signed = wrap
+        if signed:
+            k = jnp.int32(32 - bits)
+            contrib = jax.lax.shift_right_arithmetic(
+                jax.lax.shift_left(contrib, k), k
+            )
+        else:
+            contrib = jax.lax.bitwise_and(contrib, jnp.int32((1 << bits) - 1))
     contrib = jnp.where(valid_ref[:, :] != 0, contrib, ident)
     out_v, _ = _scan_tile(op, blk, contrib, f_ref[:, :].astype(jnp.int32), cv_ref, cf_ref)
     o_ref[:, :] = out_v.astype(io_dtype)
@@ -368,9 +382,10 @@ def segmented_fill_static(values, j_table, has_prior, interpret=False):
 
 @functools.partial(jax.jit, static_argnames=("op", "mul", "interpret"))
 @_no_x64
-def segmented_scan_contrib(xe, w, valid, flags, op, mul, interpret=False):
+def segmented_scan_contrib(xe, w, valid, flags, op, mul, interpret=False, wrap=None):
     """Fused per-edge multiply+mask+segmented-scan (the SpMV reduce stage).
-    ``w`` may be None (structure-only multiplies)."""
+    ``w`` may be None (structure-only multiplies); ``wrap=(bits, signed)``
+    truncates contributions to a narrow integer width (see _fused_kernel)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -384,17 +399,18 @@ def segmented_scan_contrib(xe, w, valid, flags, op, mul, interpret=False):
     v2 = valid.astype(jnp.int8).reshape(r, 128)
     blockspec = pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     if w is not None:
-        kernel = functools.partial(_fused_kernel, op, mul, blk)
+        kernel = functools.partial(_fused_kernel, op, mul, blk, wrap=wrap)
         args = (x2, w.reshape(r, 128), v2, f2)
         in_specs = [blockspec] * 4
     else:
         kernel = functools.partial(
-            lambda op, mul, blk, x_ref, valid_ref, f_ref, o_ref, cv_ref, cf_ref: _fused_kernel(
-                op, mul, blk, x_ref, None, valid_ref, f_ref, o_ref, cv_ref, cf_ref
+            lambda op, mul, blk, wrap, x_ref, valid_ref, f_ref, o_ref, cv_ref, cf_ref: _fused_kernel(
+                op, mul, blk, x_ref, None, valid_ref, f_ref, o_ref, cv_ref, cf_ref, wrap=wrap
             ),
             op,
             mul,
             blk,
+            wrap,
         )
         args = (x2, v2, f2)
         in_specs = [blockspec] * 3
