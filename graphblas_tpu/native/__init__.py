@@ -40,6 +40,8 @@ def _build_lib():
         ctypes.c_int32,
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.gbtpu_euler_color2.restype = ctypes.c_int
+    lib.gbtpu_euler_color2.argtypes = list(lib.gbtpu_euler_color.argtypes)
     lib.gbtpu_counting_sort.restype = ctypes.c_int
     lib.gbtpu_counting_sort.argtypes = [
         ctypes.POINTER(ctypes.c_int32),
@@ -74,7 +76,9 @@ def euler_color(in_rows, out_rows, R, k=128):
     colors = np.empty(E, np.int32)
     lib = get_lib()
     if lib is not None:
-        rc = lib.gbtpu_euler_color(
+        # successor-pairing split (euler_color2): ~4x fewer random accesses
+        # than the Hierholzer-walk variant; same proper-coloring contract
+        rc = lib.gbtpu_euler_color2(
             in_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             out_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             E,

@@ -218,3 +218,100 @@ int gbtpu_counting_sort(const int32_t *keys, int64_t E, int64_t n,
 }
 
 }  // extern "C"
+
+
+extern "C" {
+
+// Faster 128-edge-coloring via successor-pairing Euler splits.
+//
+// Standard Euler-split routing walks Hierholzer circuits over an adjacency
+// structure rebuilt per class (gbtpu_euler_color above).  This variant uses
+// the pairing formulation: keep the class's edges in two orders — EL
+// (grouped by left vertex) and ER (grouped by right vertex).  Pair
+// consecutive edges (i, i^1) in each order (valid: every vertex's per-class
+// degree is even and segment starts stay even).  The union of the two
+// pairings decomposes the class into even cycles over edges; alternating
+// bits along each cycle is exactly an Euler split.  Per split level this is
+// two linear position passes, one pointer walk with ~2 random reads per
+// edge, and two segment-local stable partitions — no adjacency lists, no
+// stacks, no used-flag scans.
+int gbtpu_euler_color2(const int32_t *in_rows, const int32_t *out_rows,
+                       int64_t E, int64_t R, int32_t k, int32_t *colors) {
+  if (k <= 0 || (k & (k - 1)) != 0) return 1;
+  std::memset(colors, 0, sizeof(int32_t) * E);
+  if (E == 0 || k == 1) return 0;
+
+  std::vector<int32_t> EL(E), ER(E), EL2(E), ER2(E);
+  std::vector<int32_t> succL(E), succR(E), g(E);
+  std::vector<uint8_t> bits(E), visited(E);
+
+  // initial orders: counting sort by left / right vertex
+  {
+    std::vector<int64_t> cnt(R + 1, 0);
+    for (int64_t e = 0; e < E; ++e) cnt[in_rows[e] + 1]++;
+    for (int64_t i = 0; i < R; ++i) cnt[i + 1] += cnt[i];
+    for (int64_t e = 0; e < E; ++e) EL[cnt[in_rows[e]]++] = (int32_t)e;
+    std::fill(cnt.begin(), cnt.end(), 0);
+    for (int64_t e = 0; e < E; ++e) cnt[out_rows[e] + 1]++;
+    for (int64_t i = 0; i < R; ++i) cnt[i + 1] += cnt[i];
+    for (int64_t e = 0; e < E; ++e) ER[cnt[out_rows[e]]++] = (int32_t)e;
+  }
+
+  std::vector<int64_t> bounds = {0, E}, next_bounds;
+  int levels = 0;
+  while ((1 << levels) < k) ++levels;
+
+  for (int level = 0; level < levels; ++level) {
+    // pairing successors (independent-access passes — MLP-friendly):
+    //   succL[e] = the L-pair partner of e; succR likewise;
+    //   g = succR ∘ succL, whose orbits are ALTERNATE edges of each pairing
+    //   cycle — walking g touches E/2 edges with ONE dependent load each.
+    for (int64_t i = 0; i < E; ++i) succL[EL[i]] = EL[i ^ 1];
+    for (int64_t i = 0; i < E; ++i) succR[ER[i]] = ER[i ^ 1];
+    for (int64_t e = 0; e < E; ++e) g[e] = succR[succL[e]];
+    std::memset(visited.data(), 0, E);
+    std::memset(bits.data(), 1, E);
+    // orbit walk: one dependent load per TWO edges (g hops even positions)
+    for (int64_t s0 = 0; s0 < E; ++s0) {
+      if (visited[s0]) continue;
+      int32_t e = (int32_t)s0;
+      do {
+        visited[e] = 1;
+        bits[e] = 0;
+        visited[succL[e]] = 1;  // the odd-position partner keeps bit 1
+        e = g[e];
+      } while (!visited[e]);
+    }
+    // apply this level's bit; segment-local stable partition keeps every
+    // class contiguous (and every per-vertex run even-aligned)
+    next_bounds.clear();
+    int64_t outL = 0;
+    for (size_t c = 0; c + 1 < bounds.size(); ++c) {
+      const int64_t lo = bounds[c], hi = bounds[c + 1];
+      next_bounds.push_back(outL);
+      for (int64_t i = lo; i < hi; ++i)
+        if (!bits[EL[i]]) EL2[outL++] = EL[i];
+      next_bounds.push_back(outL);
+      for (int64_t i = lo; i < hi; ++i)
+        if (bits[EL[i]]) {
+          colors[EL[i]] |= (1 << level);
+          EL2[outL++] = EL[i];
+        }
+    }
+    next_bounds.push_back(outL);
+    int64_t outR = 0;
+    for (size_t c = 0; c + 1 < bounds.size(); ++c) {
+      const int64_t lo = bounds[c], hi = bounds[c + 1];
+      for (int64_t i = lo; i < hi; ++i)
+        if (!bits[ER[i]]) ER2[outR++] = ER[i];
+      for (int64_t i = lo; i < hi; ++i)
+        if (bits[ER[i]]) ER2[outR++] = ER[i];
+    }
+    EL.swap(EL2);
+    ER.swap(ER2);
+    bounds.swap(next_bounds);
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -123,7 +123,7 @@ def _t_slotmap(n, level):
 def _apply_S_np(elem, idx):
     r = idx.shape[0]
     e2 = elem.reshape(r, 128)
-    return np.take_along_axis(e2, idx.astype(np.int64), axis=1).reshape(-1)
+    return np.take_along_axis(e2, idx.astype(np.int32), axis=1).reshape(-1)
 
 
 def _apply_T_np(elem, n, level):
@@ -137,7 +137,7 @@ def _apply_T_np(elem, n, level):
 def _apply_ROWSEL_np(elem, src_top, m):
     s2 = src_top.shape[1]
     e3 = elem.reshape(m, s2, 128)
-    return np.take_along_axis(e3, src_top.astype(np.int64), axis=0).reshape(-1)
+    return np.take_along_axis(e3, src_top, axis=0).reshape(-1)
 
 
 def plan_to_device(plan):
@@ -157,6 +157,34 @@ def plan_to_device(plan):
     return PermutePlan(plan.n, stages)
 
 
+def _euler_color_strided(out_row, r, stride):
+    """128-edge-coloring for a forward S-stage at level > 0: both endpoints of
+    every edge agree mod ``stride`` (out_row = hi * stride + cur_row % stride),
+    so the problem decomposes into ``stride`` INDEPENDENT colorings of
+    r//stride rows each — small enough to stay cache-resident, where the
+    Euler-split walk runs ~20x faster than at full size.  cur_row is the
+    static slot//128 pattern.  Returns colors in slot order."""
+    E = len(out_row)
+    rs = r // stride
+    # slot order is row-major; rows cycle groups with period ``stride`` —
+    # group-major regrouping is a pure reshape/transpose
+    out_g = (
+        np.ascontiguousarray(
+            out_row.reshape(rs, stride, 128).transpose(1, 0, 2)
+        ).reshape(-1)
+        // stride
+    ).astype(np.int32)
+    in_local = np.repeat(np.arange(rs, dtype=np.int32), 128)
+    colors_g = np.empty(E, np.int32)
+    seglen = rs * 128
+    for g_ in range(stride):
+        seg = slice(g_ * seglen, (g_ + 1) * seglen)
+        colors_g[seg] = euler_color(in_local, out_g[seg], rs, 128)
+    return np.ascontiguousarray(
+        colors_g.reshape(stride, rs, 128).transpose(1, 0, 2)
+    ).reshape(-1)
+
+
 def build_permutation_plan(perm, *, validate=True):
     """Build a network plan computing out[p] = in[perm[p]].
 
@@ -166,12 +194,13 @@ def build_permutation_plan(perm, *, validate=True):
     perm = np.asarray(perm, np.int64)
     n = len(perm)
     r, m, L = _shape_params(n)
+    idt = np.int32 if n < (1 << 31) else np.int64
     # target slot per element (element id = source slot)
-    t = np.empty(n, np.int64)
-    t[perm] = np.arange(n)
-    elem = np.arange(n)
+    t = np.empty(n, idt)
+    t[perm] = np.arange(n, dtype=idt)
+    elem = np.arange(n, dtype=idt)
     stages = []
-    slots = np.arange(n)
+    slots = np.arange(n, dtype=idt)
     lanes_all = slots % 128
     rows_all = slots // 128
 
@@ -181,7 +210,10 @@ def build_permutation_plan(perm, *, validate=True):
         te = t[elem]
         cur_row = rows_all
         out_row = (te // (128 ** (lvl + 1))) * stride + cur_row % stride
-        colors = euler_color(cur_row.astype(np.int32), out_row.astype(np.int32), r, 128)
+        if stride > 1:
+            colors = _euler_color_strided(out_row, r, stride)
+        else:
+            colors = euler_color(cur_row.astype(np.int32), out_row.astype(np.int32), r, 128)
         idx = np.full((r, 128), -1, np.int16)
         idx[cur_row, colors] = lanes_all.astype(np.int16)
         if validate and (idx < 0).any():
