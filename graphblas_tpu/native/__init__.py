@@ -42,6 +42,16 @@ def _build_lib():
     ]
     lib.gbtpu_euler_color2.restype = ctypes.c_int
     lib.gbtpu_euler_color2.argtypes = list(lib.gbtpu_euler_color.argtypes)
+    lib.gbtpu_euler_color_batched.restype = ctypes.c_int
+    lib.gbtpu_euler_color_batched.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int64,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.gbtpu_counting_sort.restype = ctypes.c_int
     lib.gbtpu_counting_sort.argtypes = [
         ctypes.POINTER(ctypes.c_int32),
@@ -172,3 +182,31 @@ def counting_sort(keys, n):
         )
         return perm
     return np.argsort(keys, kind="stable").astype(np.int64)
+
+
+def euler_color_batched(in_rows_local, out_rows_grouped, seglen, Rs, k=128):
+    """Color ``len(out_rows_grouped)//seglen`` independent subproblems in one
+    native call (in_rows pattern shared across groups)."""
+    in_rows_local = np.ascontiguousarray(in_rows_local, np.int32)
+    out_rows_grouped = np.ascontiguousarray(out_rows_grouped, np.int32)
+    E = len(out_rows_grouped)
+    n_groups = E // seglen
+    colors = np.empty(E, np.int32)
+    lib = get_lib()
+    if lib is not None:
+        rc = lib.gbtpu_euler_color_batched(
+            in_rows_local.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_rows_grouped.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(seglen),
+            int(n_groups),
+            int(Rs),
+            int(k),
+            colors.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        if rc != 0:
+            raise RuntimeError(f"gbtpu_euler_color_batched failed with code {rc}")
+        return colors
+    for g in range(n_groups):
+        seg = slice(g * seglen, (g + 1) * seglen)
+        colors[seg] = _euler_color_python(in_rows_local, out_rows_grouped[seg], int(Rs), int(k))
+    return colors

@@ -315,3 +315,26 @@ int gbtpu_euler_color2(const int32_t *in_rows, const int32_t *out_rows,
 }
 
 }  // extern "C"
+
+
+extern "C" {
+
+// Batched coloring of many INDEPENDENT k-regular bipartite subproblems
+// (the stride decomposition of level>0 S-stage routings): one call, one
+// loop in C — the per-call Python/ctypes overhead dominated when levels
+// decomposed into tens of thousands of tiny groups.
+// Every group g covers edges [g*seglen, (g+1)*seglen) with rows in [0, Rs).
+// in_rows is the same repeating pattern for every group (slot/128).
+int gbtpu_euler_color_batched(const int32_t *in_rows_local,
+                              const int32_t *out_rows, int64_t seglen,
+                              int64_t n_groups, int64_t Rs, int32_t k,
+                              int32_t *colors) {
+  for (int64_t g = 0; g < n_groups; ++g) {
+    const int rc = gbtpu_euler_color2(in_rows_local, out_rows + g * seglen,
+                                      seglen, Rs, k, colors + g * seglen);
+    if (rc != 0) return rc;
+  }
+  return 0;
+}
+
+}  // extern "C"

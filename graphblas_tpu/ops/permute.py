@@ -24,7 +24,7 @@ import functools
 
 import numpy as np
 
-from ..native import euler_color
+from ..native import euler_color, euler_color_batched
 
 
 class PermutePlan:
@@ -175,11 +175,8 @@ def _euler_color_strided(out_row, r, stride):
         // stride
     ).astype(np.int32)
     in_local = np.repeat(np.arange(rs, dtype=np.int32), 128)
-    colors_g = np.empty(E, np.int32)
     seglen = rs * 128
-    for g_ in range(stride):
-        seg = slice(g_ * seglen, (g_ + 1) * seglen)
-        colors_g[seg] = euler_color(in_local, out_g[seg], rs, 128)
+    colors_g = euler_color_batched(in_local, out_g, seglen, rs)
     return np.ascontiguousarray(
         colors_g.reshape(stride, rs, 128).transpose(1, 0, 2)
     ).reshape(-1)
