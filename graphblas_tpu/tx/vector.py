@@ -30,6 +30,9 @@ class VectorTx:
     @property
     def nbytes(self):
         p = self._parent
+        sv = getattr(p, "_sparse", None)
+        if sv is not None:
+            return sv.idx.nbytes + sv.vals.nbytes
         return p._values.nbytes + p._struct.nbytes
 
     @property
@@ -39,6 +42,11 @@ class VectorTx:
         p = self._parent
         if p.nvals == 0:
             return True
+        sv = getattr(p, "_sparse", None)
+        if sv is not None:
+            import numpy as np
+
+            return bool(np.all(sv.vals == sv.vals[0]))
         vals = p._values[p._struct]
         return bool(jnp.all(vals == vals[0])) if vals.size else True
 
@@ -62,6 +70,34 @@ class VectorTx:
             start += size
         return tiles
 
+    @staticmethod
+    def _sv_as_row_matrix(sv, dtype):
+        """View a SparseVectorData as a 1-row sparse Matrix (shared arrays)."""
+        import numpy as np
+
+        from ..core.matrix import Matrix
+        from ..core.sparse import SparseMatrixData
+
+        sp = SparseMatrixData(
+            np.zeros(sv.nvals, np.int64), sv.idx, sv.vals, 1, sv.size
+        )
+        return Matrix._from_sparse(sp, dtype)
+
+    @staticmethod
+    def _row_matrix_back(mat, dtype, name=None):
+        import numpy as np
+
+        from ..core.sparse import SparseVectorData
+        from ..core.vector import Vector
+
+        sp = mat._sparse
+        if sp is not None:
+            return Vector._from_sparse(
+                SparseVectorData(sp.cols.copy(), sp.vals.copy(), sp.ncols), dtype, name=name
+            )
+        return Vector._from_arrays(mat._values[0], mat._struct[0], dtype, name=name)
+
+
     def scan(self, op="plus", *, name=None):
         """Prefix scan (reference: core/ss/vector.py:1359)."""
         from ..core.operator import get_typed_op
@@ -69,6 +105,10 @@ class VectorTx:
 
         p = self._parent
         monoid = get_typed_op(op, p.dtype, kind="monoid")
+        if getattr(p, "_sparse", None) is not None:
+            m = self._sv_as_row_matrix(p._sparse, p.dtype)
+            out = m.tx.scan(op, "rowwise")
+            return self._row_matrix_back(out, monoid.return_type, name)
         v, s = _dm.prefix_scan(p._values.astype(monoid.type_.np_type), p._struct, monoid, 0)
         return Vector._from_arrays(v, s, monoid.return_type, name=name)
 
@@ -95,6 +135,11 @@ class VectorTx:
 
     def selectk(self, how, k, *, name=None):
         """Select k entries (reference: core/ss/vector.py:1403)."""
+        p = self._parent
+        if getattr(p, "_sparse", None) is not None:
+            m = self._sv_as_row_matrix(p._sparse, p.dtype)
+            out = m.tx.selectk(how, k)
+            return self._row_matrix_back(out, p.dtype, name)
         m = self._parent._as_matrix()
         # operate on the 1-row transpose so rowwise kernels apply
         result = type(m)._from_arrays(m._values.T, m._struct.T, m.dtype).tx.selectk(how, k)
@@ -104,6 +149,11 @@ class VectorTx:
 
     def compactify(self, how="first", size=None, *, name=None):
         """Push entries to the front (reference: core/ss/vector.py:1500)."""
+        p = self._parent
+        if getattr(p, "_sparse", None) is not None:
+            m = self._sv_as_row_matrix(p._sparse, p.dtype)
+            out = m.tx.compactify(how, p.size if size is None else size)
+            return self._row_matrix_back(out, p.dtype, name)
         m = self._parent._as_matrix()
         result = type(m)._from_arrays(m._values.T, m._struct.T, m.dtype).tx.compactify(how, size)
         from ..core.vector import Vector
@@ -112,6 +162,17 @@ class VectorTx:
 
     def sort(self, op="lt", *, values=True, permutation=True, nthreads=None):
         """Sort entries (reference: core/ss/vector.py:1560)."""
+        p0 = self._parent
+        if getattr(p0, "_sparse", None) is not None:
+            m = self._sv_as_row_matrix(p0._sparse, p0.dtype)
+            out = m.tx.sort(op, values=values, permutation=permutation)
+            if values and permutation:
+                v_, p_ = out
+                return (
+                    self._row_matrix_back(v_, p0.dtype),
+                    self._row_matrix_back(p_, _dt.INT64),
+                )
+            return self._row_matrix_back(out, p0.dtype if values else _dt.INT64)
         m = self._parent._as_matrix()
         mt = type(m)._from_arrays(m._values.T, m._struct.T, m.dtype).tx
         out = mt.sort(op, values=values, permutation=permutation)
