@@ -44,6 +44,12 @@ def _sparse_of(obj):
     return sp, isinstance(obj, TransposedMatrix)
 
 
+def _sp_nonudt(sp):
+    """True for sparse data whose values support device kernels (non-UDT);
+    UDT sparse supports pattern surgery + ewise, not the value kernels."""
+    return sp is not None and sp.vals.dtype.names is None
+
+
 def _vec_sparse_of(obj):
     """SparseVectorData for sparse-format Vector operands, else None."""
     from .sparse import SparseVectorData
@@ -239,7 +245,7 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
         sparse_fn = None
         sp, transposed = _sparse_of(self)
         sv = _vec_sparse_of(self)
-        if sp is not None and not transposed:
+        if _sp_nonudt(sp) and not transposed:
 
             def sparse_fn():
                 from .matrix import Matrix
@@ -281,7 +287,7 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
                 v, s = _arrays_of(self)
                 return _dm.apply_positional_unary(v, s, op_t, 0)
 
-            if sp is not None and not transposed:
+            if _sp_nonudt(sp) and not transposed:
 
                 def sparse_fn():
                     from .matrix import Matrix
@@ -313,7 +319,7 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
                 v = _cast_values(v, op_t.type_.np_type, self.dtype)
                 return _dm.apply_unary(v, s, op_t)
 
-            if sp is not None and not transposed:
+            if _sp_nonudt(sp) and not transposed:
 
                 def sparse_fn():
                     from .matrix import Matrix
@@ -367,7 +373,7 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
     sparse_fn = None
     sp, transposed = _sparse_of(self)
     sv = _vec_sparse_of(self)
-    if (sp is not None and not transposed or sv is not None) and getattr(op_t, "positional", None) is None:
+    if (_sp_nonudt(sp) and not transposed or sv is not None) and getattr(op_t, "positional", None) is None:
 
         def sparse_fn():
             from .matrix import Matrix
@@ -457,7 +463,7 @@ def select_expr(self, op, thunk=None):
     sparse_fn = None
     sp, transposed = _sparse_of(self)
     sv = _vec_sparse_of(self)
-    if sp is not None and not transposed:
+    if _sp_nonudt(sp) and not transposed:
 
         def sparse_fn():
             from .matrix import Matrix
@@ -523,7 +529,7 @@ def reduce_axis_expr(self, monoid, axis, method_name):
         )
 
     sp, transposed = _sparse_of(self)
-    if sp is not None:
+    if _sp_nonudt(sp):
         sp_axis = (1 - axis) if transposed else axis
 
         def compute():
@@ -559,7 +565,7 @@ def reduce_scalar_expr(self, monoid, allow_empty, method_name="reduce_scalar"):
             from .sparse import sparse_vec_reduce_scalar
 
             val, present = sparse_vec_reduce_scalar(sv, monoid_t)
-        elif sp is not None:
+        elif _sp_nonudt(sp):
             from .sparse import sparse_reduce_scalar
 
             val, present = sparse_reduce_scalar(sp, monoid_t)
@@ -636,10 +642,10 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
     b_sp, b_t = _sparse_of(b) if not b_is_vec else (None, False)
     sparse_mv = None
     msp = vec = pull_dir = a_first = None
-    if a_sp is not None and b_is_vec:
+    if _sp_nonudt(a_sp) and b_is_vec:
         # GrB_mxv: y = A (.) x ; A.T flips to the push direction
         msp, vec, pull_dir, a_first = a_sp, b, not a_t, True
-    elif b_sp is not None and a_is_vec:
+    elif _sp_nonudt(b_sp) and a_is_vec:
         # GrB_vxm: w = x (.) A ; the vector is the op's first arg
         msp, vec, pull_dir, a_first = b_sp, a, b_t, False
 
@@ -715,7 +721,7 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
             opname=f"{method_name}[{sr.name}]",
         )
 
-    if a_sp is not None and b_sp is not None and not a_is_vec and not b_is_vec:
+    if _sp_nonudt(a_sp) and _sp_nonudt(b_sp) and not a_is_vec and not b_is_vec:
         def _operand_sps():
             return (a_sp.transposed() if a_t else a_sp), (b_sp.transposed() if b_t else b_sp)
 

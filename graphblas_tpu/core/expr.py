@@ -253,11 +253,16 @@ class AmbiguousAssignOrExtract:
 
                 if parent.ndim == 1:
                     j = parent._sparse_find(res.indices[0].index)
-                    val = sp.vals[j] if j >= 0 else np.zeros((), sp.vals.dtype)
-                    return jnp.asarray(val), jnp.asarray(j >= 0)
-                r, c = res.indices
-                j = parent._sparse_find(r.index, c.index)
+                else:
+                    r, c = res.indices
+                    j = parent._sparse_find(r.index, c.index)
                 val = sp.vals[j] if j >= 0 else np.zeros((), sp.vals.dtype)
+                if sp.vals.dtype.names is not None:
+                    # UDT: field dict (Scalar stores dict values)
+                    return (
+                        {f: jnp.asarray(val[f]) for f in sp.vals.dtype.names},
+                        jnp.asarray(j >= 0),
+                    )
                 return jnp.asarray(val), jnp.asarray(j >= 0)
 
             return BaseExpression(

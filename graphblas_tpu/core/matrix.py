@@ -52,7 +52,7 @@ class Matrix(InfixMixin, BaseType):
         nrows = ensure_int(nrows, "nrows")
         ncols = ensure_int(ncols, "ncols")
         self._sparse = None
-        if not self._dtype._is_udt and nrows * ncols > _sparse_mod_limit():
+        if nrows * ncols > _sparse_mod_limit():
             from .sparse import SparseMatrixData
 
             self._sparse = SparseMatrixData(
@@ -292,7 +292,7 @@ class Matrix(InfixMixin, BaseType):
             raise _exc.IndexOutOfBound(f"row index out of range for nrows {nrows}")
         if columns.size and ((columns < 0).any() or (columns >= ncols).any()):
             raise _exc.IndexOutOfBound(f"column index out of range for ncols {ncols}")
-        if not dtype._is_udt and nrows * ncols > _sparse_mod_limit():
+        if nrows * ncols > _sparse_mod_limit():
             from .sparse import SparseMatrixData
 
             sp = SparseMatrixData.from_arrays(rows, columns, values, nrows, ncols, dup_op)

@@ -270,6 +270,12 @@ class SparseMatrixData:
         ds[self.rows, self.cols] = True
         from .utils import device_asarray
 
+        if self.vals.dtype.names is not None:
+            # UDT: struct-of-arrays device layout (one leaf per field)
+            return (
+                {f: jnp.asarray(dv[f]) for f in self.vals.dtype.names},
+                jnp.asarray(ds),
+            )
         return device_asarray(dv), jnp.asarray(ds)
 
 
@@ -280,6 +286,11 @@ def _combine_dups(rows, cols, vals, dup, dup_op):
     starts = np.flatnonzero(np.concatenate([[True], ~dup]))
     name = getattr(dup_op, "name", None) or str(dup_op)
     base = name.split("[")[0]
+    if vals.dtype.names is not None and base not in {"first", "second", "any"}:
+        raise TypeError(
+            "UDT duplicate combination on sparse storage supports only "
+            "first/second/any dup_op"
+        )
     np_fn = _NP_COMBINE.get(base)
     out_rows, out_cols = rows[starts], cols[starts]
     if np_fn is not None:
@@ -721,6 +732,15 @@ def sparse_ewise(a_sp, b_sp, op_t, how, out_dtype, ld=None, rd=None):
     def combine(av, bv):
         if len(av) == 0:
             return np.empty(0, out_np)
+        if out_np.names is not None:
+            # UDT: field dicts through the op, back to a structured array
+            da = {f: jnp.asarray(av[f]) for f in av.dtype.names}
+            db = {f: jnp.asarray(bv[f]) for f in bv.dtype.names}
+            r = op_t.fn(da, db)
+            out = np.empty(len(av), out_np)
+            for f in out_np.names:
+                out[f] = np.asarray(r[f])
+            return out
         r = op_t.fn(jnp.asarray(av.astype(t1)), jnp.asarray(bv.astype(t2)))
         return np.asarray(r).astype(out_np)
 
