@@ -275,6 +275,7 @@ class CompiledLoop:
         self.mode = None
         self.last_iters = None  # while-loops: iteration count of the last run
         self._jit = None
+        self._consts = ()
         self._structs = None
         self._build()
         _LAST_MODE["loop"] = self.mode
@@ -348,13 +349,17 @@ class CompiledLoop:
 
         run_h = self._wrap(self._kind, lbody_hoisted, lcond_hoisted if self._kind == "while" else None)
         try:
-            jit_h = jax.jit(run_h)
-            jit_h.lower(tuple(values0))  # trace now: divergence surfaces here
+            # closure-convert: captured device arrays (graph plans, operand
+            # vectors) become ARGUMENTS, not HLO constants — embedding a
+            # graph's permutation networks as literals makes the program
+            # hundreds of MB (and overflows remote-compile transports)
+            conv, consts = jax.closure_convert(run_h, tuple(values0))
         except _StructureDiverged:
-            jit_h = None
-        if jit_h is not None:
+            conv = None
+        if conv is not None:
             self.mode = "hoisted"
-            self._jit = jit_h
+            self._jit = jax.jit(conv)
+            self._consts = consts
             self._structs = captured
             self._values0 = values0
             return
@@ -372,7 +377,9 @@ class CompiledLoop:
 
         run_f = self._wrap(self._kind, lbody_full, lcond_full if self._kind == "while" else None)
         self.mode = "carried"
-        self._jit = jax.jit(run_f)
+        conv, consts = jax.closure_convert(run_f, tuple(self._leaves0))
+        self._jit = jax.jit(conv)
+        self._consts = consts
 
     # -- execute ------------------------------------------------------------
 
@@ -401,7 +408,7 @@ class CompiledLoop:
                         )
             else:
                 values = self._values0
-            final_values = self._jit(tuple(values))
+            final_values = self._jit(tuple(values), *self._consts)
             if self._kind == "while":
                 final_values, it = final_values
                 self.last_iters = it
@@ -414,7 +421,7 @@ class CompiledLoop:
                     out_leaves.append(jnp.asarray(self._structs[i]))
             out = _rebuild_state(specs, out_leaves)
         else:
-            final = self._jit(tuple(leaves))
+            final = self._jit(tuple(leaves), *self._consts)
             if self._kind == "while":
                 final, it = final
                 self.last_iters = it
@@ -475,7 +482,6 @@ def compile(fn=None):
         if entry is None:
             out_spec_cell = {}
 
-            @jax.jit
             def run(leaf_args):
                 objs = _rebuild_state(specs, list(leaf_args))
                 full_args = list(args)
@@ -486,10 +492,13 @@ def compile(fn=None):
                 out_spec_cell["layout"] = layout
                 return tuple(flat)
 
-            entry = (run, out_spec_cell)
+            # captured arrays (sparse plans, static operands) become jit
+            # ARGUMENTS, not HLO constants (see CompiledLoop._build)
+            conv, consts = jax.closure_convert(run, tuple(leaves))
+            entry = (jax.jit(conv), consts, out_spec_cell)
             cache[key] = entry
-        run, out_spec_cell = entry
-        out_leaves = run(tuple(leaves))
+        run, consts, out_spec_cell = entry
+        out_leaves = run(tuple(leaves), *consts)
         return _rebuild_result(out_spec_cell["layout"], list(out_leaves))
 
     wrapper._cache = cache

@@ -96,6 +96,10 @@ def register_new(name, dtype_spec):
     """
     if not name.isidentifier():
         raise ValueError(f"`name` argument must be a valid Python identifier; got: {name!r}")
+    if _MODULE is None:  # lazily materialize the gb.dtypes namespace
+        import importlib
+
+        importlib.import_module("graphblas_tpu.dtypes")
     if name in _registry or hasattr(_MODULE, name):
         raise ValueError(f"{name!r} name for dtype is unavailable")
     rv = register_anonymous(dtype_spec, name)
