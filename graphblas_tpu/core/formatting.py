@@ -210,9 +210,37 @@ def _body(obj, mask=None):
         or getattr(getattr(obj, "_matrix", None), "_sparse", None) is not None
     )
     truncated = nrows > MAX_ROWS or ncols > MAX_COLS
-    if sparse_fmt or (truncated and obj.nvals * 4 < nrows * ncols and mask is None):
+    if sparse_fmt:
+        if truncated or mask is not None:
+            return _coo_table(obj)
+        # small sparse collection: grid display like the reference (the
+        # storage format shows in the header), rendered from a TEMPORARY
+        # dense view — repr must never densify the object itself
+        return _grid_lines(_dense_view(obj), mask=None)
+    if truncated and obj.nvals * 4 < nrows * ncols and mask is None:
         return _coo_table(obj)
     return _grid_lines(obj, mask=mask)
+
+
+def _dense_view(obj):
+    """Throwaway dense-format copy of a small sparse collection for display."""
+    from .matrix import Matrix
+    from .vector import Vector
+
+    if obj.ndim == 2:
+        r, c, v = obj.to_coo()
+        nrows, ncols = obj.shape
+        dv = np.zeros((nrows, ncols), v.dtype)
+        ds = np.zeros((nrows, ncols), bool)
+        dv[r.astype(np.int64), c.astype(np.int64)] = v
+        ds[r.astype(np.int64), c.astype(np.int64)] = True
+        return Matrix._from_arrays(dv, ds, obj.dtype, name=obj.name)
+    idx, v = obj.to_coo()
+    dv = np.zeros(obj.shape[0], v.dtype)
+    ds = np.zeros(obj.shape[0], bool)
+    dv[idx.astype(np.int64)] = v
+    ds[idx.astype(np.int64)] = True
+    return Vector._from_arrays(dv, ds, obj.dtype, name=obj.name)
 
 
 # ---------------------------------------------------------------------------

@@ -75,7 +75,26 @@ class InfixExprBase(InfixMixin):
         return self._get_value().isclose(other, **kwargs)
 
     def __repr__(self):
-        return f"{type(self).__name__}({self.left!r} {self._symbol} {self.right!r})"
+        # reference-style: a one-line functional header naming the operands
+        # (never their nested reprs), then the computed value when
+        # autocompute is on (reference: infix expression reprs)
+        def nm(x):
+            n = getattr(x, "name", None)
+            return n or type(x).__name__
+
+        header = f"{type(self).__name__}: {nm(self.left)} {self._symbol} {nm(self.right)}"
+        import graphblas_tpu
+
+        if graphblas_tpu.config.get("autocompute"):
+            try:
+                return (
+                    header
+                    + "\n\nComputed result (autocompute is enabled):\n"
+                    + repr(self._get_value())
+                )
+            except Exception:
+                pass
+        return header
 
 
 class EwiseInfixExpr(InfixExprBase):
