@@ -380,7 +380,8 @@ def _pack_network(arrays, plan, prefix):
         elif s[0] == "T":
             kinds.append(f"T{s[1]}")
         else:
-            kinds.append(f"R{s[2]}")
+            # "R<m>" = rotated lane-shuffle ROWSEL; "Q<m>" = m-way select
+            kinds.append(("R" if s[0] == "ROWSEL" else "Q") + str(s[2]))
             arrays[f"{prefix}stage{i}"] = np.asarray(s[1])
     arrays[f"{prefix}kinds"] = np.asarray(kinds)
 
@@ -397,8 +398,22 @@ def _unpack_network(data, prefix, e_pad):
             stages.append(("S", jnp.asarray(data[f"{prefix}stage{i}"])))
         elif kind.startswith("T"):
             stages.append(("T", int(kind[1:])))
+        elif kind.startswith("Q"):
+            stages.append(("RSEL", jnp.asarray(data[f"{prefix}stage{i}"]), int(kind[1:])))
         else:
-            stages.append(("ROWSEL", jnp.asarray(data[f"{prefix}stage{i}"]), int(kind[1:])))
+            m = int(kind[1:])
+            arr = data[f"{prefix}stage{i}"]
+            if arr.ndim == 3:
+                # legacy cache: (m, s2, 128) src_top table — convert (or keep
+                # the select form when m does not divide 128)
+                if 128 % m == 0:
+                    from .permute import _rowsel_table
+
+                    arr = _rowsel_table(arr, m)
+                else:
+                    stages.append(("RSEL", jnp.asarray(arr), m))
+                    continue
+            stages.append(("ROWSEL", jnp.asarray(arr), m))
     return PermutePlan(e_pad, stages)
 
 

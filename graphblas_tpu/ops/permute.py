@@ -54,7 +54,7 @@ class PermutePlan:
                 aux.append(("T", s[1]))
             else:
                 children.append(s[1])
-                aux.append(("ROWSEL", s[2]))
+                aux.append((s[0], s[2]))
         return children, tuple(aux)
 
     @classmethod
@@ -68,7 +68,7 @@ class PermutePlan:
             elif item[0] == "T":
                 stages.append(("T", item[1]))
             else:
-                stages.append(("ROWSEL", next(it), item[1]))
+                stages.append((item[0], next(it), item[1]))
         return cls(n, stages)
 
 
@@ -134,10 +134,46 @@ def _apply_T_np(elem, n, level):
     )
 
 
-def _apply_ROWSEL_np(elem, src_top, m):
+def _rowsel_table(src_top, m):
+    """Lane-shuffle table realizing a ROWSEL (m-way row exchange) in the
+    axis-rotated layout.
+
+    ROWSEL moves whole 128-lane rows between the m top-digit groups:
+    out[g, s, l] = x[st[g, s, l], s, l].  Rotating the array to (s, l, m)
+    puts the m-axis on lanes (m | 128), where the exchange becomes a
+    per-row 128-lane shuffle — the network's fast primitive — bounded at
+    3 passes TOTAL (rotate, shuffle, rotate back) instead of the m+1
+    passes of an m-way select.  Returns the (n//128, 128) int8 table.
+    """
+    st = np.asarray(src_top)
+    m_, s2, _ = st.shape
+    assert m_ == m
+    n = m * s2 * 128
+    rows = n // 128
+    r = np.arange(rows, dtype=np.int64)[:, None]
+    p = np.arange(128, dtype=np.int64)[None, :]
+    flat = r * 128 + p
+    s_ix = flat // (128 * m)
+    rem = flat % (128 * m)
+    l_ix = rem // m
+    g_ix = rem % m
+    lane = (p // m) * m + st[g_ix, s_ix, l_ix]
+    return lane.astype(np.int8)
+
+
+def _apply_RSEL_np(elem, src_top, m):
     s2 = src_top.shape[1]
     e3 = elem.reshape(m, s2, 128)
-    return np.take_along_axis(e3, src_top, axis=0).reshape(-1)
+    return np.take_along_axis(e3, src_top.astype(np.int64), axis=0).reshape(-1)
+
+
+def _apply_ROWSEL_np(elem, shuf, m):
+    """Numpy application of the rotated-layout ROWSEL shuffle table."""
+    n = elem.shape[0]
+    s2 = n // (128 * m)
+    t = np.ascontiguousarray(elem.reshape(m, s2, 128).transpose(1, 2, 0)).reshape(-1, 128)
+    t = np.take_along_axis(t, shuf.astype(np.int64), axis=1)
+    return np.ascontiguousarray(t.reshape(s2, 128, m).transpose(2, 0, 1)).reshape(-1)
 
 
 def plan_to_device(plan):
@@ -153,7 +189,7 @@ def plan_to_device(plan):
         elif s[0] == "T":
             stages.append(s)
         else:
-            stages.append(("ROWSEL", jnp.asarray(s[1]), s[2]))
+            stages.append((s[0], jnp.asarray(s[1]), s[2]))
     return PermutePlan(plan.n, stages)
 
 
@@ -228,10 +264,17 @@ def build_permutation_plan(perm, *, validate=True):
             src[dest_row, lanes_all] = rows_all.astype(np.int32)
             if validate and (src < 0).any():
                 raise AssertionError("invalid routing: row collision in ROWSEL")
-            # rows differ only in top digit: store top digit table (m, 128^L, 128)
+            # rows differ only in top digit.  When m divides 128, build the
+            # rotated-layout lane shuffle (constant 3-pass cost); otherwise
+            # keep the m-way select form (an m-group would straddle rows)
             src_top = (src // stride).reshape(m, stride, 128).astype(np.int32)
-            stages.append(("ROWSEL", src_top, m))
-            elem = _apply_ROWSEL_np(elem, src_top, m)
+            if 128 % m == 0:
+                shuf = _rowsel_table(src_top, m)
+                stages.append(("ROWSEL", shuf, m))
+                elem = _apply_ROWSEL_np(elem, shuf, m)
+            else:
+                stages.append(("RSEL", src_top, m))
+                elem = _apply_RSEL_np(elem, src_top, m)
 
     # ---- backward: S_post fixes the level's lane digit; T's unwind ----------
     # S_post at level lvl routes each element to lane (t // 128^lvl) % 128;
@@ -386,19 +429,28 @@ def apply_plan(x, plan, *, pallas=None):
             M = 128**level
             q = n // (128 * M * 128)
             x = x.reshape(q, 128, M, 128).transpose(0, 3, 2, 1).reshape(-1)
-        else:  # ROWSEL
+        elif kind == "RSEL":  # m-way row select (m does not divide 128)
             src_top, m = stage[1], stage[2]
             s2 = src_top.shape[1]
             x3 = x.reshape(m, s2, 128)
             st = jnp.asarray(src_top)
             if m <= 16:
-                # m-way select (avoids XLA's slow general gather):
-                # out[g, s, l] = x3[st[g, s, l], s, l]
                 acc = jnp.zeros((m, s2, 128), x.dtype)
                 for j in range(m):
                     acc = jnp.where(st == j, x3[j][None, :, :], acc)
                 x = acc.reshape(-1)
             else:
                 x = jnp.take_along_axis(x3, st.astype(jnp.int32), axis=0).reshape(-1)
+        else:  # ROWSEL: rotate m onto lanes, per-row shuffle, rotate back
+            shuf, m = stage[1], stage[2]
+            if m > 1:
+                s2 = n // (128 * m)
+                t = x.reshape(m, s2, 128).transpose(1, 2, 0).reshape(-1, 128)
+                idx = jnp.asarray(shuf)
+                if pallas:
+                    t = _pallas_shuffle(t, idx)
+                else:
+                    t = jnp.take_along_axis(t, idx.astype(jnp.int32), axis=1)
+                x = t.reshape(s2, 128, m).transpose(2, 0, 1).reshape(-1)
         i += 1
     return x
