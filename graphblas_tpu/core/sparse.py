@@ -950,21 +950,25 @@ def _build_eq_tasks(out, entry_idx, mr, mc, a_indptr, a_keys, a_vals, b_indptr, 
         nb_rep = np.repeat(nb, ntasks)
         ta = local // np.maximum(nb_rep, 1)
         tb = local % np.maximum(nb_rep, 1)
-        a_start = a_indptr[mr[task_local]] + ta * Wa
-        b_start = b_indptr[mc[task_local]] + tb * Wb
+        a_start = (a_indptr[mr[task_local]] + ta * Wa).astype(np.int64)
+        b_start = (b_indptr[mc[task_local]] + tb * Wb).astype(np.int64)
         a_len = np.minimum(da[task_local] - ta * Wa, Wa)
         b_len = np.minimum(db[task_local] - tb * Wb, Wb)
         # (T, W) build: per-task W-windows are contiguous in the source
         # arrays, so the big gathers stay cache-friendly (building (W, T)
-        # directly measured SLOWER — scattered gather order)
-        ai = a_start[:, None] + np.arange(Wa)[None, :]
-        bi = b_start[:, None] + np.arange(Wb)[None, :]
+        # directly measured SLOWER — scattered gather order).  Single
+        # clipped int index temporary per side; values gather through the
+        # same clipped index then mask (f32, not promoted).
+        ai = a_start[:, None] + np.arange(Wa, dtype=np.int64)[None, :]
+        np.minimum(ai, nva - 1, out=ai)
+        bi = b_start[:, None] + np.arange(Wb, dtype=np.int64)[None, :]
+        np.minimum(bi, nvb - 1, out=bi)
         am = np.arange(Wa)[None, :] < a_len[:, None]
         bm = np.arange(Wb)[None, :] < b_len[:, None]
-        ak = np.where(am, a_keys[np.minimum(ai, nva - 1)], np.asarray(-1, a_keys.dtype))
-        bk = np.where(bm, b_keys[np.minimum(bi, nvb - 1)], np.asarray(-2, b_keys.dtype))
-        av = np.where(am, a_vals[np.minimum(ai, nva - 1)], 0)
-        bv = np.where(bm, b_vals[np.minimum(bi, nvb - 1)], 0)
+        ak = np.where(am, a_keys[ai], np.asarray(-1, a_keys.dtype))
+        bk = np.where(bm, b_keys[bi], np.asarray(-2, b_keys.dtype))
+        av = np.where(am, a_vals[ai], np.zeros((), a_vals.dtype))
+        bv = np.where(bm, b_vals[bi], np.zeros((), b_vals.dtype))
         out.setdefault((Wa, Wb), []).append((task_entry, ak, av, bk, bv))
 
 
