@@ -252,6 +252,41 @@ def until_runner(cond, body, *state, max_iters=None):
     )
 
 
+def _hoist_constants(fn, example_args):
+    """Trace ``fn`` to a jaxpr and hoist ALL its constants into arguments.
+
+    jax.closure_convert only hoists potentially-perturbed (differentiable)
+    consts; outside autodiff everything stays closed over and becomes an HLO
+    literal — a scale-19 graph's plan tables are hundreds of MB, which
+    overflows remote-compile transports.  Returns (converted_fn, consts)
+    with converted_fn(args, consts) re-evaluating the jaxpr.
+    """
+    import jax
+    from jax._src import core as _jcore
+
+    flat, in_tree = jax.tree_util.tree_flatten(example_args)
+    store = {}
+
+    def flat_fn(*fl):
+        a = jax.tree_util.tree_unflatten(in_tree, fl)
+        out = fn(*a)
+        of, ot = jax.tree_util.tree_flatten(out)
+        store["out_tree"] = ot
+        return of
+
+    closed = jax.make_jaxpr(flat_fn)(*flat)
+    consts = tuple(closed.consts)
+
+    def converted(args, consts_):
+        fl, in_tree2 = jax.tree_util.tree_flatten((args,))
+        if in_tree2 != in_tree:
+            raise TypeError("compiled loop called with a different state structure")
+        outs = _jcore.eval_jaxpr(closed.jaxpr, list(consts_), *fl)
+        return jax.tree_util.tree_unflatten(store["out_tree"], outs)
+
+    return converted, consts
+
+
 class CompiledLoop:
     """A reusable compiled DSL loop (ONE XLA program).
 
@@ -349,11 +384,10 @@ class CompiledLoop:
 
         run_h = self._wrap(self._kind, lbody_hoisted, lcond_hoisted if self._kind == "while" else None)
         try:
-            # closure-convert: captured device arrays (graph plans, operand
-            # vectors) become ARGUMENTS, not HLO constants — embedding a
-            # graph's permutation networks as literals makes the program
-            # hundreds of MB (and overflows remote-compile transports)
-            conv, consts = jax.closure_convert(run_h, tuple(values0))
+            # hoist captured device arrays (graph plans, operand vectors)
+            # into ARGUMENTS — as closed-over constants they would embed in
+            # the HLO as literals (hundreds of MB for a scale-19 graph)
+            conv, consts = _hoist_constants(run_h, (tuple(values0),))
         except _StructureDiverged:
             conv = None
         if conv is not None:
@@ -377,7 +411,7 @@ class CompiledLoop:
 
         run_f = self._wrap(self._kind, lbody_full, lcond_full if self._kind == "while" else None)
         self.mode = "carried"
-        conv, consts = jax.closure_convert(run_f, tuple(self._leaves0))
+        conv, consts = _hoist_constants(run_f, (tuple(self._leaves0),))
         self._jit = jax.jit(conv)
         self._consts = consts
 
@@ -408,7 +442,7 @@ class CompiledLoop:
                         )
             else:
                 values = self._values0
-            final_values = self._jit(tuple(values), *self._consts)
+            final_values = self._jit(tuple(values), self._consts)
             if self._kind == "while":
                 final_values, it = final_values
                 self.last_iters = it
@@ -421,7 +455,7 @@ class CompiledLoop:
                     out_leaves.append(jnp.asarray(self._structs[i]))
             out = _rebuild_state(specs, out_leaves)
         else:
-            final = self._jit(tuple(leaves), *self._consts)
+            final = self._jit(tuple(leaves), self._consts)
             if self._kind == "while":
                 final, it = final
                 self.last_iters = it
@@ -493,12 +527,12 @@ def compile(fn=None):
                 return tuple(flat)
 
             # captured arrays (sparse plans, static operands) become jit
-            # ARGUMENTS, not HLO constants (see CompiledLoop._build)
-            conv, consts = jax.closure_convert(run, tuple(leaves))
+            # ARGUMENTS, not HLO constants (see _hoist_constants)
+            conv, consts = _hoist_constants(run, (tuple(leaves),))
             entry = (jax.jit(conv), consts, out_spec_cell)
             cache[key] = entry
         run, consts, out_spec_cell = entry
-        out_leaves = run(tuple(leaves), *consts)
+        out_leaves = run(tuple(leaves), consts)
         return _rebuild_result(out_spec_cell["layout"], list(out_leaves))
 
     wrapper._cache = cache
