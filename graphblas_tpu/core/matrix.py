@@ -383,6 +383,15 @@ class Matrix(InfixMixin, BaseType):
 
         sc = _as_scalar(value, dtype)
         dtype = _dt.lookup_dtype(dtype) if dtype is not None else sc.dtype
+        if nrows * ncols > _sparse_mod_limit() * 8:
+            # a fully-iso matrix at huge dimensions needs a dedicated iso
+            # storage format (reference is_iso, core/ss/matrix.py); explicit
+            # storage would allocate nrows*ncols cells
+            raise _exc.OutOfMemory(
+                f"from_scalar would materialize {nrows * ncols} explicit entries; "
+                "iso-valued storage at this scale is not supported — build the "
+                "needed region sparsely (from_coo) instead"
+            )
         return cls._from_arrays(
             jnp.full((nrows, ncols), sc._device_value(dtype.np_type)),
             _dm.s_ones((nrows, ncols)),
