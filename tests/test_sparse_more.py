@@ -163,3 +163,27 @@ def test_spgemm_flop_limit_config_roundtrip():
     assert txmod.config.get("spgemm_flop_limit") == 1 << 28
     with txmod.config.set(spgemm_flop_limit=64):
         assert txmod.config.get("spgemm_flop_limit") == 64
+
+
+def test_from_scalar_huge_iso_guard():
+    with pytest.raises(gb.exceptions.OutOfMemory, match="iso"):
+        Matrix.from_scalar(1.0, 1 << 30, 1 << 30)
+    # small stays fine
+    M = Matrix.from_scalar(2.5, 3, 4)
+    assert M.nvals == 12
+
+
+def test_vxm_int_channel_matches_generic():
+    rng = np.random.default_rng(11)
+    n = 100
+    src = rng.integers(0, n, 400)
+    dst = rng.integers(0, n, 400)
+    vals = rng.integers(-50, 50, 400).astype(np.int32)
+    xv = rng.integers(-50, 50, n).astype(np.int32)
+    outs = {}
+    for strat in ("plan", "generic"):
+        with txmod.config.set(dense_limit=0, mxv_strategy=strat):
+            A = Matrix.from_coo(src, dst, vals, dtm.INT32, nrows=n, ncols=n, dup_op=binary.plus)
+            x = Vector.from_dense(xv, dtype=dtm.INT32)
+            outs[strat] = x.vxm(A, semiring.min_plus).new().to_dense(fill_value=0)
+    assert np.array_equal(outs["plan"], outs["generic"])
