@@ -41,7 +41,12 @@ class Semiring(OpBase):
         add = _lookup_with_coercion(self.monoid, mul.return_type)
         typed = TypedSemiring(self, self.name, mul.type_, add.return_type, add, mul, type2=mul.type2)
         self._typed_ops[key] = typed
-        self.types[dt1] = add.return_type
+        if dt1 is dt2 or dt1 == dt2:
+            # only homogeneous lookups define the public per-dtype table; a
+            # mixed (dt1, dt2) lookup unifies dtypes and must NOT overwrite
+            # types[dt1] (one mixed call would corrupt the table process-wide;
+            # reference keeps coercions separate: core/operator/semiring.py:424-588)
+            self.types[dt1] = add.return_type
         return typed
 
     def __contains__(self, type_):
