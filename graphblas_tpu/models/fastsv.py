@@ -64,5 +64,6 @@ def connected_components(graph, *, as_vector=False):
         from ..core import dtypes as _dt
         from ..core.vector import Vector
 
-        return Vector._from_arrays(f.astype(np.int64), jnp.ones((graph.n,), bool), _dt.INT64)
+        it = _dt.default_int()
+        return Vector._from_arrays(f.astype(it.np_type), jnp.ones((graph.n,), bool), it)
     return f

@@ -82,5 +82,6 @@ def louvain(graph, *, max_iters=50, as_vector=False):
         from ..core import dtypes as _dt
         from ..core.vector import Vector
 
-        return Vector._from_arrays(labels.astype(np.int64), jnp.ones((n,), bool), _dt.INT64)
+        it = _dt.default_int()
+        return Vector._from_arrays(labels.astype(it.np_type), jnp.ones((n,), bool), it)
     return labels

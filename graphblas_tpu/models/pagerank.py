@@ -58,5 +58,6 @@ def pagerank(graph, *, damping=0.85, tol=1e-6, max_iters=100, as_vector=False):
         from ..core import dtypes as _dt
         from ..core.vector import Vector
 
-        return Vector._from_arrays(r.astype(np.float64), jnp.ones((graph.n,), bool), _dt.FP64)
+        ft = _dt.default_float()
+        return Vector._from_arrays(r.astype(ft.np_type), jnp.ones((graph.n,), bool), ft)
     return r

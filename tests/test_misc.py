@@ -360,3 +360,35 @@ def test_build_spmv_plan_rejects_out_of_range():
         counting_sort(np.array([0, 99], np.int32), 10)
     with pytest.raises(IndexError):
         counting_sort(np.array([-1, 3], np.int32), 10)
+
+
+def test_64bit_execution_contract():
+    """docs/types.md: FP64/INT64 are supported collection dtypes everywhere;
+    the policy helpers report the platform width; 64-bit collections work on
+    a 32-bit execution platform (values at 32-bit width, declared dtype
+    preserved, host materialization returns the declared numpy dtype)."""
+    import jax
+
+    import numpy as np
+    from graphblas_tpu import Vector, binary, monoid
+    from graphblas_tpu.core import dtypes as dtm
+
+    assert dtm.executes_64bit() == (
+        bool(jax.config.jax_enable_x64) and jax.default_backend() != "tpu"
+    )
+    if dtm.executes_64bit():
+        assert dtm.default_float() is dtm.FP64
+        assert dtm.default_int() is dtm.INT64
+    else:
+        assert dtm.default_float() is dtm.FP32
+        assert dtm.default_int() is dtm.INT32
+
+    v = Vector.from_coo([0, 2], [1.5, 2.5], dtm.FP64, size=3)
+    w = v.apply(binary.plus, right=1.0).new()
+    assert w.dtype is dtm.FP64  # declared dtype always 64-bit
+    idx, vals = w.to_coo()
+    assert vals.dtype == np.float64  # host materialization: declared width
+    np.testing.assert_allclose(vals, [2.5, 3.5], rtol=1e-6)
+    s = v.reduce(monoid.plus).new()
+    assert s.dtype is dtm.FP64
+    assert float(s.value) == 4.0

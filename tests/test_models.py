@@ -97,9 +97,13 @@ def test_sssp(random_graph):
 
 
 def test_sssp_as_vector(random_graph):
+    from graphblas_tpu.core import dtypes as dtm
+
     g, *_ = random_graph
     v = sssp(g, 0, as_vector=True)
-    assert v.dtype.name == "FP64"
+    # platform-adaptive output dtype: FP64 on 64-bit platforms, FP32 on TPU
+    # (the 64-bit execution contract, docs/types.md)
+    assert v.dtype is dtm.default_float()
     assert v[0].new().value == 0.0
 
 
