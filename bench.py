@@ -272,6 +272,17 @@ def main():
             out["dsl_bfs_gteps"] = round(e / t / 1e9, 4)
             out["dsl_bfs_mode"] = bfs_runs[0].mode
 
+            # BFS, TPU-idiomatic dense-frontier recipe (hoisted mode)
+            bfsd_runs = [dsl.bfs_level_dense_runner(AT, s_) for s_ in sources[:2]]
+
+            def run_dsl_bfs_dense():
+                bfsd_runs[0]()
+                return bfsd_runs[1]()._values
+
+            t = measure(run_dsl_bfs_dense, 2)
+            out["dsl_bfs_dense_gteps"] = round(e / t / 1e9, 4)
+            out["dsl_bfs_dense_mode"] = bfsd_runs[0].mode
+
             # SSSP (min-folded duplicate edges: identical relaxations)
             ATw = mk("ss")
             sssp_runs = [dsl.sssp_runner(ATw, s_) for s_ in sources[:2]]

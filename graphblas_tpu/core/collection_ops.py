@@ -922,19 +922,23 @@ def do_assign(self, resolved, value, *, mask, accum, replace, is_submask):
             value = Matrix.from_dense(arr, dtype=self.dtype)
         else:
             raise TypeError(f"Bad type for assignment value: {type(value)}")
+    # NOTE: region structure (as_) and indices stay NUMPY: jnp ops on
+    # concrete operands inside an outer gb.compile/loop trace bind to the
+    # trace (jax constant lifting), which would turn the output structure
+    # into a tracer and defeat compiled-loop structure hoisting
     if _is_scalar_like(value) or isinstance(value, Scalar):
         sc = _as_scalar(value)
         if sc.is_empty:
             deleting = True
             av = _dm.tmap(lambda c: jnp.zeros(region_shape, c.dtype), self._values)
-            as_ = jnp.zeros(region_shape, bool)
+            as_ = np.zeros(region_shape, bool)
         elif self.dtype._is_udt:
             dv = sc._device_value()
             av = {f: jnp.full(region_shape, dv[f]) for f in dv}
-            as_ = jnp.ones(region_shape, bool)
+            as_ = np.ones(region_shape, bool)
         else:
             av = jnp.full(region_shape, sc._device_value(self.dtype.np_type))
-            as_ = jnp.ones(region_shape, bool)
+            as_ = np.ones(region_shape, bool)
             if mask is not None and is_submask:
                 # scalar subassign only fills where the (region) mask is true
                 pass
@@ -947,7 +951,8 @@ def do_assign(self, resolved, value, *, mask, accum, replace, is_submask):
             av = {f: a.reshape(region_shape) for f, a in value._values.items()}
         else:
             av = value._values.reshape(region_shape).astype(self._values.dtype)
-        as_ = value._struct.reshape(region_shape)
+        vs = value._struct
+        as_ = (np.asarray(vs) if not _dm._is_tracer_arr(vs) else vs).reshape(region_shape)
     elif isinstance(value, Matrix):
         if out_shape != value.shape:
             raise _exc.DimensionMismatch(
@@ -964,13 +969,13 @@ def do_assign(self, resolved, value, *, mask, accum, replace, is_submask):
     # -- scatter into C-shape ----------------------------------------------------
     cv, cs = self._values, self._struct
     if self.ndim == 1:
-        idx = jnp.asarray(np.atleast_1d(indices[0].index))
+        idx = np.atleast_1d(indices[0].index)
         sv, ss, rsel = _dm.scatter_region_vector(
             cv, cs, idx, _dm.tmap(lambda a: a.reshape(-1), av), as_.reshape(-1)
         )
     else:
-        rows = jnp.asarray(np.atleast_1d(indices[0].index))
-        cols = jnp.asarray(np.atleast_1d(indices[1].index))
+        rows = np.atleast_1d(indices[0].index)
+        cols = np.atleast_1d(indices[1].index)
         sv, ss, rsel = _dm.scatter_region_matrix(
             cv,
             cs,
@@ -982,8 +987,9 @@ def do_assign(self, resolved, value, *, mask, accum, replace, is_submask):
 
     if accum is not None and not deleting:
         # union-merge within the region instead of pattern replacement
-        scattered_s = jnp.where(rsel, ss, False)
-        both = cs & scattered_s
+        # (structure math via the host-side helpers — see scatter note above)
+        scattered_s = _dm.s_and(rsel, ss)
+        both = _dm.s_and(cs, scattered_s)
         if isinstance(cv, dict):
             acc_out = accum.fn(cv, sv)
             zv = {
@@ -992,7 +998,7 @@ def do_assign(self, resolved, value, *, mask, accum, replace, is_submask):
             }
         else:
             zv = jnp.where(both, accum.fn(cv, sv).astype(cv.dtype), jnp.where(scattered_s, sv, cv))
-        zs = cs | scattered_s
+        zs = _dm.s_or(cs, scattered_s)
     else:
         zv, zs = sv, ss
 

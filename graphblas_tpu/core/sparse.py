@@ -610,8 +610,9 @@ def _plan_mxv(sp, pull, xv, xs, add_name, plan_mul, pos, out_np, channel):
     if channel == np.int32 and out_np.kind in "iu" and out_np.itemsize < 4:
         wrap = (out_np.itemsize * 8, out_np.kind == "i")
     if plan_mul == "pair":
-        x_in = jnp.ones((n,), ch)
-        plan_mul = "first"
+        # contribution is constantly 1: spmv_masked's pair channel answers
+        # from the validity count scan alone (no value-channel expand)
+        x_in = jnp.zeros((n,), ch)
     else:
         x_in = xv.astype(ch)
         if x_in.shape[0] != n:

@@ -113,6 +113,66 @@ def bfs_level_runner(AT, source, *, max_iters=None):
     return run
 
 
+def bfs_level_dense(AT, source, *, max_iters=None):
+    """TPU-idiomatic level BFS: see :func:`bfs_level_dense_runner`."""
+    return bfs_level_dense_runner(AT, source, max_iters=max_iters)()
+
+
+def bfs_level_dense_runner(AT, source, *, max_iters=None):
+    """Level BFS with a DENSE 0/1 frontier — the TPU-idiomatic DSL recipe.
+
+    The notebook recipe (:func:`bfs_level_runner`) carries a sparse frontier
+    whose structure is data-dependent, so the compiled loop falls back to
+    carried mode and every SpMV pays a structure-channel expand on top of the
+    value channel.  Riding the frontier as a dense FP32 0/1 vector keeps every
+    loop state structurally FULL: the loop hoists all structure to trace-time
+    constants (mode == "hoisted") and each level is ONE value-channel
+    ``max_second`` SpMV — the same recipe as the hand-written model
+    (models/fast._bfs_loop).  Same result as ``bfs_level``: an INT32 vector of
+    levels, dense with -1 at unreached vertices.
+    """
+    gb = _gb()
+    from .. import binary, monoid, semiring
+    from ..core import dtypes as dtm
+    from ..core.scalar import Scalar
+    from ..core.vector import Vector
+
+    n = AT.nrows
+    v0 = Vector.from_scalar(-1, n, dtm.INT32, name="levels")
+    v0[int(source)] = 0
+    q0 = Vector.from_scalar(0.0, n, dtm.FP32, name="frontier")
+    q0[int(source)] = 1.0
+    lvl0 = Scalar.from_value(0, dtm.INT32)
+    # closed-over dense zero: unioning with it keeps the frontier
+    # structurally FULL every iteration (the mxv output pattern alone is
+    # only the vertices with in-edges, which would break hoisting)
+    zeros = Vector.from_scalar(0.0, n, dtm.FP32, name="zeros")
+
+    def cond(v, q, lvl):
+        return q.reduce(monoid.max).apply(binary.gt, right=0.0)
+
+    def body(v, q, lvl):
+        lvl1 = (lvl + 1).new(dtm.INT32)
+        pulled = AT.mxv(q, semiring.max_second).new(dtm.FP32)
+        newly = pulled.apply(binary.gt, right=0.0).new(dtm.BOOL)
+        unvis = v.apply(binary.lt, right=0).new(dtm.BOOL)
+        nxt = newly.ewise_mult(unvis, binary.land).new(dtm.BOOL)
+        v_new = v.dup()
+        v_new(nxt.V)[:] = lvl1
+        q_new = nxt.ewise_add(zeros, binary.plus).new(dtm.FP32)  # dense 0/1
+        return v_new, q_new, lvl1
+
+    runner = gb.until_runner(cond, body, v0, q0, lvl0, max_iters=max_iters or n)
+
+    def run():
+        v, _, _ = runner()
+        return v
+
+    run.mode = runner.mode
+    run.runner = runner
+    return run
+
+
 def sssp(AT, source, *, max_iters=None):
     """Bellman-Ford SSSP via DSL statements in one compiled while-loop.
 

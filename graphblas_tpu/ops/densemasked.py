@@ -122,15 +122,60 @@ def _host_concrete(*arrays):
     return all(not isinstance(a, jax.core.Tracer) for a in arrays)
 
 
+def _is_tracer_arr(x):
+    import jax
+
+    return isinstance(x, jax.core.Tracer)
+
+
+def _concrete_const(x):
+    """(is_concrete, all_true, all_false) for structure algebra short-cuts."""
+    import jax
+
+    if isinstance(x, jax.core.Tracer):
+        return False, False, False
+    xa = np.asarray(x)
+    return True, bool(xa.all()), bool(not xa.any())
+
+
 def s_and(a, b):
     if _host_concrete(a, b):
         return np.logical_and(np.asarray(a), np.asarray(b))
+    # algebraic short-circuits keep structure CONCRETE under traces when one
+    # side is a known constant (dense-full loop states: x & True == x,
+    # x & False == False) — required for compiled-loop structure hoisting
+    from jax._src import core as _jcore
+
+    if not _jcore.trace_state_clean():
+        ca, ta, fa = _concrete_const(a)
+        if ca and ta:
+            return b
+        if ca and fa:
+            return np.zeros_like(np.asarray(a), bool)
+        cb, tb, fb = _concrete_const(b)
+        if cb and tb:
+            return a
+        if cb and fb:
+            return np.zeros_like(np.asarray(b), bool)
     return a & b
 
 
 def s_or(a, b):
     if _host_concrete(a, b):
         return np.logical_or(np.asarray(a), np.asarray(b))
+    from jax._src import core as _jcore
+
+    if not _jcore.trace_state_clean():
+        ca, ta, fa = _concrete_const(a)
+        if ca and ta:
+            return np.ones_like(np.asarray(a), bool)
+        if ca and fa:
+            return b
+        cb, tb, fb = _concrete_const(b)
+        if cb and tb:
+            return np.ones_like(np.asarray(b), bool)
+        if cb and fb:
+            return a
     return a | b
 
 
@@ -143,6 +188,29 @@ def s_not(a):
 def s_where(c, a, b):
     if _host_concrete(c, a, b):
         return np.where(np.asarray(c), np.asarray(a), np.asarray(b))
+    from jax._src import core as _jcore
+
+    if not _jcore.trace_state_clean():
+        cc, ct, cf = _concrete_const(c)
+        if cc and ct:
+            return a
+        if cc and cf:
+            return b
+        import jax
+
+        # traced condition but both branches concrete AND equal: the result
+        # is that constant (e.g. merging an all-True structure with an
+        # all-True structure under a value mask) — keeps compiled-loop
+        # structure hoisting alive for dense-full states
+        if not isinstance(a, jax.core.Tracer) and not isinstance(b, jax.core.Tracer):
+            an, bn = np.asarray(a), np.asarray(b)
+            try:
+                ab, bb = np.broadcast_arrays(an, bn)
+            except ValueError:
+                ab = bb = None
+            if ab is not None and np.array_equal(ab, bb):
+                shape = np.broadcast_shapes(np.shape(c), ab.shape)
+                return np.broadcast_to(ab, shape).copy()
     return jnp.where(c, a, b)
 
 
@@ -744,16 +812,36 @@ def scatter_region_matrix(cv, cs, rows, cols, av, as_):
         cv,
         av,
     )
-    zs = cs.at[rows[:, None], cols[None, :]].set(as_)
-    rsel = jnp.zeros(cs.shape, bool).at[rows[:, None], cols[None, :]].set(True)
+    if _host_concrete(cs, rows, cols, as_):
+        # numpy structure math under traces: jnp ops on concrete arrays bind
+        # to the trace in jax 0.9 (constants lift) and would turn the output
+        # structure into a tracer, defeating compiled-loop hoisting
+        cs_np = np.asarray(cs)
+        r_np, c_np = np.asarray(rows), np.asarray(cols)
+        zs = cs_np.copy()
+        zs[r_np[:, None], c_np[None, :]] = np.asarray(as_)
+        rsel = np.zeros(cs_np.shape, bool)
+        rsel[r_np[:, None], c_np[None, :]] = True
+    else:
+        zs = cs.at[rows[:, None], cols[None, :]].set(as_)
+        rsel = jnp.zeros(cs.shape, bool).at[rows[:, None], cols[None, :]].set(True)
     return zv, zs, rsel
 
 
 @_jit
 def scatter_region_vector(cv, cs, idx, av, as_):
     zv = tmap(lambda c, a: c.at[idx].set(a if _is_soa(cv) else a.astype(c.dtype)), cv, av)
-    zs = cs.at[idx].set(as_)
-    rsel = jnp.zeros(cs.shape, bool).at[idx].set(True)
+    if _host_concrete(cs, idx, as_):
+        # see scatter_region_matrix: numpy structure math under traces
+        cs_np = np.asarray(cs)
+        i_np = np.asarray(idx)
+        zs = cs_np.copy()
+        zs[i_np] = np.asarray(as_)
+        rsel = np.zeros(cs_np.shape, bool)
+        rsel[i_np] = True
+    else:
+        zs = cs.at[idx].set(as_)
+        rsel = jnp.zeros(cs.shape, bool).at[idx].set(True)
     return zv, zs, rsel
 
 

@@ -561,6 +561,28 @@ def spmv_masked(plan: SpmvPlan, x, xs, add="plus", mul="times", x_full=False, wr
     else:
         validc = plan.valid_dst_order & (expand(xs.astype(jnp.float32)) > 0.5)
 
+    if mul == "pair":
+        # pair/oneb: every valid contribution is exactly 1, so ONE segmented
+        # count scan over the validity channel answers both the values and
+        # the structure — no value-channel expand (two networks), no second
+        # scan, no second collect.  plus -> the count; min/max/any -> 1.
+        cnt = segmented_scan(validc.astype(x.dtype), seg_start, "add", interpret=interp)
+        if v2:
+            ycnt = _collect_v2(cnt, plan, jnp.zeros((), cnt.dtype))
+            ys = plan.dst_nonempty & (ycnt > 0) if not x_full else plan.dst_nonempty
+        else:
+            cpad = jnp.concatenate([jnp.zeros((1,), cnt.dtype), cnt])
+            ycnt = cpad[ends]
+            ys = (ycnt > 0) & (starts != ends)
+        one = jnp.ones((), ycnt.dtype)
+        yv = ycnt if add == "plus" else jnp.where(ycnt > 0, one, jnp.zeros((), ycnt.dtype))
+        if wrap is not None and add == "plus":
+            bits, signed = wrap
+            lo = -(1 << (bits - 1)) if signed else 0
+            span = 1 << bits
+            yv = ((yv - lo) % span + lo).astype(yv.dtype)
+        return jnp.where(ys, yv, jnp.zeros((), yv.dtype)), ys
+
     if mul == "secondi":
         xe_dst = plan.src_dst_order
         w = None

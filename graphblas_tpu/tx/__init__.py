@@ -182,6 +182,84 @@ def import_bitmapr(*, bitmap, values, dtype=None, name=None, **opts):
     return m
 
 
+def import_fullc(*, values, dtype=None, name=None, **opts):
+    """Column-major full import (reference: core/ss/matrix.py import_fullc):
+    ``values`` is ncols-major — transpose back to row-major storage."""
+    import numpy as np
+
+    from ..core.matrix import Matrix
+
+    values = np.asarray(values)
+    if values.ndim != 2:
+        raise ValueError("fullc import requires a 2-D values array (column-major sense)")
+    return Matrix.from_dense(np.ascontiguousarray(values), dtype=dtype, name=name)
+
+
+def import_bitmapc(*, bitmap, values, nrows=None, ncols=None, dtype=None, name=None, **opts):
+    """Column-major bitmap import (reference: core/ss/matrix.py
+    import_bitmapc): flat/2-D arrays are in column-major (Fortran) order."""
+    import numpy as np
+
+    bitmap = np.asarray(bitmap)
+    values = np.asarray(values)
+    if bitmap.ndim == 1:
+        # flat buffers are column-major: element (i, j) at j*nrows + i
+        if nrows is None or ncols is None:
+            raise ValueError("flat bitmapc import requires nrows and ncols")
+        bitmap = bitmap.reshape(ncols, nrows).T
+        values = values.reshape(ncols, nrows).T
+    return import_bitmapr(bitmap=np.ascontiguousarray(bitmap), values=np.ascontiguousarray(values), dtype=dtype, name=name)
+
+
+def import_coor(*, rows, cols, values, nrows=None, ncols=None, dtype=None, name=None, **opts):
+    """Row-sorted COO import (reference: import_coor — same data, the sort
+    order is a hint the dense engine does not need)."""
+    return import_coo(rows=rows, cols=cols, values=values, nrows=nrows, ncols=ncols, dtype=dtype, name=name)
+
+
+def import_cooc(*, rows, cols, values, nrows=None, ncols=None, dtype=None, name=None, **opts):
+    """Column-sorted COO import (reference: import_cooc)."""
+    return import_coo(rows=rows, cols=cols, values=values, nrows=nrows, ncols=ncols, dtype=dtype, name=name)
+
+
+def import_any(**blob):
+    """Dispatch an exported blob (or keyword buffers with ``format=``) back
+    to the right importer (reference: Matrix.ss.import_any,
+    core/ss/matrix.py:537+)."""
+    fmt = blob.pop("format", "coo").lower()
+    importers = {
+        "coo": import_coo,
+        "coor": import_coor,
+        "cooc": import_cooc,
+        "csr": import_csr,
+        "csc": import_csc,
+        "hypercsr": import_hypercsr,
+        "hypercsc": import_hypercsc,
+        "bitmapr": import_bitmapr,
+        "bitmapc": import_bitmapc,
+        "fullr": import_fullr,
+        "fullc": import_fullc,
+    }
+    if fmt == "densemasked":
+        import jax.numpy as jnp
+        import numpy as np
+
+        from ..core.matrix import Matrix
+        from ..ops.densemasked import canonical
+
+        m = Matrix.from_dense(np.asarray(blob["values"]), dtype=blob.get("dtype"))
+        m._struct = jnp.asarray(np.asarray(blob["struct"], bool))
+        m._values, m._struct = canonical(m._values, m._struct)
+        return m
+    if fmt not in importers:
+        raise ValueError(f"Invalid format for import_any: {fmt}")
+    import inspect
+
+    fn = importers[fmt]
+    allowed = set(inspect.signature(fn).parameters)
+    return fn(**{k: v for k, v in blob.items() if k in allowed or "opts" in allowed})
+
+
 def import_hypercsr(*, rows, indptr, col_indices, values, nrows=None, ncols=None, dtype=None, name=None, **opts):
     """Hypersparse-CSR import (reference: core/ss/matrix.py import_hypercsr)."""
     from ..core.matrix import Matrix

@@ -447,7 +447,46 @@ class MatrixTx:
         format = (format or "coo").lower()
         if format in {"coo", "coor", "cooc"}:
             r, c, v = p.to_coo()
-            return {"format": "coo", "rows": r, "cols": c, "values": v, "nrows": p.nrows, "ncols": p.ncols}
+            if format == "cooc":
+                # column-sorted variant (reference: export "cooc",
+                # core/ss/matrix.py:537-3649 — cols ascending, rows within)
+                order = np.lexsort((np.asarray(r), np.asarray(c)))
+                r, c, v = np.asarray(r)[order], np.asarray(c)[order], np.asarray(v)[order]
+            return {
+                "format": format,
+                "rows": r,
+                "cols": c,
+                "values": v,
+                "nrows": p.nrows,
+                "ncols": p.ncols,
+                "sorted_rows": format != "cooc",
+                "sorted_cols": format == "cooc",
+            }
+        if format in {"bitmapr", "bitmapc"}:
+            vals = np.asarray(p.to_dense(fill_value=0))
+            bm = np.asarray(p._struct) if p._sparse is None else None
+            if bm is None:
+                bm = np.zeros((p.nrows, p.ncols), bool)
+                rr, cc, _ = p.to_coo()
+                bm[np.asarray(rr, np.int64), np.asarray(cc, np.int64)] = True
+            if format == "bitmapc":
+                # flat column-major buffers, like the reference's by-column
+                return {
+                    "format": format,
+                    "bitmap": np.ascontiguousarray(bm.T).reshape(-1),
+                    "values": np.ascontiguousarray(vals.T).reshape(-1),
+                    "nrows": p.nrows,
+                    "ncols": p.ncols,
+                    "nvals": int(p.nvals),
+                }
+            return {
+                "format": format,
+                "bitmap": bm,
+                "values": vals,
+                "nrows": p.nrows,
+                "ncols": p.ncols,
+                "nvals": int(p.nvals),
+            }
         if format == "csr":
             indptr, col_indices, values = p.to_csr()
             return {"format": "csr", "indptr": indptr, "col_indices": col_indices, "values": values, "nrows": p.nrows, "ncols": p.ncols}
@@ -461,7 +500,10 @@ class MatrixTx:
             cols, indptr, row_indices, values = p.to_dcsc()
             return {"format": "hypercsc", "cols": cols, "indptr": indptr, "row_indices": row_indices, "values": values, "nrows": p.nrows, "ncols": p.ncols}
         if format in {"fullr", "fullc"}:
-            return {"format": format, "values": p.to_dense(fill_value=0), "nrows": p.nrows, "ncols": p.ncols}
+            vals = np.asarray(p.to_dense(fill_value=0))
+            if format == "fullc":
+                vals = np.asfortranarray(vals)  # column-major memory order
+            return {"format": format, "values": vals, "nrows": p.nrows, "ncols": p.ncols}
         if format == "densemasked":
             return {
                 "format": "densemasked",

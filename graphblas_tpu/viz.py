@@ -47,9 +47,70 @@ def spy(m, *, show=True, **kwargs):
     return ax
 
 
-def datashade(m, agg="count", *, width=None, height=None, **kwargs):
-    """Interactive datashader plot (reference: viz.py:106); optional dep."""
-    _get_imports("datashader", "datashade")
-    raise NotImplementedError(
-        "datashade requires datashader/hvplot, which are not available in this build"
-    )
+def _canvas_aggregate(m, agg, width, height):
+    """Rasterize matrix entries onto a (height, width) canvas — the core of
+    datashader's Canvas.points aggregation, in numpy."""
+    r, c, v = (np.asarray(a) for a in m.to_coo())
+    v = v.astype(np.float64)
+    px = np.minimum((c * width) // max(m.ncols, 1), width - 1).astype(np.int64)
+    py = np.minimum((r * height) // max(m.nrows, 1), height - 1).astype(np.int64)
+    flat = py * width + px
+    canvas = np.zeros(width * height, np.float64)
+    if agg == "count":
+        np.add.at(canvas, flat, 1.0)
+    elif agg == "sum":
+        np.add.at(canvas, flat, v)
+    elif agg == "mean":
+        cnt = np.zeros(width * height, np.float64)
+        np.add.at(canvas, flat, v)
+        np.add.at(cnt, flat, 1.0)
+        canvas = np.divide(canvas, cnt, out=np.zeros_like(canvas), where=cnt > 0)
+    elif agg == "min":
+        canvas[:] = np.inf
+        np.minimum.at(canvas, flat, v)
+        canvas[~np.isfinite(canvas)] = 0.0
+    elif agg == "max":
+        canvas[:] = -np.inf
+        np.maximum.at(canvas, flat, v)
+        canvas[~np.isfinite(canvas)] = 0.0
+    else:
+        raise ValueError(f"agg must be one of count/sum/mean/min/max; got {agg!r}")
+    return canvas.reshape(height, width)
+
+
+def datashade(m, agg="count", *, width=None, height=None, show=True, **kwargs):
+    """Density plot of a (large) matrix's entries (reference: viz.py:106).
+
+    The reference delegates to datashader/hvplot (optional deps).  When
+    datashader is installed the same path is used; otherwise this computes
+    the identical canvas aggregation (count/sum/mean/min/max per pixel over
+    the entries) in numpy and renders it with matplotlib — datashade works
+    out of the box in this build instead of being import-gated.
+    Returns the matplotlib Axes (or the hvplot object when the optional
+    stack is present).
+    """
+    width = 500 if width is None else int(width)
+    height = 500 if height is None else int(height)
+    try:
+        import datashader  # noqa: F401
+        import hvplot.pandas  # noqa: F401
+        import pandas as pd
+
+        r, c, v = (np.asarray(a) for a in m.to_coo())
+        df = pd.DataFrame({"row": r, "col": c, "val": v})
+        return df.hvplot.scatter(
+            x="col", y="row", c="val", aggregator=agg, datashade=True,
+            width=width, height=height, flip_yaxis=True, **kwargs
+        )
+    except ImportError:
+        pass
+    plt = _get_imports("matplotlib.pyplot", "datashade")
+    canvas = _canvas_aggregate(m, agg, width, height)
+    fig, ax = plt.subplots()
+    im = ax.imshow(canvas, origin="upper", aspect="auto", interpolation="nearest", **kwargs)
+    fig.colorbar(im, ax=ax, label=agg)
+    ax.set_xlabel("col")
+    ax.set_ylabel("row")
+    if show:
+        plt.show()
+    return ax

@@ -394,3 +394,29 @@ def test_dsl_fastsv_plan_strategy():
     with txmod.config.set(mxv_strategy="plan"):
         f1 = dsl.fastsv(ATs).to_dense(fill_value=-1)
     np.testing.assert_allclose(f0, f1)
+
+
+def test_bfs_level_dense_hoisted():
+    """The TPU-idiomatic dense-frontier BFS recipe compiles in HOISTED mode
+    (all structure channels trace-time constants) and matches the notebook
+    recipe's levels."""
+    import numpy as np
+
+    from graphblas_tpu import Matrix, dtypes as dt
+    from graphblas_tpu.models import dsl
+
+    rng = np.random.default_rng(3)
+    n = 60
+    src = rng.integers(0, n, 240)
+    dst = rng.integers(0, n, 240)
+    keep = src != dst
+    AT = Matrix.from_coo(dst[keep], src[keep], 1.0, dt.FP32, nrows=n, ncols=n, dup_op="first")
+    run = dsl.bfs_level_dense_runner(AT, int(src[0]))
+    assert run.mode == "hoisted"
+    v = run()
+    ref = dsl.bfs_level(AT, int(src[0]))
+    ri, rl = ref.to_coo()
+    dense = np.asarray(v._values)
+    # dense recipe: -1 at unreached, levels elsewhere
+    got = {int(i): int(dense[i]) for i in range(n) if dense[i] >= 0}
+    assert got == {int(i): int(l) for i, l in zip(ri, rl)}

@@ -159,3 +159,41 @@ def test_int_channels_in_compiled_loop():
     with txmod.config.set(mxv_strategy="generic"):
         out_gen = gb.loop(2, body, x0).to_dense(fill_value=0)
     assert np.array_equal(out_plan, out_gen)
+
+
+def test_pair_channel_plan_vs_generic(rng):
+    """pair/oneb semirings through the plan engine answer from the validity
+    count scan alone (no value-channel expand); results must equal the
+    generic path for plus/min/max/any adds, partial x structure, empty
+    destinations, and narrow integer output wrap."""
+    import numpy as np
+
+    from graphblas_tpu import Matrix, Vector, tx as txmod
+    from graphblas_tpu.core import dtypes as dtm
+
+    n = 700
+    e = 4000
+    src = rng.integers(0, n, e).astype(np.int64)
+    dst = rng.integers(0, n - 50, e).astype(np.int64)  # some empty dsts
+    key = src * n + dst
+    _, uidx = np.unique(key, return_index=True)
+    src, dst = src[uidx], dst[uidx]
+    xs_idx = np.unique(rng.integers(0, n, n // 3))
+    for dtype, srnames in [
+        (dtm.INT32, ["plus_pair", "min_pair", "max_pair", "any_pair"]),
+        (dtm.FP32, ["plus_pair"]),
+        (dtm.BOOL, ["any_pair", "lor_pair"]),
+        (dtm.INT8, ["plus_pair"]),  # count wraps at 8-bit width
+    ]:
+        vals = np.ones(len(src))
+        with txmod.config.set(dense_limit=0):
+            A = Matrix.from_coo(dst, src, vals, dtype, nrows=n, ncols=n)
+        x = Vector.from_coo(xs_idx, np.ones(len(xs_idx)), dtype, size=n)
+        for srname in srnames:
+            outs = {}
+            for strat in ("plan", "generic"):
+                with txmod.config.set(mxv_strategy=strat):
+                    y = A.mxv(x, srname).new()
+                i, v = y.to_coo()
+                outs[strat] = (i.tolist(), np.asarray(v).tolist())
+            assert outs["plan"] == outs["generic"], (dtype, srname)

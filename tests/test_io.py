@@ -133,3 +133,29 @@ def test_viz_draw_and_spy():
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_viz_datashade():
+    """datashade renders a density canvas without the optional datashader
+    stack (reference: viz.py:106); aggregations match hand-computed values."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import numpy as np
+
+    from graphblas_tpu import Matrix, dtypes, viz
+    from graphblas_tpu.viz import _canvas_aggregate
+
+    A = Matrix.from_coo([0, 0, 9], [0, 0, 9], [1.0, 3.0, 5.0], dtypes.FP32,
+                        nrows=10, ncols=10, dup_op="plus")
+    # 2x2 canvas: entry (0,0)=4.0 in pixel (0,0); (9,9)=5.0 in pixel (1,1)
+    cv = _canvas_aggregate(A, "count", 2, 2)
+    assert cv.tolist() == [[1.0, 0.0], [0.0, 1.0]]
+    cv = _canvas_aggregate(A, "sum", 2, 2)
+    assert cv.tolist() == [[4.0, 0.0], [0.0, 5.0]]
+    cv = _canvas_aggregate(A, "mean", 2, 2)
+    assert cv.tolist() == [[4.0, 0.0], [0.0, 5.0]]
+    cv = _canvas_aggregate(A, "max", 2, 2)
+    assert cv.tolist() == [[4.0, 0.0], [0.0, 5.0]]
+    ax = viz.datashade(A, "count", width=16, height=16, show=False)
+    assert ax is not None

@@ -155,3 +155,44 @@ def test_tx_vector_sparse_huge():
     assert v.tx.compactify("smallest").to_dict() == {0: 1.0, 1: 2.0, 2: 3.0}
     assert v.tx.scan("plus").to_dict() == {5: 2.0, (1 << 33): 3.0, HUGE - 2: 6.0}
     assert v.tx.is_iso is False
+
+
+def test_column_variant_import_export_roundtrip():
+    """bitmapc/fullc/coor/cooc import+export round-trips (reference
+    column-variant zero-copy formats, core/ss/matrix.py:537-3649)."""
+    import numpy as np
+
+    from graphblas_tpu import Matrix, dtypes, tx
+
+    rng = np.random.default_rng(9)
+    A = Matrix.from_coo([0, 0, 2, 3], [1, 3, 0, 2], [1.0, 2.0, 3.0, 4.0],
+                        dtypes.FP32, nrows=4, ncols=5)
+
+    for fmt in ["coor", "cooc", "bitmapr", "bitmapc", "fullr", "fullc"]:
+        blob = A.ss.export(fmt)
+        assert blob["format"] == fmt
+        B = tx.import_any(**dict(blob))
+        if fmt.startswith("full"):
+            # full formats materialize absent entries as 0
+            assert np.array_equal(
+                np.asarray(B.to_dense(fill_value=0)), np.asarray(A.to_dense(fill_value=0))
+            )
+        else:
+            assert B.isequal(A), fmt
+
+    # cooc is column-sorted
+    blob = A.ss.export("cooc")
+    assert blob["sorted_cols"] and not blob["sorted_rows"]
+    assert list(blob["cols"]) == sorted(blob["cols"])
+
+    # flat bitmapc buffers are column-major: element (i, j) at j*nrows + i
+    blob = A.ss.export("bitmapc")
+    bm = np.asarray(blob["bitmap"]).reshape(5, 4).T
+    r, c, _ = A.to_coo()
+    ref = np.zeros((4, 5), bool)
+    ref[np.asarray(r), np.asarray(c)] = True
+    assert np.array_equal(bm, ref)
+
+    # import_any accepts csr blobs too
+    B = tx.import_any(**dict(A.ss.export("csr")))
+    assert B.isequal(A)
