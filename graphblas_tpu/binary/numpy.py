@@ -99,6 +99,11 @@ def _build(name):
         fn = getattr(np, name, None)
     if fn is None:
         raise AttributeError(name)
+    if name == "ldexp":
+        # jnp.ldexp requires an integer exponent; numpy's accepts any dtype
+        # on float operands (the builtin binary.ldexp casts the same way)
+        base = fn
+        fn = lambda x, y: base(x, y.astype(np.int32))  # noqa: E731
     op = BinaryOp.register_anonymous(lambda x, y: fn(x, y), f"numpy.{name}")
     op._modname = "binary.numpy"
     return op

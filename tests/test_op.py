@@ -196,12 +196,25 @@ def test_op_contains():
 
 
 def test_numpy_namespace():
-    assert unary.numpy.exp is unary.exp  # mapnumpy default True
-    assert binary.numpy.add is binary.plus
+    # the namespace caches ops at first access, so force a fresh build under
+    # a pinned mapnumpy (the harness randomizes the global default)
+    for mod, names in ((unary.numpy, ("exp",)), (binary.numpy, ("add",))):
+        for nm in names:
+            mod.__dict__.pop(nm, None)
+    with gb.config.set(mapnumpy=True):
+        assert unary.numpy.exp is unary.exp
+        assert binary.numpy.add is binary.plus
+    unary.numpy.__dict__.pop("exp", None)
+    binary.numpy.__dict__.pop("add", None)
     with gb.config.set(mapnumpy=False):
         # fresh (unmapped) ops are registered on access
         spacing = unary.numpy.spacing
         assert spacing.name == "numpy.spacing"
+        exp = unary.numpy.exp
+        assert exp.name == "numpy.exp"
+    # restore the aliased default for later tests in this process
+    unary.numpy.__dict__.pop("exp", None)
+    binary.numpy.__dict__.pop("add", None)
 
 
 def test_udt_register():
