@@ -970,20 +970,41 @@ def do_assign(self, resolved, value, *, mask, accum, replace, is_submask):
     cv, cs = self._values, self._struct
     if self.ndim == 1:
         idx = np.atleast_1d(indices[0].index)
-        sv, ss, rsel = _dm.scatter_region_vector(
-            cv, cs, idx, _dm.tmap(lambda a: a.reshape(-1), av), as_.reshape(-1)
-        )
+        start = _dm._contig_start(idx, self.shape[0])
+        if start is not None:
+            # slice-shaped region: dynamic_update_slice instead of an
+            # n-sized scatter (the scatter costs ~12 ms/M elements on TPU
+            # and dominated compiled DSL loop bodies)
+            sv, ss, rsel = _dm.scatter_region_vector_contig(
+                cv, cs, _dm.tmap(lambda a: a.reshape(-1), av), as_.reshape(-1), start=start
+            )
+        else:
+            sv, ss, rsel = _dm.scatter_region_vector(
+                cv, cs, idx, _dm.tmap(lambda a: a.reshape(-1), av), as_.reshape(-1)
+            )
     else:
         rows = np.atleast_1d(indices[0].index)
         cols = np.atleast_1d(indices[1].index)
-        sv, ss, rsel = _dm.scatter_region_matrix(
-            cv,
-            cs,
-            rows,
-            cols,
-            _dm.tmap(lambda a: a.reshape(len(rows), len(cols)), av),
-            as_.reshape(len(rows), len(cols)),
-        )
+        rstart = _dm._contig_start(rows, self.shape[0])
+        cstart = _dm._contig_start(cols, self.shape[1])
+        if rstart is not None and cstart is not None:
+            sv, ss, rsel = _dm.scatter_region_matrix_contig(
+                cv,
+                cs,
+                _dm.tmap(lambda a: a.reshape(len(rows), len(cols)), av),
+                as_.reshape(len(rows), len(cols)),
+                rstart=rstart,
+                cstart=cstart,
+            )
+        else:
+            sv, ss, rsel = _dm.scatter_region_matrix(
+                cv,
+                cs,
+                rows,
+                cols,
+                _dm.tmap(lambda a: a.reshape(len(rows), len(cols)), av),
+                as_.reshape(len(rows), len(cols)),
+            )
 
     if accum is not None and not deleting:
         # union-merge within the region instead of pattern replacement

@@ -391,10 +391,18 @@ class CompiledLoop:
         except _StructureDiverged:
             conv = None
         if conv is not None:
+            import jax.numpy as jnp
+
             self.mode = "hoisted"
             self._jit = jax.jit(conv)
             self._consts = consts
             self._structs = captured
+            # commit the captured structure bitmaps to the device ONCE —
+            # uploading them per call costs more than the loop itself over a
+            # remote tunnel (measured: ~50 ms/call at scale 19)
+            self._structs_dev = [
+                None if s is None else jnp.asarray(s) for s in captured
+            ]
             self._values0 = values0
             return
 
@@ -452,7 +460,7 @@ class CompiledLoop:
                 out_leaves.extend(final_values[pos : pos + n])
                 pos += n
                 if sp.kind != "scalar":
-                    out_leaves.append(jnp.asarray(self._structs[i]))
+                    out_leaves.append(self._structs_dev[i])
             out = _rebuild_state(specs, out_leaves)
         else:
             final = self._jit(tuple(leaves), self._consts)

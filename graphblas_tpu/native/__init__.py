@@ -42,6 +42,8 @@ def _build_lib():
     ]
     lib.gbtpu_euler_color2.restype = ctypes.c_int
     lib.gbtpu_euler_color2.argtypes = list(lib.gbtpu_euler_color.argtypes)
+    lib.gbtpu_euler_color3.restype = ctypes.c_int
+    lib.gbtpu_euler_color3.argtypes = list(lib.gbtpu_euler_color.argtypes)
     lib.gbtpu_euler_color_batched.restype = ctypes.c_int
     lib.gbtpu_euler_color_batched.argtypes = [
         ctypes.POINTER(ctypes.c_int32),
@@ -58,6 +60,13 @@ def _build_lib():
         ctypes.c_int64,
         ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.gbtpu_build_network.restype = ctypes.c_int
+    lib.gbtpu_build_network.argtypes = [
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int32),
     ]
     return lib
 
@@ -86,9 +95,10 @@ def euler_color(in_rows, out_rows, R, k=128):
     colors = np.empty(E, np.int32)
     lib = get_lib()
     if lib is not None:
-        # successor-pairing split (euler_color2): ~4x fewer random accesses
-        # than the Hierholzer-walk variant; same proper-coloring contract
-        rc = lib.gbtpu_euler_color2(
+        # successor-pairing split with K interleaved orbit walkers
+        # (euler_color3): hides the DRAM latency of the dependent-load chain
+        # that dominates full-size colorings; same proper-coloring contract
+        rc = lib.gbtpu_euler_color3(
             in_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             out_rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             E,
@@ -159,6 +169,31 @@ def _euler_color_python(in_rows, out_rows, R, k):
         kk //= 2
         level += 1
     return colors
+
+
+def build_network(perm, L, m):
+    """Fused native Benes-network build: returns (s_tables, rsel) numpy
+    arrays for ``ops.permute.build_permutation_plan``, or None when the
+    native library is unavailable (caller falls back to the numpy path).
+    s_tables: (2L+2, r, 128) int8 — forward S for lvl 0..L then backward
+    S_post for lvl L..0.  rsel: (m, 128**L, 128) int32 (src_top)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    perm = np.ascontiguousarray(perm, np.int32)
+    n = len(perm)
+    r = n // 128
+    s_tables = np.empty((2 * L + 2, r, 128), np.int8)
+    rsel = np.empty((m, 128**L, 128), np.int32)
+    rc = lib.gbtpu_build_network(
+        perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        n,
+        s_tables.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        rsel.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"gbtpu_build_network failed with code {rc}")
+    return s_tables, rsel
 
 
 def counting_sort(keys, n):

@@ -319,6 +319,380 @@ int gbtpu_euler_color2(const int32_t *in_rows, const int32_t *out_rows,
 
 extern "C" {
 
+// Latency-hidden 128-edge-coloring: euler_color2's orbit walk with K
+// INTERLEAVED walkers.
+//
+// euler_color2's single orbit walk is a serial dependent-load chain
+// (`e = g[e]`): E/2 random DRAM reads per split level whose latency cannot
+// overlap — on a 1-core host it is the whole plan-build wall.  Here K
+// walkers each chase their own chain; the out-of-order core overlaps their
+// cache misses (memory-level parallelism), turning the walk from
+// latency-bound into throughput-bound.
+//
+// Correctness: each pairing cycle consists of TWO g-orbits (even and odd
+// positions, images of each other under succL).  A walker claims orbit
+// edges with local bit 0 and their succL partners with bit 1, tagging both
+// with its segment id.  Walks end at already-claimed edges; the required
+// color there yields a parity CONSTRAINT between the two segments
+// (flip[a] ^ flip[b] = rel).  Partner claims that collide likewise add
+// constraints.  A union-find with parity resolves all flips (even cycles
+// guarantee consistency); one linear pass applies bit ^ flip[seg].
+int gbtpu_euler_color3(const int32_t *in_rows, const int32_t *out_rows,
+                       int64_t E, int64_t R, int32_t k, int32_t *colors) {
+  if (k <= 0 || (k & (k - 1)) != 0) return 1;
+  std::memset(colors, 0, sizeof(int32_t) * E);
+  if (E == 0 || k == 1) return 0;
+
+  constexpr int K = 32;  // concurrent chains (MLP depth target)
+
+  std::vector<int32_t> EL(E), ER(E), EL2(E), ER2(E);
+  std::vector<int32_t> succL(E), succR(E);
+  std::vector<int32_t> claim(E);
+  std::vector<uint8_t> bits(E);
+
+  {
+    std::vector<int64_t> cnt(R + 1, 0);
+    for (int64_t e = 0; e < E; ++e) cnt[in_rows[e] + 1]++;
+    for (int64_t i = 0; i < R; ++i) cnt[i + 1] += cnt[i];
+    for (int64_t e = 0; e < E; ++e) EL[cnt[in_rows[e]]++] = (int32_t)e;
+    std::fill(cnt.begin(), cnt.end(), 0);
+    for (int64_t e = 0; e < E; ++e) cnt[out_rows[e] + 1]++;
+    for (int64_t i = 0; i < R; ++i) cnt[i + 1] += cnt[i];
+    for (int64_t e = 0; e < E; ++e) ER[cnt[out_rows[e]]++] = (int32_t)e;
+  }
+
+  std::vector<int64_t> bounds = {0, E}, next_bounds;
+  int levels = 0;
+  while ((1 << levels) < k) ++levels;
+
+  // union-find with parity over segments
+  std::vector<int32_t> uf_parent;
+  std::vector<int8_t> uf_rel;  // parity to parent
+  struct Constraint {
+    int32_t a, b;
+    uint8_t rel;
+  };
+  std::vector<Constraint> cons;
+
+  auto uf_find = [&](int32_t x, uint8_t &par) {
+    uint8_t p = 0;
+    int32_t root = x;
+    while (uf_parent[root] != root) {
+      p ^= (uint8_t)uf_rel[root];
+      root = uf_parent[root];
+    }
+    // path compression
+    int32_t cur = x;
+    uint8_t cp = p;
+    while (uf_parent[cur] != root) {
+      const int32_t nxt = uf_parent[cur];
+      const uint8_t step = (uint8_t)uf_rel[cur];
+      uf_parent[cur] = root;
+      uf_rel[cur] = (int8_t)cp;
+      cp ^= step;
+      cur = nxt;
+    }
+    par = p;
+    return root;
+  };
+
+  for (int level = 0; level < levels; ++level) {
+    for (int64_t i = 0; i < E; ++i) succL[EL[i]] = EL[i ^ 1];
+    for (int64_t i = 0; i < E; ++i) succR[ER[i]] = ER[i ^ 1];
+    std::memset(claim.data(), 0xFF, sizeof(int32_t) * E);  // -1
+    cons.clear();
+
+    int32_t cur[K];
+    int32_t seg[K];
+    bool fresh[K];  // no claims yet in this segment (never continue from one)
+    int32_t nseg = 0;
+    int64_t scan = 0;
+    int active = 0;
+    // prime walkers
+    for (int w = 0; w < K; ++w) {
+      while (scan < E && claim[scan] >= 0) ++scan;
+      if (scan >= E) break;
+      cur[w] = (int32_t)scan++;
+      seg[w] = nseg++;
+      fresh[w] = true;
+      ++active;
+    }
+    const int primed = active;
+    while (active > 0) {
+      for (int w = 0; w < primed; ++w) {
+        int32_t e = cur[w];
+        if (e < 0) continue;
+        const int32_t c = claim[e];
+        if (c >= 0) {
+          // arrival wanted color 0 here: parity constraint to c's segment
+          if (!fresh[w]) cons.push_back({seg[w], c >> 1, (uint8_t)(c & 1)});
+          if (!fresh[w] && (c & 1)) {
+            // partner-claimed only — nobody else walks THIS orbit past e;
+            // keep going (terminates at the first orbit-claimed edge, our
+            // own earliest claim at worst)
+            const int32_t nxt = succR[succL[e]];
+            cur[w] = nxt;
+            __builtin_prefetch(&claim[nxt]);
+            __builtin_prefetch(&succL[nxt]);
+            continue;
+          }
+          // orbit-claimed (its walker covers the rest) or a raced fresh
+          // start: take a new start
+          while (scan < E && claim[scan] >= 0) ++scan;
+          if (scan >= E) {
+            cur[w] = -1;
+            --active;
+            continue;
+          }
+          cur[w] = (int32_t)scan++;
+          seg[w] = nseg++;
+          fresh[w] = true;
+          continue;
+        }
+        claim[e] = seg[w] << 1;
+        fresh[w] = false;
+        const int32_t p = succL[e];
+        const int32_t pc = claim[p];
+        if (pc >= 0) {
+          // partner already claimed: we need it colored 1
+          cons.push_back({seg[w], pc >> 1, (uint8_t)((pc & 1) ^ 1)});
+        } else {
+          claim[p] = (seg[w] << 1) | 1;
+        }
+        const int32_t nxt = succR[p];
+        cur[w] = nxt;
+        __builtin_prefetch(&claim[nxt]);
+        __builtin_prefetch(&succL[nxt]);
+      }
+    }
+
+    // resolve segment flips
+    uf_parent.resize(nseg);
+    uf_rel.assign(nseg, 0);
+    for (int32_t s = 0; s < nseg; ++s) uf_parent[s] = s;
+    for (const Constraint &c : cons) {
+      uint8_t pa, pb;
+      const int32_t ra = uf_find(c.a, pa);
+      const int32_t rb = uf_find(c.b, pb);
+      if (ra == rb) {
+        if ((uint8_t)(pa ^ pb) != c.rel) return 2;  // inconsistent (bug)
+        continue;
+      }
+      uf_parent[ra] = rb;
+      uf_rel[ra] = (int8_t)(pa ^ pb ^ c.rel);
+    }
+    std::vector<uint8_t> flip(nseg);
+    for (int32_t s = 0; s < nseg; ++s) {
+      uint8_t p;
+      uf_find(s, p);
+      flip[s] = p;
+    }
+    for (int64_t e = 0; e < E; ++e) {
+      const int32_t c = claim[e];
+      bits[e] = (uint8_t)((c & 1) ^ flip[c >> 1]);
+    }
+
+    next_bounds.clear();
+    int64_t outL = 0;
+    for (size_t c = 0; c + 1 < bounds.size(); ++c) {
+      const int64_t lo = bounds[c], hi = bounds[c + 1];
+      next_bounds.push_back(outL);
+      for (int64_t i = lo; i < hi; ++i)
+        if (!bits[EL[i]]) EL2[outL++] = EL[i];
+      next_bounds.push_back(outL);
+      for (int64_t i = lo; i < hi; ++i)
+        if (bits[EL[i]]) {
+          colors[EL[i]] |= (1 << level);
+          EL2[outL++] = EL[i];
+        }
+    }
+    next_bounds.push_back(outL);
+    int64_t outR = 0;
+    for (size_t c = 0; c + 1 < bounds.size(); ++c) {
+      const int64_t lo = bounds[c], hi = bounds[c + 1];
+      for (int64_t i = lo; i < hi; ++i)
+        if (!bits[ER[i]]) ER2[outR++] = ER[i];
+      for (int64_t i = lo; i < hi; ++i)
+        if (bits[ER[i]]) ER2[outR++] = ER[i];
+    }
+    EL.swap(EL2);
+    ER.swap(ER2);
+    bounds.swap(next_bounds);
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+
+namespace {
+
+// 128x128 tile transpose between strided slabs (the T-stage digit swap).
+// in slot ((qq*128 + a)*M + mm)*128 + b  ->  out slot ((qq*128 + b)*M + mm)*128 + a
+void t_stage_transpose(const int32_t *in, int32_t *out, int64_t n, int64_t M) {
+  const int64_t q = n / (128 * M * 128);
+  const int64_t rowstride = M * 128;
+  constexpr int64_t B = 16;  // tile edge (16x16 int32 tiles = 2 KB)
+  for (int64_t qq = 0; qq < q; ++qq) {
+    for (int64_t mm = 0; mm < M; ++mm) {
+      const int64_t base = (qq * 128 * M + mm) * 128;
+      for (int64_t a0 = 0; a0 < 128; a0 += B) {
+        for (int64_t b0 = 0; b0 < 128; b0 += B) {
+          for (int64_t a = a0; a < a0 + B; ++a) {
+            const int32_t *src = in + base + a * rowstride + b0;
+            int32_t *dst = out + base + b0 * rowstride + a;
+            for (int64_t b = 0; b < B; ++b) dst[b * rowstride] = src[b];
+          }
+        }
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Fused Benes/Clos network builder: the whole per-level stage loop of
+// graphblas_tpu/ops/permute.py::build_permutation_plan in one native call.
+// The numpy formulation pays ~8 full-array passes per level (t[elem]
+// gathers, separate S applies, digit-swap transposes, routing-table
+// scatters); here each level is one fused pass per side plus the coloring.
+//
+// perm: target permutation (out[p] = in[perm[p]]), n = m * 128^L * 128.
+// s_out: (2L+2) int8 tables of r*128 each — forward S for lvl 0..L, then
+//        backward S_post for lvl L..0 (the stage order around them is
+//        reconstructed by the Python wrapper).
+// rsel_out: r*128 int32 — the m-way row-select table (src_top), laid out
+//        (m, 128^L, 128).
+// Returns 0 on success, 3 on a routing collision (invalid coloring).
+int gbtpu_build_network(const int32_t *perm, int64_t n, int8_t *s_out,
+                        int32_t *rsel_out) {
+  // shape params
+  int64_t r = n / 128;
+  int L = 0;
+  int64_t m = r;
+  while (m > 128) {
+    if (m % 128) return 1;
+    m /= 128;
+    L += 1;
+  }
+
+  std::vector<int32_t> t(n), elem(n), buf(n), colors(n), out_row(n);
+  for (int64_t p = 0; p < n; ++p) t[perm[p]] = (int32_t)p;
+  for (int64_t s = 0; s < n; ++s) elem[s] = (int32_t)s;
+
+  // scratch for the strided (lvl > 0) group colorings
+  std::vector<int32_t> in_local, out_g, colors_g;
+
+  int8_t *s_tab = s_out;
+  for (int lvl = 0; lvl <= L; ++lvl) {
+    const int64_t stride = (int64_t)1 << (7 * lvl);
+    const int shift = 7 * (lvl + 1);
+    // te/out_row pass (elem sequential, t random gather)
+    for (int64_t s = 0; s < n; ++s) {
+      const int32_t te = t[elem[s]];
+      out_row[s] = (int32_t)(((int64_t)te >> shift) * stride + ((s >> 7) % stride));
+    }
+    if (stride == 1) {
+      // full-size coloring; in_rows is the slot-row pattern
+      if ((int64_t)in_local.size() < n) in_local.resize(n);
+      for (int64_t s = 0; s < n; ++s) in_local[s] = (int32_t)(s >> 7);
+      const int rc = gbtpu_euler_color3(in_local.data(), out_row.data(), n, r,
+                                        128, colors.data());
+      if (rc != 0) return rc;
+    } else {
+      // stride groups are independent colorings of r/stride rows each
+      const int64_t rs = r / stride;
+      const int64_t seglen = rs * 128;
+      in_local.resize(seglen);
+      for (int64_t i = 0; i < seglen; ++i) in_local[i] = (int32_t)(i >> 7);
+      out_g.resize(n);
+      colors_g.resize(n);
+      // regroup: group g takes rows (g, g+stride, g+2*stride, ...)
+      for (int64_t g = 0; g < stride; ++g) {
+        int32_t *dst = out_g.data() + g * seglen;
+        for (int64_t i = 0; i < rs; ++i) {
+          const int64_t srow = i * stride + g;
+          const int32_t *src = out_row.data() + srow * 128;
+          for (int64_t l = 0; l < 128; ++l) dst[i * 128 + l] = (int32_t)(src[l] / stride);
+        }
+        const int rc = gbtpu_euler_color2(in_local.data(), dst, seglen, rs, 128,
+                                          colors_g.data() + g * seglen);
+        if (rc != 0) return rc;
+      }
+      // ungroup colors back to slot order
+      for (int64_t g = 0; g < stride; ++g) {
+        const int32_t *src = colors_g.data() + g * seglen;
+        for (int64_t i = 0; i < rs; ++i) {
+          const int64_t srow = i * stride + g;
+          std::memcpy(colors.data() + srow * 128, src + i * 128,
+                      128 * sizeof(int32_t));
+        }
+      }
+    }
+    // fused S-table build + S apply: elem2[row*128 + color] = elem[s]
+    std::memset(s_tab, 0xFF, r * 128);
+    for (int64_t s = 0; s < n; ++s) {
+      const int64_t d = ((s >> 7) << 7) + colors[s];
+      if (s_tab[d] != (int8_t)-1) return 3;
+      s_tab[d] = (int8_t)(s & 127);
+      buf[d] = elem[s];
+    }
+    s_tab += r * 128;
+    elem.swap(buf);
+
+    if (lvl < L) {
+      const int64_t M = (int64_t)1 << (7 * lvl);
+      t_stage_transpose(elem.data(), buf.data(), n, M);
+      elem.swap(buf);
+    } else {
+      // RSEL: dest_row gets row s>>7's lane (same lane), table = src row / stride
+      std::memset(rsel_out, 0xFF, r * 128 * sizeof(int32_t));
+      for (int64_t s = 0; s < n; ++s) {
+        const int32_t te = t[elem[s]];
+        const int64_t dest_row =
+            ((int64_t)te >> shift) * stride + ((s >> 7) % stride);
+        const int64_t d = (dest_row << 7) + (s & 127);
+        if (rsel_out[d] != -1) return 3;
+        rsel_out[d] = (int32_t)((s >> 7) / stride);
+        buf[d] = elem[s];
+      }
+      elem.swap(buf);
+    }
+  }
+
+  // backward: S_post(L), then (T, S_post) down to lvl 0
+  for (int lvl = L; lvl >= 0; --lvl) {
+    if (lvl < L) {
+      const int64_t M = (int64_t)1 << (7 * lvl);
+      t_stage_transpose(elem.data(), buf.data(), n, M);
+      elem.swap(buf);
+    }
+    const int shift = 7 * lvl;
+    std::memset(s_tab, 0xFF, r * 128);
+    for (int64_t s = 0; s < n; ++s) {
+      const int32_t req_lane = (int32_t)(((int64_t)t[elem[s]] >> shift) & 127);
+      const int64_t d = ((s >> 7) << 7) + req_lane;
+      if (s_tab[d] != (int8_t)-1) return 3;
+      s_tab[d] = (int8_t)(s & 127);
+      buf[d] = elem[s];
+    }
+    s_tab += r * 128;
+    elem.swap(buf);
+  }
+
+  // final check: the network must reproduce the permutation
+  for (int64_t s = 0; s < n; ++s)
+    if (elem[s] != perm[s]) return 4;
+  return 0;
+}
+
+}  // extern "C"
+
+
+extern "C" {
+
 // Batched coloring of many INDEPENDENT k-regular bipartite subproblems
 // (the stride decomposition of level>0 S-stage routings): one call, one
 // loop in C — the per-call Python/ctypes overhead dominated when levels

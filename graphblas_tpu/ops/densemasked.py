@@ -845,6 +845,75 @@ def scatter_region_vector(cv, cs, idx, av, as_):
     return zv, zs, rsel
 
 
+@_jit(static=("start",))
+def scatter_region_vector_contig(cv, cs, av, as_, start=0):
+    """Contiguous-region variant of ``scatter_region_vector``: slice assigns
+    (incl. the ubiquitous ``v(mask)[:] = x``) lower to dynamic_update_slice
+    instead of an n-sized XLA scatter (~12 ms/M elements on TPU — measured
+    to dominate compiled DSL loop bodies)."""
+    import jax.lax as lax
+
+    zv = tmap(
+        lambda c, a: lax.dynamic_update_slice(
+            c, a if _is_soa(cv) else a.astype(c.dtype), (start,)
+        ),
+        cv,
+        av,
+    )
+    if _host_concrete(cs, as_):
+        cs_np = np.asarray(cs)
+        zs = cs_np.copy()
+        zs[start : start + np.asarray(as_).shape[0]] = np.asarray(as_)
+    else:
+        import jax.lax as lax2
+
+        zs = lax2.dynamic_update_slice(cs, as_, (start,))
+    size = as_.shape[0]
+    rsel = np.zeros(cs.shape, bool)
+    rsel[start : start + size] = True
+    return zv, zs, rsel
+
+
+@_jit(static=("rstart", "cstart"))
+def scatter_region_matrix_contig(cv, cs, av, as_, rstart=0, cstart=0):
+    """Contiguous 2-D region variant of ``scatter_region_matrix`` (see
+    ``scatter_region_vector_contig``)."""
+    import jax.lax as lax
+
+    zv = tmap(
+        lambda c, a: lax.dynamic_update_slice(
+            c, a if _is_soa(cv) else a.astype(c.dtype), (rstart, cstart)
+        ),
+        cv,
+        av,
+    )
+    nr, nc = as_.shape
+    if _host_concrete(cs, as_):
+        cs_np = np.asarray(cs)
+        zs = cs_np.copy()
+        zs[rstart : rstart + nr, cstart : cstart + nc] = np.asarray(as_)
+    else:
+        zs = lax.dynamic_update_slice(cs, as_, (rstart, cstart))
+    rsel = np.zeros(cs.shape, bool)
+    rsel[rstart : rstart + nr, cstart : cstart + nc] = True
+    return zv, zs, rsel
+
+
+def _contig_start(idx, dim):
+    """Start offset when ``idx`` is a contiguous ascending index range
+    (slice-shaped), else None.  idx is host numpy (region indices never ride
+    the trace — see the structure-hoisting note at the call site)."""
+    k = idx.shape[0]
+    if k == 0:
+        return None
+    start = int(idx[0])
+    if int(idx[-1]) - start != k - 1 or start < 0 or start + k > dim:
+        return None
+    if k > 1 and not bool((np.diff(idx) == 1).all()):
+        return None
+    return start
+
+
 # ---------------------------------------------------------------------------
 # Mask / accumulator merge: the single sink every mutating op funnels through
 # (analogue of BaseType._update -> GrB call, reference: core/base.py:338-514)

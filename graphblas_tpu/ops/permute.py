@@ -252,6 +252,28 @@ def build_permutation_plan(perm, *, validate=True):
     perm = np.asarray(perm, np.int64)
     n = len(perm)
     r, m, L = _shape_params(n)
+    if n < (1 << 31) and not _rowsel_shuffle_enabled():
+        # fused native build (one pass per level per side instead of ~8
+        # numpy full-array passes; colorings run inline) — same stages,
+        # verified in-kernel (routing collisions and a final elem==perm
+        # check fail the call)
+        from ..native import build_network
+
+        built = build_network(perm, L, m)
+        if built is not None:
+            s_tables, rsel = built
+            stages = []
+            for lvl in range(L + 1):
+                stages.append(("S", s_tables[lvl]))
+                if lvl < L:
+                    stages.append(("T", lvl))
+                else:
+                    stages.append(("RSEL", rsel, m))
+            stages.append(("S", s_tables[L + 1]))
+            for lvl in range(L - 1, -1, -1):
+                stages.append(("T", lvl))
+                stages.append(("S", s_tables[L + 1 + (L - lvl)]))
+            return PermutePlan(n, stages)
     idt = np.int32 if n < (1 << 31) else np.int64
     # target slot per element (element id = source slot)
     t = np.empty(n, idt)
