@@ -63,6 +63,7 @@ def main():
     ef = int(os.environ.get("GRAPHBLAS_BENCH_EF", "16"))
     seed = 5
     cache = os.environ.get("GRAPHBLAS_BENCH_CACHE", tempfile.gettempdir())
+    os.makedirs(cache, exist_ok=True)
     plan_path = os.path.join(cache, f"gbtpu_plan_v3_s{scale}_e{ef}_{seed}.npz")
     graph_path = os.path.join(cache, f"gbtpu_graph_s{scale}_e{ef}_{seed}.npz")
     dsl_cache = os.path.join(cache, f"gbtpu_dslplans_s{scale}_e{ef}_{seed}")

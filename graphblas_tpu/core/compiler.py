@@ -275,7 +275,15 @@ def _hoist_constants(fn, example_args):
         return of
 
     closed = jax.make_jaxpr(flat_fn)(*flat)
-    consts = tuple(closed.consts)
+    # commit every const to the device ONCE: jaxpr consts include the
+    # host-numpy structure bitmaps (kept numpy by design for hoisting), and
+    # passing numpy leaves to jit re-uploads them on EVERY call — measured
+    # ~19 ms/call of fixed overhead over the remote tunnel at scale 19
+    import jax.numpy as jnp
+
+    consts = tuple(
+        jnp.asarray(c) if isinstance(c, np.ndarray) else c for c in closed.consts
+    )
 
     def converted(args, consts_):
         fl, in_tree2 = jax.tree_util.tree_flatten((args,))
@@ -313,6 +321,17 @@ class CompiledLoop:
         self._consts = ()
         self._structs = None
         self._build()
+        # post-build: commit initial-state leaves to the device once (numpy
+        # leaves would re-upload per call — see _hoist_constants note)
+        import jax.numpy as jnp
+
+        self._leaves0 = [
+            jnp.asarray(l) if isinstance(l, np.ndarray) else l for l in self._leaves0
+        ]
+        if self.mode == "hoisted":
+            self._values0 = [
+                jnp.asarray(v) if isinstance(v, np.ndarray) else v for v in self._values0
+            ]
         _LAST_MODE["loop"] = self.mode
 
     # -- build --------------------------------------------------------------
