@@ -70,10 +70,16 @@ def _to_sv(vec):
 
 
 def _cast_values(v, np_type, dtype):
-    """Cast engine values to an op's input dtype; UDTs are never cast."""
+    """Cast engine values to an op's input dtype; UDTs are never cast.
+    Device values cast at the EXECUTED width (64-bit contract: astype to a
+    64-bit dtype under a 32-bit policy warns and truncates anyway)."""
     if dtype._is_udt or isinstance(v, dict):
         return v
-    return v.astype(np_type)
+    if isinstance(v, np.ndarray):
+        return v.astype(np_type)
+    from . import dtypes as _dtm
+
+    return v.astype(_dtm.executed_np(np_type))
 
 
 def _check_same_shape(a, b, within):

@@ -188,9 +188,12 @@ class Scalar(InfixMixin, BaseType):
             # presence is structural (absent reduces already yield identity)
             import jax.numpy as jnp
 
+            from . import dtypes as _dtm
+
+            _np_exec = _dtm.executed_np(self._dtype.np_type)
             if accum is not None and not self._empty:
-                v = accum.fn(self._device_value(), jnp.asarray(v, self._dtype.np_type))
-            self._values = jnp.asarray(v).astype(self._dtype.np_type)
+                v = accum.fn(self._device_value(), jnp.asarray(v, _np_exec))
+            self._values = jnp.asarray(v).astype(_np_exec)
             self._struct = s
             self._empty = False
             return

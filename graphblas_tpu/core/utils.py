@@ -183,9 +183,20 @@ def device_asarray(x, np_type=None):
     import jax
     import jax.numpy as jnp
 
-    if isinstance(x, jax.core.Tracer):
-        # inside a gb.compile/loop trace: abstract values pass through
-        return x if np_type is None else x.astype(np_type)
+    _is_dev = isinstance(x, jax.core.Tracer) or (
+        isinstance(x, jax.Array) and not np.issubdtype(x.dtype, np.complexfloating)
+    )
+    if _is_dev:
+        # inside a gb.compile/loop trace (or already on device): cast at the
+        # EXECUTED width — the 64-bit contract (docs/types.md) computes
+        # 64-bit dtypes at 32-bit width when x64 is off, and astype(64-bit)
+        # would warn + truncate to the same thing anyway
+        if np_type is None:
+            return x
+        np_type = np.dtype(np_type)
+        if not jax.config.jax_enable_x64 and np_type.itemsize == 8 and np_type.kind in "fiu":
+            np_type = np.dtype(np_type.kind + "4")
+        return x.astype(np_type)
     if np_type is not None:
         x = np.asarray(x, np_type)
     dt = getattr(x, "dtype", None)

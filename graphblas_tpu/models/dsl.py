@@ -47,7 +47,9 @@ def pagerank_runner(AT, *, damping=0.85, max_iters=50, dtype=None):
 
     # -- setup (host-side, once): out-degree, dangling indicator ------------
     outdeg = AT.reduce_columnwise("plus").new(dtype)  # out-degree of each src
-    deg = np.asarray(outdeg.to_dense(fill_value=0.0), np.float64)  # host math
+    # host math; read back first, THEN widen (astype(float64) on a device
+    # array warns + truncates when x64 is off — the 64-bit contract)
+    deg = np.asarray(outdeg.to_dense(fill_value=0.0)).astype(np.float64)
     inv = np.where(deg > 0, 1.0 / np.maximum(deg, 1.0), 0.0)
     inv_deg = Vector.from_dense(inv.astype(np.float32), dtype=dtype)
     dang = Vector.from_dense((deg == 0).astype(np.float32), dtype=dtype)

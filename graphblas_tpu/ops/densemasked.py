@@ -82,6 +82,15 @@ def _jit(fn=None, *, static=()):
     return wrapper
 
 
+def _iota_np():
+    """Index dtype for positional iotas under the 64-bit contract: int64 at
+    full width only when the platform executes it (astype/iota at int64
+    under a 32-bit policy warns and truncates to int32 anyway)."""
+    from ..core import dtypes as _dtm
+
+    return jnp.int64 if _dtm.executes_64bit() else jnp.int32
+
+
 def zero_of(dtype):
     return np.zeros((), dtype)[()]
 
@@ -373,21 +382,21 @@ def apply_positional_unary(values, struct, op, offset):
     which, delta = op.positional if not isinstance(op.positional, str) else (op.positional, 0)
     shape = values.shape
     if len(shape) == 1:
-        idx = jax.lax.broadcasted_iota(jnp.int64, (shape[0], 1), 0)[:, 0]
+        idx = jax.lax.broadcasted_iota(_iota_np(), (shape[0], 1), 0)[:, 0]
     else:
         dim = 0 if which == "i" else 1
-        idx = jax.lax.broadcasted_iota(jnp.int64, shape, dim)
+        idx = jax.lax.broadcasted_iota(_iota_np(), shape, dim)
     out = (idx + delta + offset).astype(op.return_type.np_type)
     return canonical(jnp.broadcast_to(out, shape), struct)
 
 
 def _index_grids(shape):
     if len(shape) == 1:
-        i = jax.lax.broadcasted_iota(jnp.int64, (shape[0], 1), 0)[:, 0]
+        i = jax.lax.broadcasted_iota(_iota_np(), (shape[0], 1), 0)[:, 0]
         j = jnp.zeros_like(i)
     else:
-        i = jax.lax.broadcasted_iota(jnp.int64, shape, 0)
-        j = jax.lax.broadcasted_iota(jnp.int64, shape, 1)
+        i = jax.lax.broadcasted_iota(_iota_np(), shape, 0)
+        j = jax.lax.broadcasted_iota(_iota_np(), shape, 1)
     return i, j
 
 
@@ -601,9 +610,9 @@ def _mxm_soa(av, as_, bv, bs, semiring, out_dtype):
         bs = jnp.pad(bs, ((0, p), (0, 0)))
     nchunks = as_.shape[1] // chunk
 
-    i_grid = jax.lax.broadcasted_iota(jnp.int64, (m, chunk, n), 0)
-    j_grid = jax.lax.broadcasted_iota(jnp.int64, (m, chunk, n), 2)
-    k_local = jax.lax.broadcasted_iota(jnp.int64, (m, chunk, n), 1)
+    i_grid = jax.lax.broadcasted_iota(_iota_np(), (m, chunk, n), 0)
+    j_grid = jax.lax.broadcasted_iota(_iota_np(), (m, chunk, n), 2)
+    k_local = jax.lax.broadcasted_iota(_iota_np(), (m, chunk, n), 1)
 
     cv = cs = None
     for c in range(nchunks):
@@ -705,9 +714,9 @@ def _mxm_paths(av, as_, bv, bs, semiring, out_dtype, strategy="auto"):
     b_v = bv.reshape(nchunks, chunk, n)
     b_s = bs.reshape(nchunks, chunk, n)
 
-    i_grid = jax.lax.broadcasted_iota(jnp.int64, (m, chunk, n), 0)
-    j_grid = jax.lax.broadcasted_iota(jnp.int64, (m, chunk, n), 2)
-    k_local = jax.lax.broadcasted_iota(jnp.int64, (m, chunk, n), 1)
+    i_grid = jax.lax.broadcasted_iota(_iota_np(), (m, chunk, n), 0)
+    j_grid = jax.lax.broadcasted_iota(_iota_np(), (m, chunk, n), 2)
+    k_local = jax.lax.broadcasted_iota(_iota_np(), (m, chunk, n), 1)
 
     fn = add.fn if add.fn is not None else (lambda a, b: a)
 
@@ -725,7 +734,12 @@ def _mxm_paths(av, as_, bv, bs, semiring, out_dtype, strategy="auto"):
         return (newv, cs | bs_red), None
 
     init = (jnp.zeros((m, n), out_np), jnp.zeros((m, n), bool))
-    koffs = (jnp.arange(nchunks) * chunk).astype(jnp.int64)
+    # chunk offsets ride the executed integer width (64-bit contract):
+    # astype(int64) under x64-off warns and truncates to int32 anyway
+    from ..core import dtypes as _dtm
+
+    _kdt = jnp.int64 if _dtm.executes_64bit() else jnp.int32
+    koffs = (jnp.arange(nchunks) * chunk).astype(_kdt)
     (cv, cs), _ = jax.lax.scan(body, init, (a_v, a_s, b_v, b_s, koffs))
     return canonical(cv, cs)
 
@@ -1005,13 +1019,17 @@ def argminmax_axis(values, struct, which, axis):
         filled = jnp.where(struct, values, jnp.asarray(small, values.dtype))
         idx = jnp.argmax(filled, axis=axis)
     s = jnp.any(struct, axis=axis)
-    return idx.astype(jnp.int64), s
+    # 64-bit contract (docs/types.md): indices ride the platform's executed
+    # integer width; astype(int64) under x64-off warns and truncates anyway
+    from ..core import dtypes as _dtm
+
+    return idx.astype(jnp.int64 if _dtm.executes_64bit() else jnp.int32), s
 
 
 @_jit(static=("which", "axis"))
 def firstlast_axis(values, struct, which, axis):
     n = struct.shape[axis]
-    pos = jax.lax.broadcasted_iota(jnp.int64, struct.shape, axis)
+    pos = jax.lax.broadcasted_iota(_iota_np(), struct.shape, axis)
     if which == "first":
         filled = jnp.where(struct, pos, n)
         idx = jnp.min(filled, axis=axis)

@@ -58,6 +58,12 @@ _AXES = {
     "mapnumpy": _axis("GRAPHBLAS_TEST_MAPNUMPY", ["1", "0"], [3, 1]) not in ("0", ""),
     "record": _axis("GRAPHBLAS_TEST_RECORD", ["0", "1"], [7, 1]) not in ("0", ""),
 }
+# export the resolved axes so tests that assert config state read the same
+# values the harness applied (tests/test_misc.py::test_tx_namespace)
+os.environ["GRAPHBLAS_TEST_MXM_STRATEGY"] = _AXES["mxm_strategy"]
+os.environ["GRAPHBLAS_TEST_BLOCKING"] = "1" if _AXES["blocking"] else "0"
+os.environ["GRAPHBLAS_TEST_MAPNUMPY"] = "1" if _AXES["mapnumpy"] else "0"
+os.environ["GRAPHBLAS_TEST_RECORD"] = "1" if _AXES["record"] else "0"
 
 
 def pytest_addoption(parser):
