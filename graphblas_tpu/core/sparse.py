@@ -250,7 +250,9 @@ class SparseMatrixData:
                 if os.path.exists(path):
                     self._plans[direction] = _fs.load_spmv_plan(path)
                     return self._plans[direction]
-            plan = _fs.build_spmv_plan(src, dst, w, n=n)
+            # DSL dispatch never touches the loop-layout network (models
+            # build their own plans); skipping it saves ~1/4 of the analysis
+            plan = _fs.build_spmv_plan(src, dst, w, n=n, loop_net=False)
             if path is not None:
                 os.makedirs(cache_dir, exist_ok=True)
                 _fs.save_spmv_plan(plan, path)

@@ -525,6 +525,220 @@ int gbtpu_euler_color3(const int32_t *in_rows, const int32_t *out_rows,
 }  // extern "C"
 
 
+extern "C" {
+
+// Position-space coloring: euler_color3's walk with the class state kept in
+// LEFT-POSITION space so every class occupies a CONTIGUOUS window in both
+// orders.  Deep split levels then touch only window-sized memory
+// (cache-resident), where euler_color3's edge-id-indexed arrays stay
+// full-range random at every level.
+//
+//   P[i]    = right position of the edge at left position i
+//   Pinv[j] = left position of the edge at right position j
+//   L-pair of left position i is i^1; R-pair of right position j is j^1
+//   orbit step from left position i:  i -> Pinv[P[i ^ 1] ^ 1]
+//
+// After each split the stable partitions renumber positions within the
+// class, so P/Pinv/orig/colpos are maintained by sequential passes with
+// window-local random reads only.  Colors accumulate in position space and
+// scatter to edge ids once at the end.
+int gbtpu_euler_color4(const int32_t *in_rows, const int32_t *out_rows,
+                       int64_t E, int64_t R, int32_t k, int32_t *colors) {
+  if (k <= 0 || (k & (k - 1)) != 0) return 1;
+  std::memset(colors, 0, sizeof(int32_t) * E);
+  if (E == 0 || k == 1) return 0;
+
+  constexpr int K = 32;
+
+  std::vector<int32_t> P(E), Pinv(E), P2(E), Pinv2(E);
+  std::vector<int32_t> orig(E), orig2(E);
+  std::vector<int32_t> colpos(E, 0), colpos2(E);
+  std::vector<int32_t> claim(E);
+  std::vector<int32_t> nposR(E);
+  std::vector<uint8_t> bitL(E), bitR(E);
+
+  {
+    std::vector<int64_t> cnt(R + 1, 0);
+    std::vector<int32_t> ER(E);
+    for (int64_t e = 0; e < E; ++e) cnt[in_rows[e] + 1]++;
+    for (int64_t i = 0; i < R; ++i) cnt[i + 1] += cnt[i];
+    for (int64_t e = 0; e < E; ++e) orig[cnt[in_rows[e]]++] = (int32_t)e;
+    std::fill(cnt.begin(), cnt.end(), 0);
+    for (int64_t e = 0; e < E; ++e) cnt[out_rows[e] + 1]++;
+    for (int64_t i = 0; i < R; ++i) cnt[i + 1] += cnt[i];
+    for (int64_t e = 0; e < E; ++e) ER[cnt[out_rows[e]]++] = (int32_t)e;
+    // posR[edge] -> P[left pos] (reuse nposR as scratch posR)
+    for (int64_t j = 0; j < E; ++j) nposR[ER[j]] = (int32_t)j;
+    for (int64_t i = 0; i < E; ++i) P[i] = nposR[orig[i]];
+    for (int64_t i = 0; i < E; ++i) Pinv[P[i]] = (int32_t)i;
+  }
+
+  std::vector<int64_t> bounds = {0, E}, next_bounds;
+  int levels = 0;
+  while ((1 << levels) < k) ++levels;
+
+  std::vector<int32_t> uf_parent;
+  std::vector<int8_t> uf_rel;
+  struct Cons {
+    int32_t a, b;
+    uint8_t rel;
+  };
+  std::vector<Cons> cons;
+
+  auto uf_find = [&](int32_t x, uint8_t &par) {
+    uint8_t p = 0;
+    int32_t root = x;
+    while (uf_parent[root] != root) {
+      p ^= (uint8_t)uf_rel[root];
+      root = uf_parent[root];
+    }
+    int32_t cur = x;
+    uint8_t cp = p;
+    while (uf_parent[cur] != root) {
+      const int32_t nxt = uf_parent[cur];
+      const uint8_t step = (uint8_t)uf_rel[cur];
+      uf_parent[cur] = root;
+      uf_rel[cur] = (int8_t)cp;
+      cp ^= step;
+      cur = nxt;
+    }
+    par = p;
+    return root;
+  };
+
+  std::vector<uint8_t> flip;
+  for (int level = 0; level < levels; ++level) {
+    // ---- walk every class with K interleaved walkers --------------------
+    std::memset(claim.data(), 0xFF, sizeof(int32_t) * E);
+    cons.clear();
+    int32_t nseg = 0;
+    for (size_t c = 0; c + 1 < bounds.size(); ++c) {
+      const int64_t lo = bounds[c], hi = bounds[c + 1];
+      int32_t cur[K];
+      int32_t seg[K];
+      bool fresh[K];
+      int64_t scan = lo;
+      int active = 0;
+      for (int w = 0; w < K; ++w) {
+        while (scan < hi && claim[scan] >= 0) ++scan;
+        if (scan >= hi) break;
+        cur[w] = (int32_t)scan++;
+        seg[w] = nseg++;
+        fresh[w] = true;
+        ++active;
+      }
+      const int primed = active;
+      while (active > 0) {
+        for (int w = 0; w < primed; ++w) {
+          int32_t i = cur[w];
+          if (i < 0) continue;
+          const int32_t cl = claim[i];
+          if (cl >= 0) {
+            if (!fresh[w]) cons.push_back({seg[w], cl >> 1, (uint8_t)(cl & 1)});
+            if (!fresh[w] && (cl & 1)) {
+              const int32_t nxt = Pinv[P[i ^ 1] ^ 1];
+              cur[w] = nxt;
+              __builtin_prefetch(&claim[nxt]);
+              __builtin_prefetch(&P[nxt ^ 1]);
+              continue;
+            }
+            while (scan < hi && claim[scan] >= 0) ++scan;
+            if (scan >= hi) {
+              cur[w] = -1;
+              --active;
+              continue;
+            }
+            cur[w] = (int32_t)scan++;
+            seg[w] = nseg++;
+            fresh[w] = true;
+            continue;
+          }
+          claim[i] = seg[w] << 1;
+          fresh[w] = false;
+          const int32_t p = i ^ 1;  // L-pair partner (same cache line)
+          const int32_t pc = claim[p];
+          if (pc >= 0) {
+            cons.push_back({seg[w], pc >> 1, (uint8_t)((pc & 1) ^ 1)});
+          } else {
+            claim[p] = (seg[w] << 1) | 1;
+          }
+          const int32_t nxt = Pinv[P[p] ^ 1];
+          cur[w] = nxt;
+          __builtin_prefetch(&claim[nxt]);
+          __builtin_prefetch(&P[nxt ^ 1]);
+        }
+      }
+    }
+
+    // ---- resolve segment flips ------------------------------------------
+    uf_parent.resize(nseg);
+    uf_rel.assign(nseg, 0);
+    for (int32_t s = 0; s < nseg; ++s) uf_parent[s] = s;
+    for (const Cons &c : cons) {
+      uint8_t pa, pb;
+      const int32_t ra = uf_find(c.a, pa);
+      const int32_t rb = uf_find(c.b, pb);
+      if (ra == rb) {
+        if ((uint8_t)(pa ^ pb) != c.rel) return 2;
+        continue;
+      }
+      uf_parent[ra] = rb;
+      uf_rel[ra] = (int8_t)(pa ^ pb ^ c.rel);
+    }
+    flip.resize(nseg);
+    for (int32_t s = 0; s < nseg; ++s) {
+      uint8_t p;
+      uf_find(s, p);
+      flip[s] = p;
+    }
+    for (int64_t i = 0; i < E; ++i) {
+      const int32_t cl = claim[i];
+      bitL[i] = (uint8_t)((cl & 1) ^ flip[cl >> 1]);
+    }
+    // right-position bits (window-local random read)
+    for (int64_t j = 0; j < E; ++j) bitR[j] = bitL[Pinv[j]];
+
+    // ---- stable partitions + map maintenance ----------------------------
+    next_bounds.clear();
+    for (size_t c = 0; c + 1 < bounds.size(); ++c) {
+      const int64_t lo = bounds[c], hi = bounds[c + 1];
+      // new right positions within this class
+      int64_t r0 = lo;
+      for (int64_t j = lo; j < hi; ++j)
+        if (!bitR[j]) nposR[j] = (int32_t)r0++;
+      int64_t r1 = r0;
+      for (int64_t j = lo; j < hi; ++j)
+        if (bitR[j]) nposR[j] = (int32_t)r1++;
+      // left partition, emitting P2/orig2/colpos2 in new order
+      int64_t o0 = lo, o1 = 0;
+      // count zeros to find the split point
+      int64_t zeros = 0;
+      for (int64_t i = lo; i < hi; ++i) zeros += (bitL[i] == 0);
+      o1 = lo + zeros;
+      next_bounds.push_back(lo);
+      next_bounds.push_back(o1);
+      for (int64_t i = lo; i < hi; ++i) {
+        const int64_t d = bitL[i] ? o1++ : o0++;
+        P2[d] = nposR[P[i]];
+        orig2[d] = orig[i];
+        colpos2[d] = colpos[i] | ((int32_t)bitL[i] << level);
+      }
+      for (int64_t i = lo; i < hi; ++i) Pinv2[P2[i]] = (int32_t)i;
+    }
+    next_bounds.push_back(E);
+    P.swap(P2);
+    Pinv.swap(Pinv2);
+    orig.swap(orig2);
+    colpos.swap(colpos2);
+    bounds.swap(next_bounds);
+  }
+
+  for (int64_t i = 0; i < E; ++i) colors[orig[i]] = colpos[i];
+  return 0;
+}
+
+}  // extern "C"
+
 namespace {
 
 // 128x128 tile transpose between strided slabs (the T-stage digit swap).

@@ -156,7 +156,7 @@ def _complete_permutation(partial, e_pad):
     return partial
 
 
-def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0):
+def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_net=True):
     """Analyze a COO graph into an SpmvPlan (host-side, once per graph).
 
     ``endpoints=True`` additionally builds the place/collect networks that
@@ -242,9 +242,12 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0):
         last_dst = indptr_dst[1:].astype(np.int64) - 1
         has_state = counts_dst > 0  # incl. pad edges: slot existence only
         both = ne_src & has_state
-        perm3 = np.full(e_pad, -1, np.int64)
-        perm3[starts_src[both]] = last_dst[both]
-        loop_plan = build_permutation_plan(_complete_permutation(perm3, e_pad), validate=False)
+        if loop_net:
+            # only the model loop-layout algorithms use the loop network;
+            # DSL dispatch plans skip it (saves ~1/4 of the analysis)
+            perm3 = np.full(e_pad, -1, np.int64)
+            perm3[starts_src[both]] = last_dst[both]
+            loop_plan = build_permutation_plan(_complete_permutation(perm3, e_pad), validate=False)
         shs = np.zeros(e_pad, bool)
         shs[starts_src[both]] = True
         start_has_state = shs
