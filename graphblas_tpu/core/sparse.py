@@ -240,16 +240,23 @@ class SparseMatrixData:
             if cache_dir:
                 import hashlib
 
+                # PATTERN-keyed (symbolic/numeric split): the networks are
+                # pure pattern analysis, so one cached plan serves every
+                # same-pattern matrix; the weight channel is re-derived at
+                # load.  Weightless (bool) matrices key separately.
                 h = hashlib.blake2b(digest_size=16)
                 h.update(np.int64([self.nrows, self.ncols, self.nvals]).tobytes())
                 h.update(self.rows.tobytes())
                 h.update(self.cols.tobytes())
-                if w is not None:
-                    h.update(w.tobytes())
-                path = os.path.join(cache_dir, f"gbtpu_plan2_{direction}_{h.hexdigest()}.npz")
+                if w is None:
+                    h.update(b"noW")
+                path = os.path.join(cache_dir, f"gbtpu_plan3_{direction}_{h.hexdigest()}.npz")
                 if os.path.exists(path):
-                    self._plans[direction] = _fs.load_spmv_plan(path)
-                    return self._plans[direction]
+                    try:
+                        self._plans[direction] = _fs.load_spmv_plan(path, w=w)
+                        return self._plans[direction]
+                    except Exception:
+                        pass  # unreadable/stale cache entry: rebuild below
             # DSL dispatch never touches the loop-layout network (models
             # build their own plans); skipping it saves ~1/4 of the analysis
             plan = _fs.build_spmv_plan(src, dst, w, n=n, loop_net=False)

@@ -196,6 +196,10 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_
 
     order_src = counting_sort(src_p, n)  # src-sorted edge ids
     order_dst = counting_sort(dst_p, n)  # dst-sorted edge ids
+    # kept host-side on the plan so the disk cache can re-derive the weight
+    # channel for SAME-PATTERN matrices with different values (the networks
+    # are pure pattern analysis — SuiteSparse's symbolic/numeric split)
+    order_dst_np = order_dst.astype(np.int32) if e_pad < (1 << 31) else order_dst
     # permutation: dst-order position p draws from src-order position q:
     # contrib_dst[p] = contrib_src[rank_src[order_dst[p]]]
     rank_src = np.empty(e_pad, np.int64)
@@ -270,7 +274,7 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_
 
         fill_j, fill_hp = build_fill_tables(seg_start_src)
 
-    return SpmvPlan(
+    plan = SpmvPlan(
         n,
         e_pad,
         jnp.asarray(src_sorted),
@@ -294,6 +298,8 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_
         jnp.asarray(fill_hp) if fill_hp is not None else None,
         k_iso_dangling=k_iso_dangling,
     )
+    plan._order_dst = order_dst_np  # host-only (not a pytree leaf)
+    return plan
 
 
 def _interpret_scan():
@@ -452,14 +458,32 @@ def save_spmv_plan(plan, path):
         arrays["outdeg_start"] = np.asarray(plan.outdeg_start)
         arrays["last_dangling"] = np.asarray(plan.last_dangling)
         arrays["k_iso_dangling"] = np.asarray([plan.k_iso_dangling], np.int64)
+    if getattr(plan, "_order_dst", None) is not None:
+        # lets the disk cache serve same-pattern matrices with different
+        # values (load_spmv_plan(w=...) re-derives the weight channel)
+        arrays["order_dst"] = plan._order_dst
     np.savez(path, **arrays)
 
 
-def load_spmv_plan(path):
+def load_spmv_plan(path, w=None):
+    """Load a cached plan.  ``w`` (optional, length e) replaces the stored
+    weight channel: the networks are pure PATTERN analysis, so one cached
+    plan serves every same-pattern matrix (symbolic/numeric split)."""
     import jax.numpy as jnp
 
     data = np.load(path, allow_pickle=False)
     n, e_pad = (int(v) for v in data["meta"])
+    w_dst = None
+    if w is not None:
+        if "order_dst" not in data:
+            raise ValueError("plan file predates weight-override support")
+        w_arr = np.asarray(w)
+        if w_arr.dtype not in (np.dtype(np.float32), np.dtype(np.int32)):
+            w_arr = w_arr.astype(np.float32)
+        w_p = np.concatenate([w_arr, np.zeros(e_pad - len(w_arr), w_arr.dtype)])
+        w_dst = jnp.asarray(w_p[data["order_dst"]])
+    elif "w_dst_order" in data:
+        w_dst = jnp.asarray(data["w_dst_order"])
     perm_plan = _unpack_network(data, "", e_pad)
     fill_j = fill_hp = None
     if "seg_start_src" in data:
@@ -471,7 +495,7 @@ def load_spmv_plan(path):
         n,
         e_pad,
         jnp.asarray(data["src_sorted"]),
-        jnp.asarray(data["w_dst_order"]) if "w_dst_order" in data else None,
+        w_dst,
         jnp.asarray(data["indptr_src"]),
         jnp.asarray(data["indptr_dst"]),
         perm_plan,
