@@ -229,32 +229,439 @@ def _check_vector(mask_kind, accum_name, replace, subassign):
             orc.assert_equal_dicts(orc.to_dict(got), exp, rel=1e-9)
 
 
-def _make(mask_kind, accum_name, replace, subassign, target):
-    check = _check_matrix if target == "m" else _check_vector
-
-    def test():
-        check(mask_kind, accum_name, replace, subassign)
-
-    sub = "sub" if subassign else "std"
-    mk = mask_kind.replace("~", "c")
-    test.__name__ = f"test_{target}assign_{sub}_{mk}_{accum_name}_{'rp' if replace else 'k'}"
-    return test
+def test_massign_std_none_none_k():
+    _check_matrix('none', 'none', False, False)
 
 
-for _target in ("m", "v"):
-    for _mask in _MASKS:
-        for _acc in _ACCUMS:
-            for _rp in (False, True):
-                for _sub in (False, True):
-                    if _mask == "none" and _rp:
-                        continue  # replace without a mask is a no-op combo
-                    _t = _make(_mask, _acc, _rp, _sub, _target)
-                    globals()[_t.__name__] = _t
-del _t
+def test_massign_sub_none_none_k():
+    _check_matrix('none', 'none', False, True)
+
+
+def test_massign_std_none_plus_k():
+    _check_matrix('none', 'plus', False, False)
+
+
+def test_massign_sub_none_plus_k():
+    _check_matrix('none', 'plus', False, True)
+
+
+def test_massign_std_none_minus_k():
+    _check_matrix('none', 'minus', False, False)
+
+
+def test_massign_sub_none_minus_k():
+    _check_matrix('none', 'minus', False, True)
+
+
+def test_massign_std_V_none_k():
+    _check_matrix('V', 'none', False, False)
+
+
+def test_massign_sub_V_none_k():
+    _check_matrix('V', 'none', False, True)
+
+
+def test_massign_std_V_none_rp():
+    _check_matrix('V', 'none', True, False)
+
+
+def test_massign_sub_V_none_rp():
+    _check_matrix('V', 'none', True, True)
+
+
+def test_massign_std_V_plus_k():
+    _check_matrix('V', 'plus', False, False)
+
+
+def test_massign_sub_V_plus_k():
+    _check_matrix('V', 'plus', False, True)
+
+
+def test_massign_std_V_plus_rp():
+    _check_matrix('V', 'plus', True, False)
+
+
+def test_massign_sub_V_plus_rp():
+    _check_matrix('V', 'plus', True, True)
+
+
+def test_massign_std_V_minus_k():
+    _check_matrix('V', 'minus', False, False)
+
+
+def test_massign_sub_V_minus_k():
+    _check_matrix('V', 'minus', False, True)
+
+
+def test_massign_std_V_minus_rp():
+    _check_matrix('V', 'minus', True, False)
+
+
+def test_massign_sub_V_minus_rp():
+    _check_matrix('V', 'minus', True, True)
+
+
+def test_massign_std_S_none_k():
+    _check_matrix('S', 'none', False, False)
+
+
+def test_massign_sub_S_none_k():
+    _check_matrix('S', 'none', False, True)
+
+
+def test_massign_std_S_none_rp():
+    _check_matrix('S', 'none', True, False)
+
+
+def test_massign_sub_S_none_rp():
+    _check_matrix('S', 'none', True, True)
+
+
+def test_massign_std_S_plus_k():
+    _check_matrix('S', 'plus', False, False)
+
+
+def test_massign_sub_S_plus_k():
+    _check_matrix('S', 'plus', False, True)
+
+
+def test_massign_std_S_plus_rp():
+    _check_matrix('S', 'plus', True, False)
+
+
+def test_massign_sub_S_plus_rp():
+    _check_matrix('S', 'plus', True, True)
+
+
+def test_massign_std_S_minus_k():
+    _check_matrix('S', 'minus', False, False)
+
+
+def test_massign_sub_S_minus_k():
+    _check_matrix('S', 'minus', False, True)
+
+
+def test_massign_std_S_minus_rp():
+    _check_matrix('S', 'minus', True, False)
+
+
+def test_massign_sub_S_minus_rp():
+    _check_matrix('S', 'minus', True, True)
+
+
+def test_massign_std_cV_none_k():
+    _check_matrix('~V', 'none', False, False)
+
+
+def test_massign_sub_cV_none_k():
+    _check_matrix('~V', 'none', False, True)
+
+
+def test_massign_std_cV_none_rp():
+    _check_matrix('~V', 'none', True, False)
+
+
+def test_massign_sub_cV_none_rp():
+    _check_matrix('~V', 'none', True, True)
+
+
+def test_massign_std_cV_plus_k():
+    _check_matrix('~V', 'plus', False, False)
+
+
+def test_massign_sub_cV_plus_k():
+    _check_matrix('~V', 'plus', False, True)
+
+
+def test_massign_std_cV_plus_rp():
+    _check_matrix('~V', 'plus', True, False)
+
+
+def test_massign_sub_cV_plus_rp():
+    _check_matrix('~V', 'plus', True, True)
+
+
+def test_massign_std_cV_minus_k():
+    _check_matrix('~V', 'minus', False, False)
+
+
+def test_massign_sub_cV_minus_k():
+    _check_matrix('~V', 'minus', False, True)
+
+
+def test_massign_std_cV_minus_rp():
+    _check_matrix('~V', 'minus', True, False)
+
+
+def test_massign_sub_cV_minus_rp():
+    _check_matrix('~V', 'minus', True, True)
+
+
+def test_massign_std_cS_none_k():
+    _check_matrix('~S', 'none', False, False)
+
+
+def test_massign_sub_cS_none_k():
+    _check_matrix('~S', 'none', False, True)
+
+
+def test_massign_std_cS_none_rp():
+    _check_matrix('~S', 'none', True, False)
+
+
+def test_massign_sub_cS_none_rp():
+    _check_matrix('~S', 'none', True, True)
+
+
+def test_massign_std_cS_plus_k():
+    _check_matrix('~S', 'plus', False, False)
+
+
+def test_massign_sub_cS_plus_k():
+    _check_matrix('~S', 'plus', False, True)
+
+
+def test_massign_std_cS_plus_rp():
+    _check_matrix('~S', 'plus', True, False)
+
+
+def test_massign_sub_cS_plus_rp():
+    _check_matrix('~S', 'plus', True, True)
+
+
+def test_massign_std_cS_minus_k():
+    _check_matrix('~S', 'minus', False, False)
+
+
+def test_massign_sub_cS_minus_k():
+    _check_matrix('~S', 'minus', False, True)
+
+
+def test_massign_std_cS_minus_rp():
+    _check_matrix('~S', 'minus', True, False)
+
+
+def test_massign_sub_cS_minus_rp():
+    _check_matrix('~S', 'minus', True, True)
+
+
+def test_vassign_std_none_none_k():
+    _check_vector('none', 'none', False, False)
+
+
+def test_vassign_sub_none_none_k():
+    _check_vector('none', 'none', False, True)
+
+
+def test_vassign_std_none_plus_k():
+    _check_vector('none', 'plus', False, False)
+
+
+def test_vassign_sub_none_plus_k():
+    _check_vector('none', 'plus', False, True)
+
+
+def test_vassign_std_none_minus_k():
+    _check_vector('none', 'minus', False, False)
+
+
+def test_vassign_sub_none_minus_k():
+    _check_vector('none', 'minus', False, True)
+
+
+def test_vassign_std_V_none_k():
+    _check_vector('V', 'none', False, False)
+
+
+def test_vassign_sub_V_none_k():
+    _check_vector('V', 'none', False, True)
+
+
+def test_vassign_std_V_none_rp():
+    _check_vector('V', 'none', True, False)
+
+
+def test_vassign_sub_V_none_rp():
+    _check_vector('V', 'none', True, True)
+
+
+def test_vassign_std_V_plus_k():
+    _check_vector('V', 'plus', False, False)
+
+
+def test_vassign_sub_V_plus_k():
+    _check_vector('V', 'plus', False, True)
+
+
+def test_vassign_std_V_plus_rp():
+    _check_vector('V', 'plus', True, False)
+
+
+def test_vassign_sub_V_plus_rp():
+    _check_vector('V', 'plus', True, True)
+
+
+def test_vassign_std_V_minus_k():
+    _check_vector('V', 'minus', False, False)
+
+
+def test_vassign_sub_V_minus_k():
+    _check_vector('V', 'minus', False, True)
+
+
+def test_vassign_std_V_minus_rp():
+    _check_vector('V', 'minus', True, False)
+
+
+def test_vassign_sub_V_minus_rp():
+    _check_vector('V', 'minus', True, True)
+
+
+def test_vassign_std_S_none_k():
+    _check_vector('S', 'none', False, False)
+
+
+def test_vassign_sub_S_none_k():
+    _check_vector('S', 'none', False, True)
+
+
+def test_vassign_std_S_none_rp():
+    _check_vector('S', 'none', True, False)
+
+
+def test_vassign_sub_S_none_rp():
+    _check_vector('S', 'none', True, True)
+
+
+def test_vassign_std_S_plus_k():
+    _check_vector('S', 'plus', False, False)
+
+
+def test_vassign_sub_S_plus_k():
+    _check_vector('S', 'plus', False, True)
+
+
+def test_vassign_std_S_plus_rp():
+    _check_vector('S', 'plus', True, False)
+
+
+def test_vassign_sub_S_plus_rp():
+    _check_vector('S', 'plus', True, True)
+
+
+def test_vassign_std_S_minus_k():
+    _check_vector('S', 'minus', False, False)
+
+
+def test_vassign_sub_S_minus_k():
+    _check_vector('S', 'minus', False, True)
+
+
+def test_vassign_std_S_minus_rp():
+    _check_vector('S', 'minus', True, False)
+
+
+def test_vassign_sub_S_minus_rp():
+    _check_vector('S', 'minus', True, True)
+
+
+def test_vassign_std_cV_none_k():
+    _check_vector('~V', 'none', False, False)
+
+
+def test_vassign_sub_cV_none_k():
+    _check_vector('~V', 'none', False, True)
+
+
+def test_vassign_std_cV_none_rp():
+    _check_vector('~V', 'none', True, False)
+
+
+def test_vassign_sub_cV_none_rp():
+    _check_vector('~V', 'none', True, True)
+
+
+def test_vassign_std_cV_plus_k():
+    _check_vector('~V', 'plus', False, False)
+
+
+def test_vassign_sub_cV_plus_k():
+    _check_vector('~V', 'plus', False, True)
+
+
+def test_vassign_std_cV_plus_rp():
+    _check_vector('~V', 'plus', True, False)
+
+
+def test_vassign_sub_cV_plus_rp():
+    _check_vector('~V', 'plus', True, True)
+
+
+def test_vassign_std_cV_minus_k():
+    _check_vector('~V', 'minus', False, False)
+
+
+def test_vassign_sub_cV_minus_k():
+    _check_vector('~V', 'minus', False, True)
+
+
+def test_vassign_std_cV_minus_rp():
+    _check_vector('~V', 'minus', True, False)
+
+
+def test_vassign_sub_cV_minus_rp():
+    _check_vector('~V', 'minus', True, True)
+
+
+def test_vassign_std_cS_none_k():
+    _check_vector('~S', 'none', False, False)
+
+
+def test_vassign_sub_cS_none_k():
+    _check_vector('~S', 'none', False, True)
+
+
+def test_vassign_std_cS_none_rp():
+    _check_vector('~S', 'none', True, False)
+
+
+def test_vassign_sub_cS_none_rp():
+    _check_vector('~S', 'none', True, True)
+
+
+def test_vassign_std_cS_plus_k():
+    _check_vector('~S', 'plus', False, False)
+
+
+def test_vassign_sub_cS_plus_k():
+    _check_vector('~S', 'plus', False, True)
+
+
+def test_vassign_std_cS_plus_rp():
+    _check_vector('~S', 'plus', True, False)
+
+
+def test_vassign_sub_cS_plus_rp():
+    _check_vector('~S', 'plus', True, True)
+
+
+def test_vassign_std_cS_minus_k():
+    _check_vector('~S', 'minus', False, False)
+
+
+def test_vassign_sub_cS_minus_k():
+    _check_vector('~S', 'minus', False, True)
+
+
+def test_vassign_std_cS_minus_rp():
+    _check_vector('~S', 'minus', True, False)
+
+
+def test_vassign_sub_cS_minus_rp():
+    _check_vector('~S', 'minus', True, True)
 
 
 def test_assign_sweep_selfcheck():
-    """The factory registered the full combo grid."""
+    """The sweep covers the full combo grid (108 literal tests)."""
     names = [k for k in globals() if k.startswith(("test_massign", "test_vassign"))]
-    # 2 targets x (no-mask: 3 accums x 2 sub + 4 masks x 3 accums x 2 rp x 2 sub)
-    assert len(names) == 2 * (3 * 2 + 4 * 3 * 2 * 2), len(names)
+    assert len(names) == 108, len(names)

@@ -160,34 +160,547 @@ def _check_vector(mask_kind, accum_name, replace, rowcol):
         orc.assert_equal_dicts(orc.to_dict(got), exp, rel=1e-9)
 
 
-def _make(mask_kind, accum_name, replace, variant, target):
-    if target == "m":
-        def test():
-            _check_matrix(mask_kind, accum_name, replace, variant == "T")
-    else:
-        def test():
-            _check_vector(mask_kind, accum_name, replace, variant)
-
-    mk = mask_kind.replace("~", "c")
-    test.__name__ = f"test_extract_{target}{variant}_{mk}_{accum_name}_{'rp' if replace else 'k'}"
-    return test
+def test_extract_mN_none_none_k():
+    _check_matrix('none', 'none', False, False)
 
 
-for _mask in _MASKS:
-    for _acc in _ACCUMS:
-        for _rp in (False, True):
-            if _mask == "none" and _rp:
-                continue
-            for _var in ("N", "T"):
-                _t = _make(_mask, _acc, _rp, _var, "m")
-                globals()[_t.__name__] = _t
-            for _var in ("flat", "row", "col"):
-                _t = _make(_mask, _acc, _rp, _var, "v")
-                globals()[_t.__name__] = _t
-del _t
+def test_extract_mT_none_none_k():
+    _check_matrix('none', 'none', False, True)
+
+
+def test_extract_vflat_none_none_k():
+    _check_vector('none', 'none', False, 'flat')
+
+
+def test_extract_vrow_none_none_k():
+    _check_vector('none', 'none', False, 'row')
+
+
+def test_extract_vcol_none_none_k():
+    _check_vector('none', 'none', False, 'col')
+
+
+def test_extract_mN_none_plus_k():
+    _check_matrix('none', 'plus', False, False)
+
+
+def test_extract_mT_none_plus_k():
+    _check_matrix('none', 'plus', False, True)
+
+
+def test_extract_vflat_none_plus_k():
+    _check_vector('none', 'plus', False, 'flat')
+
+
+def test_extract_vrow_none_plus_k():
+    _check_vector('none', 'plus', False, 'row')
+
+
+def test_extract_vcol_none_plus_k():
+    _check_vector('none', 'plus', False, 'col')
+
+
+def test_extract_mN_none_max_k():
+    _check_matrix('none', 'max', False, False)
+
+
+def test_extract_mT_none_max_k():
+    _check_matrix('none', 'max', False, True)
+
+
+def test_extract_vflat_none_max_k():
+    _check_vector('none', 'max', False, 'flat')
+
+
+def test_extract_vrow_none_max_k():
+    _check_vector('none', 'max', False, 'row')
+
+
+def test_extract_vcol_none_max_k():
+    _check_vector('none', 'max', False, 'col')
+
+
+def test_extract_mN_V_none_k():
+    _check_matrix('V', 'none', False, False)
+
+
+def test_extract_mT_V_none_k():
+    _check_matrix('V', 'none', False, True)
+
+
+def test_extract_vflat_V_none_k():
+    _check_vector('V', 'none', False, 'flat')
+
+
+def test_extract_vrow_V_none_k():
+    _check_vector('V', 'none', False, 'row')
+
+
+def test_extract_vcol_V_none_k():
+    _check_vector('V', 'none', False, 'col')
+
+
+def test_extract_mN_V_none_rp():
+    _check_matrix('V', 'none', True, False)
+
+
+def test_extract_mT_V_none_rp():
+    _check_matrix('V', 'none', True, True)
+
+
+def test_extract_vflat_V_none_rp():
+    _check_vector('V', 'none', True, 'flat')
+
+
+def test_extract_vrow_V_none_rp():
+    _check_vector('V', 'none', True, 'row')
+
+
+def test_extract_vcol_V_none_rp():
+    _check_vector('V', 'none', True, 'col')
+
+
+def test_extract_mN_V_plus_k():
+    _check_matrix('V', 'plus', False, False)
+
+
+def test_extract_mT_V_plus_k():
+    _check_matrix('V', 'plus', False, True)
+
+
+def test_extract_vflat_V_plus_k():
+    _check_vector('V', 'plus', False, 'flat')
+
+
+def test_extract_vrow_V_plus_k():
+    _check_vector('V', 'plus', False, 'row')
+
+
+def test_extract_vcol_V_plus_k():
+    _check_vector('V', 'plus', False, 'col')
+
+
+def test_extract_mN_V_plus_rp():
+    _check_matrix('V', 'plus', True, False)
+
+
+def test_extract_mT_V_plus_rp():
+    _check_matrix('V', 'plus', True, True)
+
+
+def test_extract_vflat_V_plus_rp():
+    _check_vector('V', 'plus', True, 'flat')
+
+
+def test_extract_vrow_V_plus_rp():
+    _check_vector('V', 'plus', True, 'row')
+
+
+def test_extract_vcol_V_plus_rp():
+    _check_vector('V', 'plus', True, 'col')
+
+
+def test_extract_mN_V_max_k():
+    _check_matrix('V', 'max', False, False)
+
+
+def test_extract_mT_V_max_k():
+    _check_matrix('V', 'max', False, True)
+
+
+def test_extract_vflat_V_max_k():
+    _check_vector('V', 'max', False, 'flat')
+
+
+def test_extract_vrow_V_max_k():
+    _check_vector('V', 'max', False, 'row')
+
+
+def test_extract_vcol_V_max_k():
+    _check_vector('V', 'max', False, 'col')
+
+
+def test_extract_mN_V_max_rp():
+    _check_matrix('V', 'max', True, False)
+
+
+def test_extract_mT_V_max_rp():
+    _check_matrix('V', 'max', True, True)
+
+
+def test_extract_vflat_V_max_rp():
+    _check_vector('V', 'max', True, 'flat')
+
+
+def test_extract_vrow_V_max_rp():
+    _check_vector('V', 'max', True, 'row')
+
+
+def test_extract_vcol_V_max_rp():
+    _check_vector('V', 'max', True, 'col')
+
+
+def test_extract_mN_S_none_k():
+    _check_matrix('S', 'none', False, False)
+
+
+def test_extract_mT_S_none_k():
+    _check_matrix('S', 'none', False, True)
+
+
+def test_extract_vflat_S_none_k():
+    _check_vector('S', 'none', False, 'flat')
+
+
+def test_extract_vrow_S_none_k():
+    _check_vector('S', 'none', False, 'row')
+
+
+def test_extract_vcol_S_none_k():
+    _check_vector('S', 'none', False, 'col')
+
+
+def test_extract_mN_S_none_rp():
+    _check_matrix('S', 'none', True, False)
+
+
+def test_extract_mT_S_none_rp():
+    _check_matrix('S', 'none', True, True)
+
+
+def test_extract_vflat_S_none_rp():
+    _check_vector('S', 'none', True, 'flat')
+
+
+def test_extract_vrow_S_none_rp():
+    _check_vector('S', 'none', True, 'row')
+
+
+def test_extract_vcol_S_none_rp():
+    _check_vector('S', 'none', True, 'col')
+
+
+def test_extract_mN_S_plus_k():
+    _check_matrix('S', 'plus', False, False)
+
+
+def test_extract_mT_S_plus_k():
+    _check_matrix('S', 'plus', False, True)
+
+
+def test_extract_vflat_S_plus_k():
+    _check_vector('S', 'plus', False, 'flat')
+
+
+def test_extract_vrow_S_plus_k():
+    _check_vector('S', 'plus', False, 'row')
+
+
+def test_extract_vcol_S_plus_k():
+    _check_vector('S', 'plus', False, 'col')
+
+
+def test_extract_mN_S_plus_rp():
+    _check_matrix('S', 'plus', True, False)
+
+
+def test_extract_mT_S_plus_rp():
+    _check_matrix('S', 'plus', True, True)
+
+
+def test_extract_vflat_S_plus_rp():
+    _check_vector('S', 'plus', True, 'flat')
+
+
+def test_extract_vrow_S_plus_rp():
+    _check_vector('S', 'plus', True, 'row')
+
+
+def test_extract_vcol_S_plus_rp():
+    _check_vector('S', 'plus', True, 'col')
+
+
+def test_extract_mN_S_max_k():
+    _check_matrix('S', 'max', False, False)
+
+
+def test_extract_mT_S_max_k():
+    _check_matrix('S', 'max', False, True)
+
+
+def test_extract_vflat_S_max_k():
+    _check_vector('S', 'max', False, 'flat')
+
+
+def test_extract_vrow_S_max_k():
+    _check_vector('S', 'max', False, 'row')
+
+
+def test_extract_vcol_S_max_k():
+    _check_vector('S', 'max', False, 'col')
+
+
+def test_extract_mN_S_max_rp():
+    _check_matrix('S', 'max', True, False)
+
+
+def test_extract_mT_S_max_rp():
+    _check_matrix('S', 'max', True, True)
+
+
+def test_extract_vflat_S_max_rp():
+    _check_vector('S', 'max', True, 'flat')
+
+
+def test_extract_vrow_S_max_rp():
+    _check_vector('S', 'max', True, 'row')
+
+
+def test_extract_vcol_S_max_rp():
+    _check_vector('S', 'max', True, 'col')
+
+
+def test_extract_mN_cV_none_k():
+    _check_matrix('~V', 'none', False, False)
+
+
+def test_extract_mT_cV_none_k():
+    _check_matrix('~V', 'none', False, True)
+
+
+def test_extract_vflat_cV_none_k():
+    _check_vector('~V', 'none', False, 'flat')
+
+
+def test_extract_vrow_cV_none_k():
+    _check_vector('~V', 'none', False, 'row')
+
+
+def test_extract_vcol_cV_none_k():
+    _check_vector('~V', 'none', False, 'col')
+
+
+def test_extract_mN_cV_none_rp():
+    _check_matrix('~V', 'none', True, False)
+
+
+def test_extract_mT_cV_none_rp():
+    _check_matrix('~V', 'none', True, True)
+
+
+def test_extract_vflat_cV_none_rp():
+    _check_vector('~V', 'none', True, 'flat')
+
+
+def test_extract_vrow_cV_none_rp():
+    _check_vector('~V', 'none', True, 'row')
+
+
+def test_extract_vcol_cV_none_rp():
+    _check_vector('~V', 'none', True, 'col')
+
+
+def test_extract_mN_cV_plus_k():
+    _check_matrix('~V', 'plus', False, False)
+
+
+def test_extract_mT_cV_plus_k():
+    _check_matrix('~V', 'plus', False, True)
+
+
+def test_extract_vflat_cV_plus_k():
+    _check_vector('~V', 'plus', False, 'flat')
+
+
+def test_extract_vrow_cV_plus_k():
+    _check_vector('~V', 'plus', False, 'row')
+
+
+def test_extract_vcol_cV_plus_k():
+    _check_vector('~V', 'plus', False, 'col')
+
+
+def test_extract_mN_cV_plus_rp():
+    _check_matrix('~V', 'plus', True, False)
+
+
+def test_extract_mT_cV_plus_rp():
+    _check_matrix('~V', 'plus', True, True)
+
+
+def test_extract_vflat_cV_plus_rp():
+    _check_vector('~V', 'plus', True, 'flat')
+
+
+def test_extract_vrow_cV_plus_rp():
+    _check_vector('~V', 'plus', True, 'row')
+
+
+def test_extract_vcol_cV_plus_rp():
+    _check_vector('~V', 'plus', True, 'col')
+
+
+def test_extract_mN_cV_max_k():
+    _check_matrix('~V', 'max', False, False)
+
+
+def test_extract_mT_cV_max_k():
+    _check_matrix('~V', 'max', False, True)
+
+
+def test_extract_vflat_cV_max_k():
+    _check_vector('~V', 'max', False, 'flat')
+
+
+def test_extract_vrow_cV_max_k():
+    _check_vector('~V', 'max', False, 'row')
+
+
+def test_extract_vcol_cV_max_k():
+    _check_vector('~V', 'max', False, 'col')
+
+
+def test_extract_mN_cV_max_rp():
+    _check_matrix('~V', 'max', True, False)
+
+
+def test_extract_mT_cV_max_rp():
+    _check_matrix('~V', 'max', True, True)
+
+
+def test_extract_vflat_cV_max_rp():
+    _check_vector('~V', 'max', True, 'flat')
+
+
+def test_extract_vrow_cV_max_rp():
+    _check_vector('~V', 'max', True, 'row')
+
+
+def test_extract_vcol_cV_max_rp():
+    _check_vector('~V', 'max', True, 'col')
+
+
+def test_extract_mN_cS_none_k():
+    _check_matrix('~S', 'none', False, False)
+
+
+def test_extract_mT_cS_none_k():
+    _check_matrix('~S', 'none', False, True)
+
+
+def test_extract_vflat_cS_none_k():
+    _check_vector('~S', 'none', False, 'flat')
+
+
+def test_extract_vrow_cS_none_k():
+    _check_vector('~S', 'none', False, 'row')
+
+
+def test_extract_vcol_cS_none_k():
+    _check_vector('~S', 'none', False, 'col')
+
+
+def test_extract_mN_cS_none_rp():
+    _check_matrix('~S', 'none', True, False)
+
+
+def test_extract_mT_cS_none_rp():
+    _check_matrix('~S', 'none', True, True)
+
+
+def test_extract_vflat_cS_none_rp():
+    _check_vector('~S', 'none', True, 'flat')
+
+
+def test_extract_vrow_cS_none_rp():
+    _check_vector('~S', 'none', True, 'row')
+
+
+def test_extract_vcol_cS_none_rp():
+    _check_vector('~S', 'none', True, 'col')
+
+
+def test_extract_mN_cS_plus_k():
+    _check_matrix('~S', 'plus', False, False)
+
+
+def test_extract_mT_cS_plus_k():
+    _check_matrix('~S', 'plus', False, True)
+
+
+def test_extract_vflat_cS_plus_k():
+    _check_vector('~S', 'plus', False, 'flat')
+
+
+def test_extract_vrow_cS_plus_k():
+    _check_vector('~S', 'plus', False, 'row')
+
+
+def test_extract_vcol_cS_plus_k():
+    _check_vector('~S', 'plus', False, 'col')
+
+
+def test_extract_mN_cS_plus_rp():
+    _check_matrix('~S', 'plus', True, False)
+
+
+def test_extract_mT_cS_plus_rp():
+    _check_matrix('~S', 'plus', True, True)
+
+
+def test_extract_vflat_cS_plus_rp():
+    _check_vector('~S', 'plus', True, 'flat')
+
+
+def test_extract_vrow_cS_plus_rp():
+    _check_vector('~S', 'plus', True, 'row')
+
+
+def test_extract_vcol_cS_plus_rp():
+    _check_vector('~S', 'plus', True, 'col')
+
+
+def test_extract_mN_cS_max_k():
+    _check_matrix('~S', 'max', False, False)
+
+
+def test_extract_mT_cS_max_k():
+    _check_matrix('~S', 'max', False, True)
+
+
+def test_extract_vflat_cS_max_k():
+    _check_vector('~S', 'max', False, 'flat')
+
+
+def test_extract_vrow_cS_max_k():
+    _check_vector('~S', 'max', False, 'row')
+
+
+def test_extract_vcol_cS_max_k():
+    _check_vector('~S', 'max', False, 'col')
+
+
+def test_extract_mN_cS_max_rp():
+    _check_matrix('~S', 'max', True, False)
+
+
+def test_extract_mT_cS_max_rp():
+    _check_matrix('~S', 'max', True, True)
+
+
+def test_extract_vflat_cS_max_rp():
+    _check_vector('~S', 'max', True, 'flat')
+
+
+def test_extract_vrow_cS_max_rp():
+    _check_vector('~S', 'max', True, 'row')
+
+
+def test_extract_vcol_cS_max_rp():
+    _check_vector('~S', 'max', True, 'col')
 
 
 def test_extract_sweep_selfcheck():
+    """135 literal combo tests."""
     names = [k for k in globals() if k.startswith("test_extract_") and "selfcheck" not in k]
-    # (4 masks x 3 accums x 2 rp + 1 nomask x 3 accums) x 5 variants
-    assert len(names) == (4 * 3 * 2 + 3) * 5, len(names)
+    assert len(names) == 135, len(names)

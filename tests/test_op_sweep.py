@@ -300,18 +300,462 @@ def _make_monoid(name):
     return test
 
 
-for _name, _model in _BINARY_MODELS.items():
-    if _model is None:
-        continue
-    globals()[f"test_binary_{_name}"] = _make_binary(_name)
-for _name in _POSITIONAL:
-    globals()[f"test_binary_{_name}"] = _make_positional(_name)
-for _name in _UNARY_MODELS:
-    globals()[f"test_unary_{_name}"] = _make_unary(_name)
-for _name in _MONOID_MODELS:
-    globals()[f"test_monoid_{_name}"] = _make_monoid(_name)
+def test_binary_plus():
+    _make_binary('plus')()
+
+
+def test_binary_minus():
+    _make_binary('minus')()
+
+
+def test_binary_rminus():
+    _make_binary('rminus')()
+
+
+def test_binary_times():
+    _make_binary('times')()
+
+
+def test_binary_first():
+    _make_binary('first')()
+
+
+def test_binary_second():
+    _make_binary('second')()
+
+
+def test_binary_any():
+    _make_binary('any')()
+
+
+def test_binary_pair():
+    _make_binary('pair')()
+
+
+def test_binary_oneb():
+    _make_binary('oneb')()
+
+
+def test_binary_min():
+    _make_binary('min')()
+
+
+def test_binary_max():
+    _make_binary('max')()
+
+
+def test_binary_eq():
+    _make_binary('eq')()
+
+
+def test_binary_ne():
+    _make_binary('ne')()
+
+
+def test_binary_gt():
+    _make_binary('gt')()
+
+
+def test_binary_lt():
+    _make_binary('lt')()
+
+
+def test_binary_ge():
+    _make_binary('ge')()
+
+
+def test_binary_le():
+    _make_binary('le')()
+
+
+def test_binary_iseq():
+    _make_binary('iseq')()
+
+
+def test_binary_isne():
+    _make_binary('isne')()
+
+
+def test_binary_isgt():
+    _make_binary('isgt')()
+
+
+def test_binary_islt():
+    _make_binary('islt')()
+
+
+def test_binary_isge():
+    _make_binary('isge')()
+
+
+def test_binary_isle():
+    _make_binary('isle')()
+
+
+def test_binary_land():
+    _make_binary('land')()
+
+
+def test_binary_lor():
+    _make_binary('lor')()
+
+
+def test_binary_lxor():
+    _make_binary('lxor')()
+
+
+def test_binary_lxnor():
+    _make_binary('lxnor')()
+
+
+def test_binary_atan2():
+    _make_binary('atan2')()
+
+
+def test_binary_hypot():
+    _make_binary('hypot')()
+
+
+def test_binary_fmod():
+    _make_binary('fmod')()
+
+
+def test_binary_remainder():
+    _make_binary('remainder')()
+
+
+def test_binary_copysign():
+    _make_binary('copysign')()
+
+
+def test_binary_ldexp():
+    _make_binary('ldexp')()
+
+
+def test_binary_pow():
+    _make_binary('pow')()
+
+
+def test_binary_rpow():
+    _make_binary('rpow')()
+
+
+def test_binary_truediv():
+    _make_binary('truediv')()
+
+
+def test_binary_rtruediv():
+    _make_binary('rtruediv')()
+
+
+def test_binary_absfirst():
+    _make_binary('absfirst')()
+
+
+def test_binary_abssecond():
+    _make_binary('abssecond')()
+
+
+def test_binary_binom():
+    _make_binary('binom')()
+
+
+def test_binary_band():
+    _make_binary('band')()
+
+
+def test_binary_bor():
+    _make_binary('bor')()
+
+
+def test_binary_bxor():
+    _make_binary('bxor')()
+
+
+def test_binary_bxnor():
+    _make_binary('bxnor')()
+
+
+def test_binary_bget():
+    _make_binary('bget')()
+
+
+def test_binary_bset():
+    _make_binary('bset')()
+
+
+def test_binary_bclr():
+    _make_binary('bclr')()
+
+
+def test_binary_div():
+    _make_binary('div')()
+
+
+def test_binary_floordiv():
+    _make_binary('floordiv')()
+
+
+def test_binary_rfloordiv():
+    _make_binary('rfloordiv')()
+
+
+def test_binary_cdiv():
+    _make_binary('cdiv')()
+
+
+def test_binary_bshift():
+    _make_binary('bshift')()
+
+
+def test_binary_firsti():
+    _make_positional('firsti')()
+
+
+def test_binary_firsti1():
+    _make_positional('firsti1')()
+
+
+def test_binary_firstj():
+    _make_positional('firstj')()
+
+
+def test_binary_firstj1():
+    _make_positional('firstj1')()
+
+
+def test_binary_secondi():
+    _make_positional('secondi')()
+
+
+def test_binary_secondi1():
+    _make_positional('secondi1')()
+
+
+def test_binary_secondj():
+    _make_positional('secondj')()
+
+
+def test_binary_secondj1():
+    _make_positional('secondj1')()
+
+
+def test_unary_identity():
+    _make_unary('identity')()
+
+
+def test_unary_abs():
+    _make_unary('abs')()
+
+
+def test_unary_ainv():
+    _make_unary('ainv')()
+
+
+def test_unary_minv():
+    _make_unary('minv')()
+
+
+def test_unary_one():
+    _make_unary('one')()
+
+
+def test_unary_lnot():
+    _make_unary('lnot')()
+
+
+def test_unary_bnot():
+    _make_unary('bnot')()
+
+
+def test_unary_sqrt():
+    _make_unary('sqrt')()
+
+
+def test_unary_cbrt():
+    _make_unary('cbrt')()
+
+
+def test_unary_exp():
+    _make_unary('exp')()
+
+
+def test_unary_exp2():
+    _make_unary('exp2')()
+
+
+def test_unary_expm1():
+    _make_unary('expm1')()
+
+
+def test_unary_log():
+    _make_unary('log')()
+
+
+def test_unary_log2():
+    _make_unary('log2')()
+
+
+def test_unary_log10():
+    _make_unary('log10')()
+
+
+def test_unary_log1p():
+    _make_unary('log1p')()
+
+
+def test_unary_sin():
+    _make_unary('sin')()
+
+
+def test_unary_cos():
+    _make_unary('cos')()
+
+
+def test_unary_tan():
+    _make_unary('tan')()
+
+
+def test_unary_asin():
+    _make_unary('asin')()
+
+
+def test_unary_acos():
+    _make_unary('acos')()
+
+
+def test_unary_atan():
+    _make_unary('atan')()
+
+
+def test_unary_sinh():
+    _make_unary('sinh')()
+
+
+def test_unary_cosh():
+    _make_unary('cosh')()
+
+
+def test_unary_tanh():
+    _make_unary('tanh')()
+
+
+def test_unary_asinh():
+    _make_unary('asinh')()
+
+
+def test_unary_acosh():
+    _make_unary('acosh')()
+
+
+def test_unary_atanh():
+    _make_unary('atanh')()
+
+
+def test_unary_ceil():
+    _make_unary('ceil')()
+
+
+def test_unary_floor():
+    _make_unary('floor')()
+
+
+def test_unary_round():
+    _make_unary('round')()
+
+
+def test_unary_trunc():
+    _make_unary('trunc')()
+
+
+def test_unary_signum():
+    _make_unary('signum')()
+
+
+def test_unary_erf():
+    _make_unary('erf')()
+
+
+def test_unary_erfc():
+    _make_unary('erfc')()
+
+
+def test_unary_lgamma():
+    _make_unary('lgamma')()
+
+
+def test_unary_tgamma():
+    _make_unary('tgamma')()
+
+
+def test_unary_isfinite():
+    _make_unary('isfinite')()
+
+
+def test_unary_isinf():
+    _make_unary('isinf')()
+
+
+def test_unary_isnan():
+    _make_unary('isnan')()
+
+
+def test_monoid_plus():
+    _make_monoid('plus')()
+
+
+def test_monoid_times():
+    _make_monoid('times')()
+
+
+def test_monoid_min():
+    _make_monoid('min')()
+
+
+def test_monoid_max():
+    _make_monoid('max')()
+
+
+def test_monoid_any():
+    _make_monoid('any')()
+
+
+def test_monoid_land():
+    _make_monoid('land')()
+
+
+def test_monoid_lor():
+    _make_monoid('lor')()
+
+
+def test_monoid_lxor():
+    _make_monoid('lxor')()
+
+
+def test_monoid_lxnor():
+    _make_monoid('lxnor')()
+
+
+def test_monoid_eq():
+    _make_monoid('eq')()
+
+
+def test_monoid_band():
+    _make_monoid('band')()
+
+
+def test_monoid_bor():
+    _make_monoid('bor')()
+
+
+def test_monoid_bxor():
+    _make_monoid('bxor')()
+
+
+def test_monoid_bxnor():
+    _make_monoid('bxnor')()
 
 
 def test_op_sweep_selfcheck():
     names = [k for k in globals() if k.startswith(("test_binary_", "test_unary_", "test_monoid_"))]
-    assert len(names) >= 100, len(names)
+    assert len(names) == 114, len(names)
