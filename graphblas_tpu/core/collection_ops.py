@@ -240,6 +240,14 @@ def apply_expr(self, op, right=None, *, left=None, thunk=None):
         if opclass == "SelectOp":
             # reference lifts SelectOp to its IndexUnaryOp for apply
             op = op._iu if hasattr(op, "_iu") and op._iu is not None else op
+        if left is not None:
+            raise TypeError("left= is not allowed for IndexUnaryOp apply; pass the thunk")
+        if right is not None:
+            # reference convention: the thunk rides the ``right`` slot for
+            # indexunary apply (A.apply(indexunary.tril, 2))
+            if thunk is not None:
+                raise TypeError("pass the IndexUnaryOp thunk as either right or thunk, not both")
+            thunk = right
         op_t = get_typed_op(op, self.dtype, kind="indexunary")
         thunk_s = _as_scalar(thunk if thunk is not None else 0, getattr(op_t.parent, "_thunk_dtype", None))
 
