@@ -275,10 +275,9 @@ def _hoist_constants(fn, example_args):
         return of
 
     closed = jax.make_jaxpr(flat_fn)(*flat)
-    # commit every const to the device ONCE: jaxpr consts include the
+    # commit every const to the device ONCE: jaxpr consts can include
     # host-numpy structure bitmaps (kept numpy by design for hoisting), and
-    # passing numpy leaves to jit re-uploads them on EVERY call — measured
-    # ~19 ms/call of fixed overhead over the remote tunnel at scale 19
+    # numpy leaves passed to jit re-upload on every call
     import jax.numpy as jnp
 
     consts = tuple(
@@ -417,8 +416,8 @@ class CompiledLoop:
             self._consts = consts
             self._structs = captured
             # commit the captured structure bitmaps to the device ONCE —
-            # uploading them per call costs more than the loop itself over a
-            # remote tunnel (measured: ~50 ms/call at scale 19)
+            # re-uploading them per call costs several ms over a remote
+            # tunnel at scale 19
             self._structs_dev = [
                 None if s is None else jnp.asarray(s) for s in captured
             ]
