@@ -94,16 +94,25 @@ def main():
     # kernel executions, GAP-style.
     tick = jax.jit(lambda v: v + 1.0)
     probe = jnp.ones((8,), jnp.float32)
-    # the remote tunnel occasionally comes up wedged (FAILED_PRECONDITION on
-    # the first host read); back off and retry before giving up the run
-    for attempt in range(4):
+    # the remote tunnel occasionally comes up wedged (FAILED_PRECONDITION /
+    # UNAVAILABLE on the first host read) and outages can last tens of
+    # minutes; back off and retry for up to ~30 min before giving up
+    for attempt in range(10):
         try:
             _force(tick(probe))
             break
         except Exception:
-            if attempt == 3:
+            if attempt == 9:
                 raise
-            time.sleep(60 * (attempt + 1))
+            # a failed backend INIT is cached by jax — drop it so the next
+            # attempt re-dials the tunnel instead of re-raising immediately
+            try:
+                from jax._src import xla_bridge as _xb
+
+                _xb._clear_backends()
+            except Exception:
+                pass
+            time.sleep(min(60 * (attempt + 1), 300))
     floors = []
     for _ in range(5):
         t0 = time.perf_counter()
