@@ -159,3 +159,56 @@ def test_viz_datashade():
     assert cv.tolist() == [[4.0, 0.0], [0.0, 5.0]]
     ax = viz.datashade(A, "count", width=16, height=16, show=False)
     assert ax is not None
+
+
+def test_scipy_all_formats_roundtrip():
+    """from/to scipy for csr/csc/coo x matrix dtypes (reference io/_scipy.py)."""
+    import scipy.sparse as sps
+
+    from graphblas_tpu import io as gio
+
+    rng = np.random.default_rng(3)
+    dense = np.where(rng.random((6, 9)) < 0.4, rng.integers(1, 9, (6, 9)), 0)
+    for fmt in ("csr", "csc", "coo"):
+        s_in = sps.coo_matrix(dense).asformat(fmt)
+        M = gio.from_scipy_sparse(s_in)
+        assert M.shape == (6, 9)
+        s_out = gio.to_scipy_sparse(M, fmt)
+        assert s_out.format == fmt
+        assert (s_out.toarray() == dense).all()
+
+
+def test_mmwrite_mmread_pattern_and_general(tmp_path):
+    from graphblas_tpu import io as gio
+    from graphblas_tpu import Matrix, dtypes
+
+    M = Matrix.from_coo([0, 2, 4], [1, 3, 0], [1.5, -2.0, 3.25], nrows=5, ncols=5)
+    p = tmp_path / "m.mtx"
+    gio.mmwrite(str(p), M)
+    M2 = gio.mmread(str(p))
+    assert M.isequal(M2, check_dtype=False)
+    # bool (pattern-ish) round trip
+    B = Matrix.from_coo([0, 1], [1, 0], [True, True], dtype=dtypes.BOOL, nrows=3, ncols=3)
+    p2 = tmp_path / "b.mtx"
+    gio.mmwrite(str(p2), B)
+    B2 = gio.mmread(str(p2))
+    r, c, _ = B2.to_coo()
+    assert sorted(zip(r.tolist(), c.tolist())) == [(0, 1), (1, 0)]
+
+
+def test_networkx_weighted_digraph():
+    import networkx as nx
+
+    from graphblas_tpu import io as gio
+
+    g = nx.DiGraph()
+    g.add_weighted_edges_from([(0, 1, 2.0), (1, 2, 3.0), (2, 0, 4.0)])
+    M = gio.from_networkx(g, nodelist=[0, 1, 2])
+    assert orc_to_dict(M) == {(0, 1): 2.0, (1, 2): 3.0, (2, 0): 4.0}
+    g2 = gio.to_networkx(M)
+    assert set(g2.edges) == set(g.edges)
+
+
+def orc_to_dict(m):
+    r, c, v = m.to_coo()
+    return dict(zip(zip(r.tolist(), c.tolist()), v.tolist()))
