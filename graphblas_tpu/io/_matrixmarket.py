@@ -17,13 +17,20 @@ def mmread(source, engine="auto", *, dup_op=None, name=None, **kwargs):
 
 def mmwrite(target, matrix, engine="auto", *, comment="", field=None, precision=None, symmetry=None, **kwargs):
     """Write a Matrix to a Matrix Market file."""
+    import numpy as np
     from scipy.io import mmwrite as scipy_mmwrite
 
     from ._scipy import to_scipy_sparse
 
+    arr = to_scipy_sparse(matrix, "coo")
+    if arr.dtype == np.bool_:
+        # scipy's symmetry sniffing applies `-` to values, which numpy bools
+        # reject; BOOL matrices write as 0/1 integers (reference behavior:
+        # MM has no bool field)
+        arr = arr.astype(np.uint8)
     scipy_mmwrite(
         target,
-        to_scipy_sparse(matrix, "coo"),
+        arr,
         comment=comment,
         precision=precision,
         symmetry=symmetry,
