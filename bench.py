@@ -271,37 +271,41 @@ def main():
             out["dsl_pagerank_mode"] = pr_run.mode
             out["dsl_vs_model_iter_ratio"] = round(t / pr_time, 3)
 
-            # BFS (same sources as the model metric)
-            bfs_runs = [dsl.bfs_level_runner(AT, s_) for s_ in sources[:2]]
+            # BFS (same sources as the model metric); amortize 4 runs past
+            # the dispatch floor like the model-path measurements
+            bfs_runs = [dsl.bfs_level_runner(AT, s_) for s_ in sources[:2]] * 2
 
             def run_dsl_bfs():
-                bfs_runs[0]()
-                return bfs_runs[1]()._values
+                for r_ in bfs_runs[:-1]:
+                    r_()
+                return bfs_runs[-1]()._values
 
-            t = measure(run_dsl_bfs, 2)
+            t = measure(run_dsl_bfs, 4)
             out["dsl_bfs_gteps"] = round(e / t / 1e9, 4)
             out["dsl_bfs_mode"] = bfs_runs[0].mode
 
             # BFS, TPU-idiomatic dense-frontier recipe (hoisted mode)
-            bfsd_runs = [dsl.bfs_level_dense_runner(AT, s_) for s_ in sources[:2]]
+            bfsd_runs = [dsl.bfs_level_dense_runner(AT, s_) for s_ in sources[:2]] * 2
 
             def run_dsl_bfs_dense():
-                bfsd_runs[0]()
-                return bfsd_runs[1]()._values
+                for r_ in bfsd_runs[:-1]:
+                    r_()
+                return bfsd_runs[-1]()._values
 
-            t = measure(run_dsl_bfs_dense, 2)
+            t = measure(run_dsl_bfs_dense, 4)
             out["dsl_bfs_dense_gteps"] = round(e / t / 1e9, 4)
             out["dsl_bfs_dense_mode"] = bfsd_runs[0].mode
 
             # SSSP (min-folded duplicate edges: identical relaxations)
             ATw = mk("ss")
-            sssp_runs = [dsl.sssp_runner(ATw, s_) for s_ in sources[:2]]
+            sssp_runs = [dsl.sssp_runner(ATw, s_) for s_ in sources[:2]] * 2
 
             def run_dsl_sssp():
-                sssp_runs[0]()
-                return sssp_runs[1]()._values
+                for r_ in sssp_runs[:-1]:
+                    r_()
+                return sssp_runs[-1]()._values
 
-            t = measure(run_dsl_sssp, 2)
+            t = measure(run_dsl_sssp, 4)
             out["dsl_sssp_gteps"] = round(e / t / 1e9, 4)
             out["dsl_sssp_mode"] = sssp_runs[0].mode
 
