@@ -244,11 +244,20 @@ def loop_runner(n_iters, body, *state):
     return CompiledLoop("fori", body, specs, leaves, len(state) == 1, n_iters=int(n_iters))
 
 
-def until_runner(cond, body, *state, max_iters=None):
+def until_runner(cond, body, *state, max_iters=None, unroll=1):
+    """Compile ``body``-until-``cond`` once; returns a ``CompiledLoop``.
+
+    ``unroll=K`` runs K body steps per while iteration, checking ``cond``
+    every K steps.  Valid ONLY for fixpoint bodies (extra steps past
+    convergence are no-ops — BFS/SSSP/CC-style min/max accumulators): the
+    loop may run up to K-1 extra body steps.  Amortizes the per-iteration
+    cond/while overhead; ``last_iters`` counts body steps (a multiple of K).
+    """
     state = _as_state_tuple(state)
     leaves, specs = _flatten_state(state)
     return CompiledLoop(
-        "while", body, specs, leaves, len(state) == 1, cond=cond, max_iters=max_iters
+        "while", body, specs, leaves, len(state) == 1, cond=cond,
+        max_iters=max_iters, unroll=int(unroll),
     )
 
 
@@ -303,7 +312,7 @@ class CompiledLoop:
     carry identical structure (validated host-side).
     """
 
-    def __init__(self, kind, body, specs, leaves, single, *, n_iters=None, cond=None, max_iters=None):
+    def __init__(self, kind, body, specs, leaves, single, *, n_iters=None, cond=None, max_iters=None, unroll=1):
         import jax
 
         self._kind = kind
@@ -314,6 +323,7 @@ class CompiledLoop:
         self._n_iters = n_iters
         self._cond = cond
         self._max_iters = max_iters
+        self._unroll = max(1, int(unroll))
         self.mode = None
         self.last_iters = None  # while-loops: iteration count of the last run
         self._jit = None
@@ -360,6 +370,7 @@ class CompiledLoop:
 
         def run(vals):
             it0 = jnp.zeros((), jnp.int32)
+            k = self._unroll
 
             def wcond(carry):
                 vals_c, it = carry
@@ -370,7 +381,9 @@ class CompiledLoop:
 
             def wbody(carry):
                 vals_c, it = carry
-                return lbody(vals_c), it + 1
+                for _ in range(k):  # unroll: cond checked every k body steps
+                    vals_c = lbody(vals_c)
+                return vals_c, it + k
 
             final, it = lax.while_loop(wcond, wbody, (tuple(vals), it0))
             return final, it

@@ -13,9 +13,19 @@ edge j -> i, so ``AT.mxv(x)`` computes y[i] = REDUCE over in-neighbors j of
 x[j] (*) w(j, i).  Build it with ``Matrix.from_coo(dst, src, w)``.
 """
 
+import os
+
 import numpy as np
 
 _BIG = float(np.float32(3.4e38) / 4)
+
+
+def _unroll():
+    """Body steps per while iteration for the fixpoint recipes (BFS/SSSP/CC
+    accumulate under min/max, so steps past convergence are no-ops).
+    Amortizes the per-iteration cond/while overhead at the cost of up to
+    unroll-1 extra no-op steps."""
+    return max(1, int(os.environ.get("GRAPHBLAS_TPU_DSL_UNROLL", "1")))
 
 
 def _gb():
@@ -104,7 +114,7 @@ def bfs_level_runner(AT, source, *, max_iters=None):
         lvl_new = (lvl + 1).new(dtm.INT32)
         return v, q_new, lvl_new
 
-    runner = gb.until_runner(cond, body, v0, q0, lvl0, max_iters=max_iters or n)
+    runner = gb.until_runner(cond, body, v0, q0, lvl0, max_iters=max_iters or n, unroll=_unroll())
 
     def run():
         v, _, _ = runner()
@@ -164,7 +174,7 @@ def bfs_level_dense_runner(AT, source, *, max_iters=None):
         q_new = nxt.ewise_add(zeros, binary.plus).new(dtm.FP32)  # dense 0/1
         return v_new, q_new, lvl1
 
-    runner = gb.until_runner(cond, body, v0, q0, lvl0, max_iters=max_iters or n)
+    runner = gb.until_runner(cond, body, v0, q0, lvl0, max_iters=max_iters or n, unroll=_unroll())
 
     def run():
         v, _, _ = runner()
@@ -209,7 +219,7 @@ def sssp_runner(AT, source, *, max_iters=None):
         ch = new.ewise_mult(dist, binary.lt).reduce(monoid.lor).new(dtm.BOOL)
         return new, ch
 
-    runner = gb.until_runner(cond, body, d0, ch0, max_iters=max_iters or n)
+    runner = gb.until_runner(cond, body, d0, ch0, max_iters=max_iters or n, unroll=_unroll())
 
     def run():
         dist, _ = runner()
@@ -263,7 +273,7 @@ def connected_components_runner(AT, *, max_iters=None, dtype=None):
         ch = new.ewise_mult(p, binary.lt).reduce(monoid.lor).new(dtm.BOOL)
         return new, ch
 
-    runner = gb.until_runner(cond, body, p0, ch0, max_iters=max_iters or n)
+    runner = gb.until_runner(cond, body, p0, ch0, max_iters=max_iters or n, unroll=_unroll())
 
     def run():
         p, _ = runner()

@@ -420,3 +420,70 @@ def test_bfs_level_dense_hoisted():
     # dense recipe: -1 at unreached, levels elsewhere
     got = {int(i): int(dense[i]) for i in range(n) if dense[i] >= 0}
     assert got == {int(i): int(l) for i, l in zip(ri, rl)}
+
+
+def test_until_unroll_matches_sequential():
+    """unroll=K runs K body steps per while iteration — same fixpoint."""
+    import numpy as np
+
+    import graphblas_tpu as gb
+    from graphblas_tpu import binary, monoid
+    from graphblas_tpu.core import dtypes
+    from graphblas_tpu.core.vector import Vector
+
+    def mk_state():
+        d0 = Vector.from_dense(np.array([0.0, 100.0, 100.0, 100.0, 100.0], np.float32))
+        return d0
+
+    def cond(d):
+        return d.reduce(monoid.max).apply(binary.gt, right=4.0)
+
+    def body(d):
+        # shift-min chain: d[i] <- min(d[i], d[i-1] + 1); converges in 4 steps
+        import graphblas_tpu as gb2
+        from graphblas_tpu.core.matrix import Matrix
+
+        n = d.size
+        A = Matrix.from_coo(np.arange(1, n), np.arange(n - 1), np.ones(n - 1, np.float32), nrows=n, ncols=n)
+        relaxed = A.mxv(d, "min_plus").new(dtypes.FP32)
+        new = d.dup()
+        new(accum=binary.min) << relaxed
+        return new
+
+    outs = {}
+    for k in (1, 2, 3):
+        r = gb.until_runner(cond, body, mk_state(), max_iters=64, unroll=k)
+        outs[k] = np.asarray(r().to_dense())
+        assert int(r.last_iters) % k == 0
+    assert np.array_equal(outs[1], outs[2])
+    assert np.array_equal(outs[1], outs[3])
+
+
+def test_dsl_unroll_env_matches_default(monkeypatch):
+    """GRAPHBLAS_TPU_DSL_UNROLL=2 gives identical BFS/SSSP/CC results."""
+    import numpy as np
+
+    from graphblas_tpu import binary
+    from graphblas_tpu.core.matrix import Matrix
+    from graphblas_tpu.models import dsl
+
+    rng = np.random.default_rng(4)
+    src = rng.integers(0, 60, 500)
+    dst = rng.integers(0, 60, 500)
+    AT = Matrix.from_coo(dst, src, np.ones(500, np.float32), nrows=60, ncols=60, dup_op=binary.plus)
+    ATs = Matrix.from_coo(
+        np.concatenate([dst, src]), np.concatenate([src, dst]),
+        np.ones(1000, np.float32), nrows=60, ncols=60, dup_op=binary.first,
+    )
+
+    base = {
+        "bfs": np.asarray(dsl.bfs_level_dense(AT, 0).to_dense(fill_value=-1)),
+        "bfsc": sorted(zip(*(a.tolist() for a in dsl.bfs_level(AT, 0).to_coo()))),
+        "sssp": np.asarray(dsl.sssp(AT, 0).to_dense()),
+        "cc": np.asarray(dsl.connected_components(ATs).to_dense()),
+    }
+    monkeypatch.setenv("GRAPHBLAS_TPU_DSL_UNROLL", "2")
+    assert np.array_equal(base["bfs"], np.asarray(dsl.bfs_level_dense(AT, 0).to_dense(fill_value=-1)))
+    assert base["bfsc"] == sorted(zip(*(a.tolist() for a in dsl.bfs_level(AT, 0).to_coo())))
+    assert np.array_equal(base["sssp"], np.asarray(dsl.sssp(AT, 0).to_dense()))
+    assert np.array_equal(base["cc"], np.asarray(dsl.connected_components(ATs).to_dense()))
