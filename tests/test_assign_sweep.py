@@ -15,6 +15,8 @@ One generated test function per (target, mask, accum, replace, sub) combo;
 each sweeps every region shape and value kind inside.
 """
 
+import zlib
+
 import numpy as np
 
 import graphblas_tpu as gb  # noqa: F401
@@ -37,7 +39,7 @@ _MASKS = ["none", "V", "S", "~V", "~S"]
 
 
 def _rng(tag):
-    return np.random.default_rng(abs(hash(tag)) % (2**31))
+    return np.random.default_rng(zlib.crc32((tag).encode()))
 
 
 def _mk_matrix(rng, nr, nc, density=0.5, lo=-9, hi=9):

@@ -4,6 +4,8 @@ Reference: GrB_Matrix_build dup semantics (core/matrix.py from_coo
 validation; SuiteSparse combines duplicates with dup_op in input order).
 """
 
+import zlib
+
 import numpy as np
 import pytest
 
@@ -37,7 +39,7 @@ def _coo_with_dups(rng, nr, nc, e):
 
 
 def _check(dup_name, sparse_storage):
-    rng = np.random.default_rng(abs(hash(dup_name + str(sparse_storage))) % (2**31))
+    rng = np.random.default_rng(zlib.crc32((dup_name + str(sparse_storage)).encode()))
     nr, nc, e = (4000 if sparse_storage else 8), (5000 if sparse_storage else 9), 60
     rows, cols, vals, groups = _coo_with_dups(rng, nr, nc, e)
     model = _DUPS[dup_name]

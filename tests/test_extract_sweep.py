@@ -6,6 +6,8 @@ the standard mask/accum/replace output merge.  One generated test per
 inside.  Oracle: dict model (tests/oracle.py).
 """
 
+import zlib
+
 import numpy as np
 
 import graphblas_tpu as gb  # noqa: F401
@@ -28,7 +30,7 @@ _MASKS = ["none", "V", "S", "~V", "~S"]
 
 
 def _rng(tag):
-    return np.random.default_rng(abs(hash(tag)) % (2**31))
+    return np.random.default_rng(zlib.crc32((tag).encode()))
 
 
 def _mk_matrix(rng, nr, nc, density=0.5, lo=-9, hi=9):

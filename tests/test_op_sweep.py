@@ -8,6 +8,8 @@ against a plain-numpy model of the op's C semantics.
 
 import math
 
+import zlib
+
 import numpy as np
 
 import graphblas_tpu as gb  # noqa: F401
@@ -130,7 +132,9 @@ _UNARY_MODELS = {
     "atanh": np.arctanh,
     "ceil": np.ceil,
     "floor": np.floor,
-    "round": np.round,
+    # C round(): half away from zero (SuiteSparse GxB_ROUND), NOT numpy's
+    # half-even
+    "round": lambda a: np.sign(a) * np.floor(np.abs(a) + 0.5),
     "trunc": np.trunc,
     "signum": np.sign,
     "erf": lambda a: np.vectorize(math.erf)(a),
@@ -147,7 +151,7 @@ _UNARY_UNIT = {"asin", "acos", "atanh"}
 
 
 def _vecs_binary(name):
-    rng = np.random.default_rng(abs(hash("b" + name)) % (2**31))
+    rng = np.random.default_rng(zlib.crc32(("b" + name).encode()))
     if name in _BINARY_INT_ONLY:
         a = rng.integers(1, 40, 24, dtype=np.int64)
         b = rng.integers(0, 5, 24, dtype=np.int64)
@@ -216,7 +220,7 @@ def _make_positional(name):
 def _make_unary(name):
     def test():
         model = _UNARY_MODELS[name]
-        rng = np.random.default_rng(abs(hash("u" + name)) % (2**31))
+        rng = np.random.default_rng(zlib.crc32(("u" + name).encode()))
         if name in _UNARY_INT_ONLY:
             a = rng.integers(-50, 50, 24, dtype=np.int64)
             dt = dtypes.INT64
@@ -267,7 +271,7 @@ _MONOID_MODELS = {
 def _make_monoid(name):
     def test():
         model = _MONOID_MODELS[name]
-        rng = np.random.default_rng(abs(hash("m" + name)) % (2**31))
+        rng = np.random.default_rng(zlib.crc32(("m" + name).encode()))
         if name.startswith("b"):
             a = rng.integers(0, 255, 13, dtype=np.int64)
             dt = dtypes.INT64

@@ -5,6 +5,8 @@ Reference: GrB_mxm/mxv/vxm semantics (core/matrix.py:2203-2331); positional
 semirings use the C=A*B index conventions (core/operator/base.py tables).
 """
 
+import zlib
+
 import numpy as np
 
 import graphblas_tpu as gb  # noqa: F401
@@ -37,7 +39,7 @@ _POSITIONAL = {"min_firstj", "max_secondi", "min_firsti", "max_secondj"}
 
 
 def _rng(tag):
-    return np.random.default_rng(abs(hash(tag)) % (2**31))
+    return np.random.default_rng(zlib.crc32((tag).encode()))
 
 
 def _mk(rng, nr, nc, density=0.45):

@@ -6,6 +6,8 @@ standard output merge, GrB_kronecker, and the binary-exponentiation power
 recipe (core/matrix.py:2840).  Oracle: dict models (tests/oracle.py).
 """
 
+import zlib
+
 import numpy as np
 
 import graphblas_tpu as gb  # noqa: F401
@@ -21,7 +23,7 @@ VN = 12
 
 
 def _rng(tag):
-    return np.random.default_rng(abs(hash(tag)) % (2**31))
+    return np.random.default_rng(zlib.crc32((tag).encode()))
 
 
 def _mk_m(rng, nr=NR, nc=NC, density=0.4):
