@@ -649,7 +649,7 @@ class Matrix(InfixMixin, BaseType):
             return Vector.from_coo(idx, vals, dtype_r, size=diag_len, name=name)
         v, s = _dm.diag_extract(self._values, self._struct, int(k))
         dtype = _dt.lookup_dtype(dtype) if dtype is not None else self._dtype
-        v = v.astype(dtype.np_type)
+        v = v.astype(_dt.executed_np(dtype.np_type))  # 64-bit contract
         return Vector._from_arrays(v, s, dtype, name=name)
 
     def setdiag(self, values, k=0, *, mask=None, accum=None, **opts):
