@@ -73,15 +73,6 @@ def main():
     # DSL matrices load their (pre-built) plans from this on-disk cache
     os.environ["GRAPHBLAS_TPU_PLAN_CACHE"] = dsl_cache
 
-    plan = load_spmv_plan(plan_path)
-    gdata = np.load(graph_path)
-    src, dst = gdata["src"], gdata["dst"]
-    n = int(gdata["n"][0])
-    e = len(src)
-    outdeg_np = np.bincount(src, minlength=n)
-    outdeg = jnp.asarray(outdeg_np.astype(np.int32))
-    sources = np.argsort(outdeg_np)[::-1][:4].tolist()
-
     # NOTE: block_until_ready is unreliable over remote-execution tunnels;
     # force completion with a host value read instead.
     def _force(x):
@@ -93,12 +84,13 @@ def main():
     # RPC latency, not device time — subtract it and amortize over many
     # kernel executions, GAP-style.
     tick = jax.jit(lambda v: v + 1.0)
-    probe = jnp.ones((8,), jnp.float32)
     # the remote tunnel occasionally comes up wedged (FAILED_PRECONDITION /
     # UNAVAILABLE on the first host read) and outages can last tens of
-    # minutes; back off and retry for up to ~30 min before giving up
+    # minutes; this MUST be the process's FIRST device touch (before any
+    # plan upload) — back off and retry for up to ~30 min before giving up
     for attempt in range(10):
         try:
+            probe = jnp.ones((8,), jnp.float32)
             _force(tick(probe))
             break
         except Exception:
@@ -113,6 +105,16 @@ def main():
             except Exception:
                 pass
             time.sleep(min(60 * (attempt + 1), 300))
+
+    plan = load_spmv_plan(plan_path)
+    gdata = np.load(graph_path)
+    src, dst = gdata["src"], gdata["dst"]
+    n = int(gdata["n"][0])
+    e = len(src)
+    outdeg_np = np.bincount(src, minlength=n)
+    outdeg = jnp.asarray(outdeg_np.astype(np.int32))
+    sources = np.argsort(outdeg_np)[::-1][:4].tolist()
+
     floors = []
     for _ in range(5):
         t0 = time.perf_counter()
