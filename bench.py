@@ -88,13 +88,14 @@ def main():
     # UNAVAILABLE on the first host read) and outages can last tens of
     # minutes; this MUST be the process's FIRST device touch (before any
     # plan upload) — back off and retry for up to ~30 min before giving up
-    for attempt in range(10):
+    max_attempts = int(os.environ.get("GRAPHBLAS_BENCH_PROBE_ATTEMPTS", "10"))
+    for attempt in range(max_attempts):
         try:
             probe = jnp.ones((8,), jnp.float32)
             _force(tick(probe))
             break
         except Exception:
-            if attempt == 9:
+            if attempt == max_attempts - 1:
                 raise
             # a failed backend INIT is cached by jax — drop it so the next
             # attempt re-dials the tunnel instead of re-raising immediately
@@ -369,5 +370,35 @@ def main():
     print(json.dumps(result))
 
 
+# The last independently-corroborated full-bench numbers (see BENCH_NOTES);
+# embedded in the failure JSON so an outage round still records the state.
+_LAST_GOOD = {
+    "pagerank_gteps_per_iter": 5.9109,
+    "bfs_gteps": 1.0377,
+    "sssp_gteps": 0.9149,
+    "masked_spgemm_gflops": 3.7748,
+    "tropical_mxm_tops": 3.2998,
+    "source": "BENCH_NOTES_r4 final (17:18 UTC run, /tmp/bench_r4b.log)",
+}
+
+
 if __name__ == "__main__":
-    main()
+    # The driver parses exactly ONE JSON line from stdout. A dead TPU relay
+    # (the round-3/4 failure mode) must yield a diagnosable artifact, not a
+    # raw traceback with rc=1.
+    import traceback
+
+    try:
+        main()
+    except BaseException as ex:  # noqa: BLE001 — bench resilience by design
+        err = {
+            "metric": "PageRank GTEPS/iter/chip (bench FAILED — backend unavailable?)",
+            "value": None,
+            "unit": "GTEPS",
+            "vs_baseline": None,
+            "error": f"{type(ex).__name__}: {ex}",
+            "traceback_tail": traceback.format_exc().strip().splitlines()[-3:],
+            "last_good": _LAST_GOOD,
+        }
+        print(json.dumps(err))
+        sys.exit(0)

@@ -51,6 +51,15 @@ class Monoid(OpBase):
                 or (dtype._is_udt and typed_bin.return_type._is_udt)
             ):
                 identity = _resolve_identity(self._identity_spec, dtype)
+                if (
+                    identity is None
+                    and isinstance(self._identity_spec, dict)
+                    and not dtype._is_udt
+                ):
+                    # per-dtype identity dict restricts the monoid's domain
+                    # (reference: monoid/numpy.py identity tables limit e.g.
+                    # logical_and to BOOL, hypot to floats)
+                    raise KeyError(f"{self.name} does not work with {dtype}")
                 typed = TypedMonoid(self, self.name, dtype, dtype, typed_bin.fn, typed_bin, identity)
                 self._add(typed)
                 return typed
@@ -99,6 +108,8 @@ def _populate_from_binary(monoid, binaryop, identity_spec):
         if ret != dtype:
             continue  # monoid domain must be closed
         identity = _resolve_identity(identity_spec, dtype)
+        if identity is None and isinstance(identity_spec, dict) and not dtype._is_udt:
+            continue  # per-dtype identity dict restricts the domain
         typed_bin = binaryop[dtype]
         monoid._add(TypedMonoid(monoid, monoid.name, dtype, dtype, typed_bin.fn, typed_bin, identity))
     monoid.coercions.update(binaryop.coercions)

@@ -257,36 +257,61 @@ def canonical(values, struct):
 
 
 def _pair_reduce(values, struct, fn, axes):
-    """Reduce (values, struct) over ``axes`` with the present-aware monoid."""
-    if _is_soa(values):
-        keys = sorted(values)
+    """Reduce (values, struct) over ``axes`` with the present-aware monoid.
 
-        def comp(a, b):
-            va = dict(zip(keys, a[:-1]))
-            pa = a[-1]
-            vb = dict(zip(keys, b[:-1]))
-            pb = b[-1]
-            both = pa & pb
-            out = fn(va, vb)
-            merged = tuple(
-                jnp.where(both, out[k], jnp.where(pa, va[k], vb[k])) for k in keys
-            )
-            return (*merged, pa | pb)
+    Lowered as a log-depth halving tree rather than ``lax.reduce``: the XLA
+    reduce computation cannot host control flow (e.g. ``jnp.gcd``'s
+    ``while_loop`` hard-aborts the CPU backend at compile time), while plain
+    elementwise folds can. Only exotic monoids reach this path — the common
+    ones take the vectorized branches in ``_monoid_reduce``.
+    """
+    soa = _is_soa(values)
+    ndim = struct.ndim
+    axes = tuple(sorted(ax % ndim for ax in axes))
+    keep = tuple(i for i in range(ndim) if i not in axes)
+    perm = keep + axes
 
-        operands = (*(values[k] for k in keys), struct)
-        init = (*(zero_of(values[k].dtype) for k in keys), np.bool_(False))
-        out = jax.lax.reduce(operands, init, comp, axes)
-        return dict(zip(keys, out[:-1])), out[-1]
+    def rearrange(x):
+        x = jnp.transpose(x, perm)
+        return x.reshape(x.shape[: len(keep)] + (-1,))
 
-    def comp(a, b):
-        va, pa = a
-        vb, pb = b
+    s = rearrange(struct)
+    v = {k: rearrange(x) for k, x in values.items()} if soa else rearrange(values)
+    keep_shape = s.shape[:-1]
+    if s.shape[-1] == 0:
+        empty_s = jnp.zeros(keep_shape, bool)
+        if soa:
+            return {k: jnp.zeros(keep_shape, x.dtype) for k, x in v.items()}, empty_s
+        return jnp.zeros(keep_shape, v.dtype), empty_s
+
+    def tail_pad(x, lo, hi, padn):
+        part = x[..., lo:hi]
+        if padn:
+            part = jnp.pad(part, [(0, 0)] * (part.ndim - 1) + [(0, padn)])
+        return part
+
+    while s.shape[-1] > 1:
+        r = s.shape[-1]
+        h = (r + 1) // 2
+        padn = 2 * h - r  # pad the b half with absent entries
+        pa = s[..., :h]
+        pb = tail_pad(s, h, r, padn)
         both = pa & pb
-        v = jnp.where(both, fn(va, vb), jnp.where(pa, va, vb))
-        return v, pa | pb
-
-    init = (zero_of(values.dtype), np.bool_(False))
-    return jax.lax.reduce((values, struct), init, comp, axes)
+        if soa:
+            va = {k: x[..., :h] for k, x in v.items()}
+            vb = {k: tail_pad(x, h, r, padn) for k, x in v.items()}
+            out = fn(va, vb)
+            v = {
+                k: jnp.where(both, out[k], jnp.where(pa, va[k], vb[k])) for k in va
+            }
+        else:
+            va = v[..., :h]
+            vb = tail_pad(v, h, r, padn)
+            v = jnp.where(both, fn(va, vb), jnp.where(pa, va, vb))
+        s = pa | pb
+    if soa:
+        return {k: x[..., 0] for k, x in v.items()}, s[..., 0]
+    return v[..., 0], s[..., 0]
 
 
 def _monoid_reduce(values, struct, monoid, axes):

@@ -122,3 +122,116 @@ def test_mapnumpy_aliases_builtins():
     )
     w = v.ewise_mult(v, npbinary.add).new()
     np.testing.assert_array_equal(w.to_coo()[1], (v.ewise_mult(v, binary.plus)).new().to_coo()[1])
+
+
+# ---------------------------------------------------------------------------
+# monoid.numpy / semiring.numpy (reference: graphblas/monoid/numpy.py,
+# graphblas/semiring/numpy.py; tests/test_numpyops.py monoid section)
+# ---------------------------------------------------------------------------
+
+from graphblas_tpu.monoid import numpy as npmonoid  # noqa: E402
+from graphblas_tpu.semiring import numpy as npsemiring  # noqa: E402
+
+_MONOID_FLOAT_ONLY = {"logaddexp", "logaddexp2", "hypot"}
+_MONOID_INT_ONLY = {"gcd"}
+_MONOID_BOOL_ONLY = {"equal", "logical_and", "logical_or", "logical_xor"}
+_MONOID_UFUNC = {  # names whose reducing ufunc differs from the name
+    "maximum": np.maximum, "minimum": np.minimum, "fmax": np.fmax, "fmin": np.fmin,
+}
+
+
+def _monoid_names():
+    return sorted(npmonoid._monoid_identities)
+
+
+@pytest.mark.parametrize("name", _monoid_names())
+def test_monoid_numpy_parity(rng, name):
+    """v.reduce(monoid.numpy.<name>) == np.<name>.reduce(values)."""
+    op = getattr(npmonoid, name)
+    if name in _MONOID_BOOL_ONLY:
+        data = rng.integers(0, 2, 20).astype(bool)
+        dtype = dtypes.BOOL
+    elif name in _MONOID_INT_ONLY or name.startswith("bitwise"):
+        data = rng.integers(1, 60, 20, dtype=np.int64)
+        dtype = dtypes.INT64
+    elif name in _MONOID_FLOAT_ONLY:
+        data = rng.uniform(0.1, 4.0, 20)
+        dtype = dtypes.FP64
+    else:
+        data = rng.uniform(-5.0, 5.0, 20)
+        dtype = dtypes.FP64
+    ufunc = _MONOID_UFUNC.get(name, getattr(np, name))
+    v = Vector.from_coo(np.arange(20), data, dtype, size=20)
+    got = v.reduce(op).new().value
+    expected = ufunc.reduce(data)
+    if dtype is dtypes.BOOL:
+        assert bool(got) == bool(expected), name
+    elif dtype is dtypes.INT64:
+        assert int(got) == int(expected), name
+    else:
+        np.testing.assert_allclose(float(got), float(expected), rtol=1e-6, err_msg=name)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["add_multiply", "logaddexp_add", "maximum_add", "minimum_add",
+     "fmax_multiply", "logical_or_logical_and", "bitwise_xor_bitwise_and"],
+)
+def test_semiring_numpy_vxm_parity(rng, name):
+    """Numpy semirings through the full DSL mxv path vs a dense oracle."""
+    sr = getattr(npsemiring, name)
+    m, b = npsemiring._split(name)
+    if m in _MONOID_BOOL_ONLY or m.startswith("logical"):
+        a = rng.integers(0, 2, (5, 5)).astype(bool)
+        x = rng.integers(0, 2, 5).astype(bool)
+        dtype = dtypes.BOOL
+    elif m.startswith("bitwise") or m in _MONOID_INT_ONLY:
+        a = rng.integers(1, 30, (5, 5), dtype=np.int64)
+        x = rng.integers(1, 30, 5, dtype=np.int64)
+        dtype = dtypes.INT64
+    else:
+        a = rng.uniform(0.1, 3.0, (5, 5))
+        x = rng.uniform(0.1, 3.0, 5)
+        dtype = dtypes.FP64
+    from graphblas_tpu import Matrix
+
+    A = Matrix.from_dense(a, dtype=dtype)
+    v = Vector.from_dense(x, dtype=dtype)
+    got = np.asarray(v.vxm(A, sr).new()._values)
+    mul_ufunc = getattr(np, b if b not in ("plus", "add") else "add")
+    red_ufunc = _MONOID_UFUNC.get(m, getattr(np, m))
+    expected = red_ufunc.reduce(mul_ufunc(x[:, None], a), axis=0)
+    if dtype is dtypes.FP64:
+        np.testing.assert_allclose(got, expected, rtol=1e-6, err_msg=name)
+    else:
+        np.testing.assert_array_equal(got.astype(expected.dtype), expected, err_msg=name)
+
+
+def test_semiring_numpy_names_and_exclusions():
+    # excluded cross-domain combos are absent (reference :28-117)
+    assert "equal_gcd" not in npsemiring._semiring_names
+    assert "bitwise_and_arctan2" not in npsemiring._semiring_names
+    assert "hypot_bitwise_or" not in npsemiring._semiring_names
+    assert "equal_subtract" not in npsemiring._semiring_names
+    assert "gcd_less" not in npsemiring._semiring_names
+    # present names resolve; bad names raise AttributeError
+    assert "add_multiply" in dir(npsemiring)
+    with pytest.raises(AttributeError):
+        npsemiring.not_a_semiring
+    with pytest.raises(AttributeError):
+        npmonoid.not_a_monoid
+    # underscore-splitting finds multi-word monoids
+    assert npsemiring._split("logical_and_bitwise_or") == ("logical_and", "bitwise_or")
+
+
+def test_monoid_numpy_domain_restriction():
+    import graphblas_tpu as gb
+
+    with gb.config.set(mapnumpy=False):
+        npmonoid.__dict__.pop("logical_and", None)
+        la = npmonoid.logical_and
+        assert la.name == "numpy.logical_and"
+        with pytest.raises(KeyError):
+            la[dtypes.INT64]
+        assert la[dtypes.BOOL].identity
+    npmonoid.__dict__.pop("logical_and", None)
