@@ -100,8 +100,11 @@ def _build(name):
     if fn is None:
         raise AttributeError(name)
     if name == "ldexp":
-        # jnp.ldexp requires an integer exponent; numpy's accepts any dtype
-        # on float operands (the builtin binary.ldexp casts the same way)
+        # jnp.ldexp requires an integer exponent; numpy's raises TypeError on
+        # float exponent input.  CONTRACT DELTA (documented, ADVICE r4): this
+        # op truncates a float exponent toward zero instead of raising —
+        # value checks are impossible under jit tracing, and GraphBLAS
+        # operands share one dtype, so float exponents are the common case.
         base = fn
         fn = lambda x, y: base(x, y.astype(np.int32))  # noqa: E731
     op = BinaryOp.register_anonymous(lambda x, y: fn(x, y), f"numpy.{name}")

@@ -47,6 +47,32 @@ def _is_tracer(x):
     return isinstance(x, jax.core.Tracer)
 
 
+def _commit_leaf(x):
+    """Commit a host-side leaf to the device ONCE (device arrays pass
+    through).  Besides plain numpy arrays, jax 0.9 binds numpy constants into
+    jaxprs as ``TypedNdArray`` host literals (NOT an ndarray subclass) — an
+    ``isinstance(np.ndarray)`` check misses them, and every missed leaf is a
+    separate host->device re-upload on EVERY execution.  Over the remote TPU
+    tunnel that was the 'unexplained fixed ~20 ms per CompiledLoop execution'
+    (round-4 postmortem): ~9 structure-bitmap literals x ~2 ms per transfer.
+    ``device_put`` preserves the literal's exact dtype and weak_type, so the
+    jaxpr's avals still match."""
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(x, jax.Array):
+        return x
+    try:
+        from jax._src.literals import TypedNdArray
+    except ImportError:  # pragma: no cover - older jax
+        TypedNdArray = ()
+    if TypedNdArray and isinstance(x, TypedNdArray):
+        return jax.device_put(x)
+    if isinstance(x, np.ndarray):
+        return jnp.asarray(x)
+    return x
+
+
 # ---------------------------------------------------------------------------
 # state flattening: collections <-> leaf arrays
 # ---------------------------------------------------------------------------
@@ -285,13 +311,9 @@ def _hoist_constants(fn, example_args):
 
     closed = jax.make_jaxpr(flat_fn)(*flat)
     # commit every const to the device ONCE: jaxpr consts can include
-    # host-numpy structure bitmaps (kept numpy by design for hoisting), and
-    # numpy leaves passed to jit re-upload on every call
-    import jax.numpy as jnp
-
-    consts = tuple(
-        jnp.asarray(c) if isinstance(c, np.ndarray) else c for c in closed.consts
-    )
+    # host-numpy structure bitmaps (kept numpy by design for hoisting) and
+    # TypedNdArray literals; any host leaf passed to jit re-uploads per call
+    consts = tuple(_commit_leaf(c) for c in closed.consts)
 
     def converted(args, consts_):
         fl, in_tree2 = jax.tree_util.tree_flatten((args,))
@@ -330,17 +352,11 @@ class CompiledLoop:
         self._consts = ()
         self._structs = None
         self._build()
-        # post-build: commit initial-state leaves to the device once (numpy
+        # post-build: commit initial-state leaves to the device once (host
         # leaves would re-upload per call — see _hoist_constants note)
-        import jax.numpy as jnp
-
-        self._leaves0 = [
-            jnp.asarray(l) if isinstance(l, np.ndarray) else l for l in self._leaves0
-        ]
+        self._leaves0 = [_commit_leaf(l) for l in self._leaves0]
         if self.mode == "hoisted":
-            self._values0 = [
-                jnp.asarray(v) if isinstance(v, np.ndarray) else v for v in self._values0
-            ]
+            self._values0 = [_commit_leaf(v) for v in self._values0]
         _LAST_MODE["loop"] = self.mode
 
     # -- build --------------------------------------------------------------
@@ -432,7 +448,7 @@ class CompiledLoop:
             # re-uploading them per call costs several ms over a remote
             # tunnel at scale 19
             self._structs_dev = [
-                None if s is None else jnp.asarray(s) for s in captured
+                None if s is None else _commit_leaf(np.asarray(s)) for s in captured
             ]
             self._values0 = values0
             return

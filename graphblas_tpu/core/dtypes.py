@@ -303,14 +303,8 @@ def executed_np(np_type):
     64-bit contract: 64-bit float/int dtypes narrow to their 32-bit
     counterparts on 32-bit platforms (astype at the declared width would
     warn and truncate to the same thing)."""
-    import jax
-
     np_type = np.dtype(np_type)
-    if (
-        not jax.config.jax_enable_x64
-        and np_type.itemsize == 8
-        and np_type.kind in "fiu"
-    ):
+    if not executes_64bit() and np_type.itemsize == 8 and np_type.kind in "fiu":
         return np.dtype(np_type.kind + "4")
     return np_type
 

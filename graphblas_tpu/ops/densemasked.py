@@ -155,7 +155,9 @@ def s_and(a, b):
     # x & False == False) — required for compiled-loop structure hoisting
     from jax._src import core as _jcore
 
-    if not _jcore.trace_state_clean():
+    # short-circuits must preserve broadcast shape (ADVICE r4): all current
+    # call sites pass equal shapes, so only engage them in that case
+    if not _jcore.trace_state_clean() and np.shape(a) == np.shape(b):
         ca, ta, fa = _concrete_const(a)
         if ca and ta:
             return b
@@ -174,7 +176,7 @@ def s_or(a, b):
         return np.logical_or(np.asarray(a), np.asarray(b))
     from jax._src import core as _jcore
 
-    if not _jcore.trace_state_clean():
+    if not _jcore.trace_state_clean() and np.shape(a) == np.shape(b):
         ca, ta, fa = _concrete_const(a)
         if ca and ta:
             return np.ones_like(np.asarray(a), bool)

@@ -487,3 +487,31 @@ def test_dsl_unroll_env_matches_default(monkeypatch):
     assert base["bfsc"] == sorted(zip(*(a.tolist() for a in dsl.bfs_level(AT, 0).to_coo())))
     assert np.array_equal(base["sssp"], np.asarray(dsl.sssp(AT, 0).to_dense()))
     assert np.array_equal(base["cc"], np.asarray(dsl.connected_components(ATs).to_dense()))
+
+
+def test_compiled_loop_consts_all_committed():
+    """Every hoisted const must be a jax.Array: host leaves (numpy arrays OR
+    jax TypedNdArray literals) re-upload to the device on EVERY execution —
+    over the remote TPU tunnel that was a fixed ~20 ms per CompiledLoop run
+    (round-4 'unexplained overhead', root-caused round 5)."""
+    import jax
+
+    src, dst, w = _rand_graph(80, 400, seed=5, weighted=True)
+    AT = Matrix.from_coo(dst, src, w, nrows=80, ncols=80, dup_op=binary.plus)
+    runners = [
+        dsl.pagerank_runner(AT, max_iters=3),
+        dsl.sssp_runner(AT, 0).runner,
+        dsl.bfs_level_dense_runner(AT, 0).runner,
+        dsl.connected_components_runner(AT).runner,
+    ]
+    for r in runners:
+        cl = r if hasattr(r, "_consts") else r.runner
+        bad = [type(c).__name__ for c in cl._consts if not isinstance(c, jax.Array)]
+        assert not bad, f"host-side consts would re-upload per call: {bad}"
+        for lv in cl._leaves0:
+            assert isinstance(lv, jax.Array)
+        if cl.mode == "hoisted":
+            for v in cl._values0:
+                assert isinstance(v, jax.Array)
+            for s in cl._structs_dev:
+                assert s is None or isinstance(s, jax.Array)
