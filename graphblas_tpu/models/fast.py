@@ -20,6 +20,7 @@ from ..ops.fastspmv import (
     spmv_state,
     state_to_n,
     state_to_start,
+    state_to_start_post,
 )
 
 _BIG = jnp.float32(3.4e38) / 4
@@ -44,6 +45,22 @@ def _spmv_state_update(plan, x_start, mode, state, depth):
         mode, xe_dst, w, plan.valid_dst_order, plan.seg_start_dst,
         plan.is_last_dst, state, depth, interpret=_interpret_scan(),
     )
+
+
+def _xstart_fuse(default):
+    """Fuse the x_start selects into the loop network's final kernel.
+    Measured per-algorithm on v5e (scale 19, in-process A/B, floor-
+    subtracted): PageRank 1.354 -> 1.173 ms/iter (the fused epilogue absorbs
+    the degree divide), but SSSP 7.7 -> 10.8 ms and BFS 6.7 -> 8.1 ms — the
+    compare-decode epilogue degrades the kernel's schedule there, and their
+    unfused selects are cheap XLA fusions.  Defaults follow the measurement;
+    GRAPHBLAS_TPU_XSTART_FUSE=0/1 overrides globally for experiments."""
+    import os
+
+    v = os.environ.get("GRAPHBLAS_TPU_XSTART_FUSE")
+    if v in ("0", "1"):
+        return v == "1"
+    return default
 
 
 def _no_x64(fn):
@@ -92,9 +109,9 @@ def _bfs_loop(plan, source, n):
     return levels
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
+@functools.partial(jax.jit, static_argnames=("n", "fuse"))
 @_no_x64
-def _bfs_loop_v3(plan, source, n):
+def _bfs_loop_v3(plan, source, n, fuse=True):
     """Loop-layout BFS: levels state lives at dst-seg-last slots; each level
     is loop-network -> fill -> perm -> contrib-scan (two 11-stage networks
     instead of three).  The frontier rides f32: the shuffle stages are
@@ -117,10 +134,26 @@ def _bfs_loop_v3(plan, source, n):
         _, _, depth, active = state
         return active & (depth < n)
 
+    # ONE packed aux stream (bit0 = start_has_state, bit1 = source inject):
+    # a second VMEM operand costs ~0.2 ms/apply at scale 19 (measured), the
+    # in-kernel decode is free
+    packed = plan.start_has_state.astype(fdt) + 2.0 * src_inject
+
+    def post(y, aux, _s):
+        (p,) = aux
+        # numpy scalars only: jnp scalars are device arrays, which a pallas
+        # kernel may not capture
+        shs = (p == 1.0) | (p == 3.0)
+        return jnp.maximum(jnp.where(shs, y, np.float32(0)), (p >= 2.0).astype(y.dtype))
+
     def body(state):
         levels, frontier, depth, _ = state
-        x_start = state_to_start(plan, frontier, jnp.zeros((), fdt))
-        x_start = jnp.maximum(x_start, src_inject)
+        if fuse:
+            # select + source-inject fused into the loop network's last kernel
+            x_start = state_to_start_post(plan, frontier, post, aux=(packed,))
+        else:
+            x_start = state_to_start(plan, frontier, jnp.zeros((), fdt))
+            x_start = jnp.maximum(x_start, src_inject)
         levels, frontier = _spmv_state_update(plan, x_start, "bfs", levels, depth)
         return levels, frontier, depth + 1, frontier.max() > 0
 
@@ -133,7 +166,7 @@ def _bfs_loop_v3(plan, source, n):
 
 def bfs_level(plan, source, n):
     if plan.loop_plan is not None:
-        return _bfs_loop_v3(plan, int(source), n)
+        return _bfs_loop_v3(plan, int(source), n, fuse=_xstart_fuse(False))
     return _bfs_loop(plan, int(source), n)
 
 
@@ -187,9 +220,9 @@ def _sssp_loop(plan, source, n):
     return dist
 
 
-@functools.partial(jax.jit, static_argnames=("n",))
+@functools.partial(jax.jit, static_argnames=("n", "fuse"))
 @_no_x64
-def _sssp_loop_v3(plan, source, n):
+def _sssp_loop_v3(plan, source, n, fuse=True):
     """Loop-layout Bellman-Ford: dist state at dst-seg-last slots; the source
     distance is injected into the expand inputs every round (covers sources
     with no in-edges without a dynamic state scatter)."""
@@ -206,10 +239,24 @@ def _sssp_loop_v3(plan, source, n):
         _, changed, it = state
         return changed & (it < n)
 
+    _BIG_NP = np.float32(3.4e38) / 4
+    # ONE packed aux stream (bit0 = start_has_state, bit1 = source inject)
+    packed = plan.start_has_state.astype(jnp.float32) + 2.0 * src_inject.astype(jnp.float32)
+
+    def post(y, aux, _s):
+        (p,) = aux
+        # numpy scalars only (a pallas kernel may not capture device arrays)
+        shs = (p == 1.0) | (p == 3.0)
+        return jnp.where(p >= 2.0, np.float32(0), jnp.where(shs, y, _BIG_NP))
+
     def body(state):
         dist, _, it = state
-        x_start = state_to_start(plan, dist, _BIG)
-        x_start = jnp.where(src_inject, jnp.float32(0), x_start)
+        if fuse:
+            # select + source-inject fused into the loop network's last kernel
+            x_start = state_to_start_post(plan, dist, post, aux=(packed,))
+        else:
+            x_start = state_to_start(plan, dist, _BIG)
+            x_start = jnp.where(src_inject, jnp.float32(0), x_start)
         new, changed = _spmv_state_update(plan, x_start, "sssp", dist, it)
         return new, changed.max() > 0, it + 1
 
@@ -221,7 +268,7 @@ def _sssp_loop_v3(plan, source, n):
 def sssp(plan, source, n):
     """min_plus Bellman-Ford; the plan must carry edge weights."""
     if plan.loop_plan is not None and plan.w_dst_order is not None:
-        return _sssp_loop_v3(plan, int(source), n)
+        return _sssp_loop_v3(plan, int(source), n, fuse=_xstart_fuse(False))
     return _sssp_loop(plan, int(source), n)
 
 
@@ -257,9 +304,9 @@ def _pagerank_loop(plan, outdeg, n, damping, tol, max_iters):
     return r, iters
 
 
-@functools.partial(jax.jit, static_argnames=("n", "max_iters", "tol"))
+@functools.partial(jax.jit, static_argnames=("n", "max_iters", "tol", "fuse"))
 @_no_x64
-def _pagerank_loop_v3(plan, n, damping, tol, max_iters):
+def _pagerank_loop_v3(plan, n, damping, tol, max_iters, fuse=True):
     """Loop-layout PageRank: rank state r at dst-seg-last slots; one scalar c
     carries the rank of state-less vertices ((1-d)/n + d*mass/n — identical
     for every vertex with no valid in-edge)."""
@@ -268,10 +315,24 @@ def _pagerank_loop_v3(plan, n, damping, tol, max_iters):
     r0 = jnp.where(is_last, jnp.float32(1.0 / n), jnp.float32(0))
     c0 = jnp.float32(1.0 / n)
 
+    # ONE packed aux stream: outdeg signed by start_has_state (outdeg >= 1
+    # at start slots, so the sign carries the select bit for free)
+    od_signed = jnp.where(plan.start_has_state, plan.outdeg_start, -plan.outdeg_start)
+
+    def post(y, aux, s):
+        (a,) = aux
+        (c,) = s
+        return jnp.where(a > 0, y / a, c / (-a))
+
     def step(r_state, c):
         mass = jnp.sum(jnp.where(plan.last_dangling, r_state, jnp.float32(0)))
         mass = mass + plan.k_iso_dangling * c
-        x_start = state_to_start(plan, r_state, c) / plan.outdeg_start
+        if fuse:
+            # select + stateless-rank fill + degree divide fused into the
+            # loop network's last kernel (c rides SMEM)
+            x_start = state_to_start_post(plan, r_state, post, aux=(od_signed,), scalars=(c,))
+        else:
+            x_start = state_to_start(plan, r_state, c) / plan.outdeg_start
         pulled = spmv_state(plan, x_start, "plus", "first")
         c_new = (1.0 - d) / n + d * mass / n
         r_new = jnp.where(is_last, c_new + d * pulled, jnp.float32(0))
@@ -303,7 +364,9 @@ def _pagerank_loop_v3(plan, n, damping, tol, max_iters):
 
 def pagerank(plan, outdeg, n, *, damping=0.85, tol=1e-6, max_iters=100):
     if plan.loop_plan is not None:
-        r, _ = _pagerank_loop_v3(plan, n, jnp.float32(damping), float(tol), int(max_iters))
+        r, _ = _pagerank_loop_v3(
+            plan, n, jnp.float32(damping), float(tol), int(max_iters), fuse=_xstart_fuse(True)
+        )
         return r
     r, _ = _pagerank_loop(plan, outdeg, n, jnp.float32(damping), float(tol), int(max_iters))
     return r

@@ -723,6 +723,17 @@ def state_to_start(plan: SpmvPlan, v_state, fill_value):
     return jnp.where(plan.start_has_state, routed, fill_value)
 
 
+def state_to_start_post(plan: SpmvPlan, v_state, postlude, aux=(), scalars=()):
+    """``state_to_start`` with the masking select (and any further pointwise
+    prep — degree divide, source inject) fused INTO the loop network's final
+    lane-shuffle kernel: ``postlude(routed, aux, scalars)`` must itself apply
+    the ``start_has_state`` select.  Saves 2-3 full e_pad HBM passes per loop
+    iteration (the 'x_start wheres' in the round-2 iteration anatomy)."""
+    return apply_plan(
+        v_state, plan.loop_plan, postlude=postlude, post_aux=aux, post_scalars=scalars
+    )
+
+
 def state_to_n(plan: SpmvPlan, v_state, ident):
     """Final read-out: state layout -> (n,) via the collect network.
     Vertices with no VALID in-edge get ``ident``."""

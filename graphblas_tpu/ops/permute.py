@@ -373,8 +373,14 @@ _S_BLK = 4096
 _FUSE_ST = False
 
 
-def _pallas_shuffle(x2d, idx):
-    """Per-row 128-lane shuffle via tpu.dynamic_gather (~5 G elem/s)."""
+def _pallas_shuffle(x2d, idx, post=None, aux2d=(), scalars=()):
+    """Per-row 128-lane shuffle via tpu.dynamic_gather (~5 G elem/s).
+
+    ``post(out, aux_blocks, scalar_vals)`` optionally runs elementwise on the
+    shuffled block INSIDE the kernel (slot-aligned ``aux2d`` arrays ride VMEM
+    blocks, ``scalars`` ride SMEM): fusing the x_start selects of the loop
+    algorithms here deletes 2-3 full HBM passes per iteration (~10% of a
+    PageRank/SSSP round at scale 19)."""
     import jax
     import jax.experimental.pallas as pl
     import jax.numpy as jnp
@@ -384,8 +390,13 @@ def _pallas_shuffle(x2d, idx):
     blk = min(_S_BLK, r)
     if r % blk:
         blk = r  # fall back to single block for odd sizes
+    n_aux = len(aux2d)
+    n_s = len(scalars)
 
-    def kernel(x_ref, i_ref, o_ref):
+    def kernel(x_ref, i_ref, *rest):
+        aux_refs = rest[:n_aux]
+        s_refs = rest[n_aux : n_aux + n_s]
+        o_ref = rest[-1]
         # keep indices int32 even when jax_enable_x64 is on (Mosaic is 32-bit);
         # tables arrive int8 (4x less HBM traffic) and upcast in VMEM.
         # 8-bit VALUE channels (BFS frontiers) also ride HBM as int8 and are
@@ -396,18 +407,28 @@ def _pallas_shuffle(x2d, idx):
             if io_dtype.itemsize == 1:
                 x = x.astype(jnp.int32)
             out = jnp.take_along_axis(x, i_ref[:].astype(jnp.int32), axis=1)
-            o_ref[:] = out.astype(io_dtype)
+            out = out.astype(io_dtype)
+            if post is not None:
+                out = post(out, tuple(a[:] for a in aux_refs), tuple(s[0, 0] for s in s_refs))
+            o_ref[:] = out
 
+    vspec = pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    out_dtype = x2d.dtype
+    if post is not None:
+        out_dtype = jax.eval_shape(
+            lambda x, a, s: post(x, a, s),
+            jax.ShapeDtypeStruct((blk, 128), x2d.dtype),
+            tuple(jax.ShapeDtypeStruct((blk, 128), a.dtype) for a in aux2d),
+            tuple(jax.ShapeDtypeStruct((), jnp.asarray(s).dtype) for s in scalars),
+        ).dtype
     return pl.pallas_call(
         kernel,
         grid=(r // blk,),
-        in_specs=[
-            pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(x2d.shape, x2d.dtype),
-    )(x2d, idx)
+        in_specs=[vspec, vspec] + [vspec] * n_aux + [sspec] * n_s,
+        out_specs=vspec,
+        out_shape=jax.ShapeDtypeStruct(x2d.shape, out_dtype),
+    )(x2d, idx, *aux2d, *(jnp.asarray(s).reshape(1, 1) for s in scalars))
 
 
 def _pallas_shuffle_then_t(x, idx, level, n):
@@ -445,9 +466,14 @@ def _pallas_shuffle_then_t(x, idx, level, n):
     return out.reshape(-1)
 
 
-def apply_plan(x, plan, *, pallas=None):
+def apply_plan(x, plan, *, pallas=None, postlude=None, post_aux=(), post_scalars=()):
     """Apply a PermutePlan to a flat device array (out[p] = in[perm[p]]).
-    Adjacent S-then-T stages run as one fused Pallas pass."""
+    Adjacent S-then-T stages run as one fused Pallas pass.
+
+    ``postlude(y, aux, scalars)`` is an elementwise epilogue on the permuted
+    result (``aux`` are flat arrays slot-aligned with the OUTPUT).  When the
+    final stage is a Pallas lane shuffle it runs inside that kernel (zero
+    extra HBM passes); otherwise it runs as plain jnp afterwards."""
     import jax.numpy as jnp
 
     if pallas is None:
@@ -455,9 +481,11 @@ def apply_plan(x, plan, *, pallas=None):
     n = plan.n
     stages = list(plan.stages)
     i = 0
+    fused_post = False
     while i < len(stages):
         stage = stages[i]
         kind = stage[0]
+        last = i == len(stages) - 1
         if kind == "S":
             idx = jnp.asarray(stage[1])
             if (
@@ -472,7 +500,14 @@ def apply_plan(x, plan, *, pallas=None):
                 continue
             x2d = x.reshape(n // 128, 128)
             if pallas:
-                x = _pallas_shuffle(x2d, idx).reshape(-1)
+                if last and postlude is not None:
+                    aux2d = tuple(jnp.asarray(a).reshape(n // 128, 128) for a in post_aux)
+                    x = _pallas_shuffle(
+                        x2d, idx, post=postlude, aux2d=aux2d, scalars=post_scalars
+                    ).reshape(-1)
+                    fused_post = True
+                else:
+                    x = _pallas_shuffle(x2d, idx).reshape(-1)
             else:
                 x = jnp.take_along_axis(x2d, idx.astype(jnp.int32), axis=1).reshape(-1)
         elif kind == "T":
@@ -504,4 +539,10 @@ def apply_plan(x, plan, *, pallas=None):
                     t = jnp.take_along_axis(t, idx.astype(jnp.int32), axis=1)
                 x = t.reshape(s2, 128, m).transpose(2, 0, 1).reshape(-1)
         i += 1
+    if postlude is not None and not fused_post:
+        x = postlude(
+            x,
+            tuple(jnp.asarray(a) for a in post_aux),
+            tuple(jnp.asarray(s).reshape(()) for s in post_scalars),
+        )
     return x
