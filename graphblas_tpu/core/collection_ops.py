@@ -753,9 +753,20 @@ def mxm_expr(a, b, semiring_op, method_name="mxm"):
                 keep = np.asarray(mv).astype(bool)
                 mr, mc = mr[keep], mc[keep]
             asp, bsp = _operand_sps()
-            rows, cols, vals, flops = sparse_mxm_masked(
-                asp, bsp, mr.astype(np.int64), mc.astype(np.int64), sr, sr.return_type
-            )
+            ctx = _mesh_context()
+            if ctx is not None and ctx.mesh.devices.size > 1:
+                # engaged mesh: distribute by mask-row blocks (one
+                # independent plan per device — parallel/spgemm.py)
+                from ..parallel.spgemm import sharded_masked_mxm_arrays
+
+                rows, cols, vals, flops = sharded_masked_mxm_arrays(
+                    asp, bsp, mr.astype(np.int64), mc.astype(np.int64),
+                    sr, sr.return_type, ctx,
+                )
+            else:
+                rows, cols, vals, flops = sparse_mxm_masked(
+                    asp, bsp, mr.astype(np.int64), mc.astype(np.int64), sr, sr.return_type
+                )
             sp = SparseMatrixData.from_arrays(
                 rows, cols, vals, shape[0], shape[1], sorted_dedup=True
             )

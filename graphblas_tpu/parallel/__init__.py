@@ -95,6 +95,17 @@ def shard_matrix(A, context=None, *, spec=None):
     ctx = context or current_context()
     if ctx is None:
         raise ValueError("No mesh Context engaged; pass context= or use `with Context():`")
+    if getattr(A, "_sparse", None) is not None:
+        # never densify a sparse operand onto the mesh (a GAP-scale graph is
+        # ~2^39 dense elements); sparse collections distribute through their
+        # own paths, which an engaged Context already routes automatically
+        raise TypeError(
+            "shard_matrix expects a dense-format Matrix; sparse matrices "
+            "distribute without densifying: masked mxm partitions by "
+            "mask-row blocks (parallel.spgemm, used automatically by "
+            "C(M) << A.mxm(B) inside an engaged Context) and SpMV uses "
+            "per-device stacked plans (parallel.build_sharded_spmv_plan)"
+        )
     spec = P(*(spec or ctx.axis_names))
     sharding = NamedSharding(ctx.mesh, spec)
     A._values = jax.device_put(A._values, sharding)

@@ -108,26 +108,32 @@ def sharded_spgemm_analyze(a_sp, b_sp, m_rows, m_cols, devices, **opts):
 
 def sharded_spgemm_execute(splan, sr, out_dtype):
     """Run every device's block (async dispatches overlap across devices);
-    returns (values in mask-entry order, total flops)."""
+    returns (values, hit, total flops), each in mask-entry order."""
     from ..core.sparse import sparse_spgemm_execute
 
     out_np = np.dtype(out_dtype.np_type)
     vals = np.zeros(splan.n_entries, out_np)
+    hits = np.zeros(splan.n_entries, bool)
     pending = []
     for device, plan, sel in splan.blocks:
         if plan is None:
             continue
         acc, hit, flops = sparse_spgemm_execute(plan, sr, out_dtype, keep_on_device=True)
-        pending.append((sel, acc, flops))
+        pending.append((sel, acc, hit, flops))
     total_flops = 0
-    for sel, acc, flops in pending:
+    for sel, acc, hit, flops in pending:
         vals[sel] = np.asarray(acc)[: len(sel)]
+        hits[sel] = np.asarray(hit)[: len(sel)]
         total_flops += int(flops)
-    return vals, total_flops
+    return vals, hits, total_flops
 
 
 def sharded_masked_mxm_arrays(a_sp, b_sp, m_rows, m_cols, sr, out_dtype, context):
-    """One-shot distributed masked mxm (analyze + execute)."""
+    """One-shot distributed masked mxm.  Same contract as
+    core/sparse.sparse_mxm_masked: (rows, cols, values, flops) restricted to
+    mask entries whose intersection is non-empty."""
+    m_rows = np.asarray(m_rows, np.int64)
+    m_cols = np.asarray(m_cols, np.int64)
     devices = list(context.mesh.devices.flat)
     use_bricks = (
         sr.monoid.parent.name == "plus"
@@ -137,4 +143,5 @@ def sharded_masked_mxm_arrays(a_sp, b_sp, m_rows, m_cols, sr, out_dtype, context
     splan = sharded_spgemm_analyze(
         a_sp, b_sp, m_rows, m_cols, devices, bricks=use_bricks
     )
-    return sharded_spgemm_execute(splan, sr, out_dtype)
+    vals, hits, flops = sharded_spgemm_execute(splan, sr, out_dtype)
+    return m_rows[hits], m_cols[hits], vals[hits], flops

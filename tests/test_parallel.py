@@ -346,3 +346,141 @@ def test_sharded_bfs_and_sssp(sharded_graph):
             np.where(both_unreached, 0, d), np.where(both_unreached, 0, rd),
             rtol=1e-5, err_msg=f"sssp src={s0}",
         )
+
+
+# ---------------------------------------------------------------------------
+# Distributed masked SpGEMM (mask-row-block partition; parallel/spgemm.py)
+# Reference shape: C(L.S) = L plus_pair U, notebooks/Louvain.ipynb
+# ---------------------------------------------------------------------------
+
+
+def _tri_graph(rng, ns=400, extra=1200):
+    """Lower-triangle L of a random clustered undirected graph (+ its U)."""
+    from graphblas_tpu import binary
+    from graphblas_tpu import tx as txmod
+
+    base = np.arange(ns) - (np.arange(ns) % 8)
+    rs = np.concatenate([np.arange(ns)] * 3 + [rng.integers(0, ns, extra)])
+    cs = np.concatenate(
+        [base + (np.arange(ns) + d) % 8 for d in (1, 2, 3)] + [rng.integers(0, ns, extra)]
+    )
+    lo, hi = np.minimum(rs, cs), np.maximum(rs, cs)
+    keep = lo != hi
+    with txmod.config.set(dense_limit=0):
+        L = Matrix.from_coo(
+            hi[keep], lo[keep], np.float32(1.0), dtypes.FP32,
+            nrows=ns, ncols=ns, dup_op=binary.first,
+        )
+        U = L.T.new()
+    return L, U
+
+
+def test_sharded_masked_spgemm_plus_pair_vs_single(mesh, rng):
+    """Multi-device masked plus_pair TC product == single-device product."""
+    from graphblas_tpu.core.sparse import sparse_mxm_masked
+    from graphblas_tpu.parallel.spgemm import sharded_masked_mxm_arrays
+
+    L, U = _tri_graph(rng)
+    lsp, usp = L._sparse, U._sparse
+    sr = get_typed_op(semiring.plus_pair, dtypes.FP32, dtypes.FP32, kind="semiring")
+    r1, c1, v1, f1 = sparse_mxm_masked(
+        lsp, usp, lsp.rows, lsp.cols, sr, dtypes.FP32
+    )
+    ctx = Context(mesh=mesh)
+    r2, c2, v2, f2 = sharded_masked_mxm_arrays(
+        lsp, usp, lsp.rows, lsp.cols, sr, dtypes.FP32, ctx
+    )
+    def key_sorted(r, c, v):
+        order = np.lexsort((np.asarray(c), np.asarray(r)))
+        return np.asarray(r)[order], np.asarray(c)[order], np.asarray(v)[order]
+    r1, c1, v1 = key_sorted(r1, c1, v1)
+    r2, c2, v2 = key_sorted(r2, c2, v2)
+    np.testing.assert_array_equal(r1, r2)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-6)
+    # per-device plans exist on distinct devices
+    from graphblas_tpu.parallel.spgemm import sharded_spgemm_analyze
+    splan = sharded_spgemm_analyze(lsp, usp, lsp.rows, lsp.cols, list(mesh.devices.flat))
+    used = {d for d, p, sel in splan.blocks if p is not None}
+    assert len(used) > 1, "work must spread over multiple devices"
+
+
+def test_sharded_masked_spgemm_min_plus_and_empty_blocks(mesh, rng):
+    """Generic semiring through the sharded path; blocks with no mask rows."""
+    from graphblas_tpu.core.sparse import sparse_mxm_masked
+    from graphblas_tpu.parallel.spgemm import sharded_masked_mxm_arrays
+
+    L, U = _tri_graph(rng, ns=64, extra=100)
+    lsp, usp = L._sparse, U._sparse
+    # mask restricted to a few rows: most devices get empty blocks
+    sel = np.asarray(lsp.rows) < 8
+    mr, mc = np.asarray(lsp.rows)[sel], np.asarray(lsp.cols)[sel]
+    sr = get_typed_op(semiring.min_plus, dtypes.FP32, dtypes.FP32, kind="semiring")
+    r1, c1, v1, _ = sparse_mxm_masked(lsp, usp, mr, mc, sr, dtypes.FP32)
+    ctx = Context(mesh=mesh)
+    r2, c2, v2, _ = sharded_masked_mxm_arrays(lsp, usp, mr, mc, sr, dtypes.FP32, ctx)
+    order1 = np.lexsort((c1, r1)); order2 = np.lexsort((np.asarray(c2), np.asarray(r2)))
+    np.testing.assert_array_equal(np.asarray(r1)[order1], np.asarray(r2)[order2])
+    np.testing.assert_allclose(np.asarray(v1)[order1], np.asarray(v2)[order2], rtol=1e-6)
+
+
+def test_dsl_masked_mxm_routes_through_mesh(mesh, rng):
+    """C(L.S) << L.mxm(U, plus_pair) inside a Context == outside (triangle
+    counting end-to-end through the DSL)."""
+    L, U = _tri_graph(rng, ns=200, extra=600)
+    C_single = L.mxm(U, semiring.plus_pair).new(mask=L.S)
+    with Context(mesh=mesh):
+        C_mesh = L.mxm(U, semiring.plus_pair).new(mask=L.S)
+    tri_single = C_single.reduce_scalar("plus").new().value
+    tri_mesh = C_mesh.reduce_scalar("plus").new().value
+    assert float(tri_single) == float(tri_mesh)
+    assert C_single.isequal(C_mesh, check_dtype=True)
+
+
+def test_shard_matrix_rejects_sparse(mesh, rng):
+    """shard_matrix must never densify a sparse operand (VERDICT r4 #5)."""
+    L, _ = _tri_graph(rng, ns=64, extra=50)
+    assert L._sparse is not None
+    with Context(mesh=mesh):
+        with pytest.raises(TypeError, match="dense-format"):
+            shard_matrix(L)
+
+
+def test_summa_masked_accum_replace_through_dsl(mesh, rng):
+    """Masks/accum/replace through the distributed dense path (VERDICT r4
+    #5: 'no masks/accum/replace through the distributed path')."""
+    from graphblas_tpu import binary
+
+    m, k = 16, 32
+    av, as_ = _rand_masked(rng, (m, k))
+    bv, bs = _rand_masked(rng, (k, m))
+    A = _dense_matrix(av, as_)
+    B = _dense_matrix(bv, bs)
+    mv, ms = _rand_masked(rng, (m, m), density=0.5)
+    M = _dense_matrix(mv, ms)
+    cv, cs = _rand_masked(rng, (m, m))
+    C_single = _dense_matrix(cv, cs)
+    C_mesh = _dense_matrix(cv, cs)
+    C_single(M.S, accum=binary.plus, replace=True) << A.mxm(B, semiring.plus_times)
+    with Context(mesh=mesh):
+        shard_matrix(A)
+        shard_matrix(B)
+        C_mesh(M.S, accum=binary.plus, replace=True) << A.mxm(B, semiring.plus_times)
+    # mesh psum reduces in a different order: isclose, not isequal
+    assert C_single.isclose(C_mesh, rel_tol=1e-12, check_dtype=True)
+
+
+def test_summa_masked_complement_mask_through_dsl(mesh, rng):
+    from graphblas_tpu import binary
+
+    m, k = 16, 16
+    av, as_ = _rand_masked(rng, (m, k))
+    bv, bs = _rand_masked(rng, (k, m))
+    A = _dense_matrix(av, as_)
+    B = _dense_matrix(bv, bs)
+    mv, ms = _rand_masked(rng, (m, m), density=0.5)
+    M = _dense_matrix(mv, ms)
+    C_single = A.mxm(B, semiring.plus_times).new(mask=~M.S)
+    with Context(mesh=mesh):
+        C_mesh = A.mxm(B, semiring.plus_times).new(mask=~M.S)
+    assert C_single.isclose(C_mesh, rel_tol=1e-12, check_dtype=True)
