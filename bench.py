@@ -382,14 +382,47 @@ _LAST_GOOD = {
 }
 
 
+def _install_watchdog():
+    """A device read can block FOREVER when the TPU relay dies mid-bench
+    (round-4 outage: PJRT blocks in make_c_api_client).  If main() hasn't
+    finished by the deadline, print the failure JSON and hard-exit so the
+    driver records a parseable artifact instead of an rc=124 timeout."""
+    import threading
+
+    deadline = float(os.environ.get("GRAPHBLAS_BENCH_DEADLINE_S", "3300"))
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "PageRank GTEPS/iter/chip (bench TIMED OUT — relay hang?)",
+                    "value": None,
+                    "unit": "GTEPS",
+                    "vs_baseline": None,
+                    "error": f"watchdog: no result after {deadline}s (device read blocked?)",
+                    "last_good": _LAST_GOOD,
+                }
+            ),
+            flush=True,
+        )
+        os._exit(0)
+
+    t = threading.Timer(deadline, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 if __name__ == "__main__":
     # The driver parses exactly ONE JSON line from stdout. A dead TPU relay
     # (the round-3/4 failure mode) must yield a diagnosable artifact, not a
     # raw traceback with rc=1.
     import traceback
 
+    _wd = _install_watchdog()
     try:
         main()
+        _wd.cancel()
     except BaseException as ex:  # noqa: BLE001 — bench resilience by design
         err = {
             "metric": "PageRank GTEPS/iter/chip (bench FAILED — backend unavailable?)",
