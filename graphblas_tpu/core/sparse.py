@@ -83,6 +83,7 @@ class SparseMatrixData:
         "_sharded_plans",
         "_col_order",
         "_stats",
+        "_bg_builds",
     )
 
     def __init__(self, rows, cols, vals, nrows, ncols):
@@ -96,6 +97,7 @@ class SparseMatrixData:
         self._sharded_plans = {}
         self._col_order = None
         self._stats = {}
+        self._bg_builds = {}
 
     # ------------------------------------------------------------------
     # construction
@@ -229,6 +231,39 @@ class SparseMatrixData:
             with jax.ensure_compile_time_eval():
                 return self._plan_build(direction, _fs)
         return self._plans[direction]
+
+    def plan_ready(self, direction):
+        return direction in self._plans
+
+    def plan_background(self, direction):
+        """Kick off the plan build in a daemon thread (idempotent).
+
+        Lazy-build UX: the first eager mxv on a big graph must not stall for
+        the multi-second pattern analysis (SuiteSparse's first GrB_mxm is
+        effectively instant, reference core/matrix.py:2321) — the generic
+        gather+segment path serves dispatches until the plan is ready, then
+        the engine switches over.  The analysis releases the GIL inside the
+        native router and numpy, so the build genuinely overlaps compute.
+        """
+        import threading
+
+        if direction in self._plans or direction in self._bg_builds:
+            return
+        done = threading.Event()
+
+        def work():
+            try:
+                self.plan(direction)
+            except Exception:  # pragma: no cover - background resilience
+                pass
+            finally:
+                done.set()
+
+        t = threading.Thread(
+            target=work, name=f"gbtpu-plan-{direction}", daemon=True
+        )
+        self._bg_builds[direction] = (t, done)
+        t.start()
 
     def _plan_build(self, direction, _fs):
         if direction not in self._plans:
@@ -446,6 +481,22 @@ def sparse_mxv(sp, pull, a_first, xv, xs, sr, out_dtype):
 
     plan_mul = _plan_mul_name(mul, a_first, pos)
     use_plan = _plan_allowed(sp, strategy, add_name, plan_mul, out_np, pos, xv)
+    if use_plan and strategy != "plan":
+        # lazy-build UX ("auto"): an EAGER dispatch must not stall for the
+        # pattern analysis — build in the background and serve this call on
+        # the generic path.  Under a trace (compiled loop) the choice is
+        # baked into the program, so block and build as before.  Explicit
+        # strategy "plan" always blocks.
+        from jax._src import core as _jcore
+
+        direction = "pull" if pull else "push"
+        if (
+            not sp.plan_ready(direction)
+            and _jcore.trace_state_clean()
+            and os.environ.get("GRAPHBLAS_TPU_PLAN_BACKGROUND", "1") == "1"
+        ):
+            sp.plan_background(direction)
+            use_plan = False
     if use_plan:
         channel = _plan_channel(sp, strategy, add_name, plan_mul, out_np, pos, xv)
         yv, ys = _plan_mxv(sp, pull, xv, xs, add_name, plan_mul, pos, out_np, channel)

@@ -156,6 +156,35 @@ def _complete_permutation(partial, e_pad):
     return partial
 
 
+_BUILD_POOL = None
+
+
+def _network_builder():
+    """submit(fn, *a, **kw) -> job with .result(); parallel on multi-core
+    hosts (GRAPHBLAS_TPU_PARALLEL_BUILD=0 forces serial).  One shared pool
+    per process (the native router releases the GIL and is re-entrant)."""
+    import os
+
+    cores = os.cpu_count() or 1
+    if cores <= 1 or os.environ.get("GRAPHBLAS_TPU_PARALLEL_BUILD", "1") != "1":
+        class _Now:
+            def __init__(self, value):
+                self._value = value
+
+            def result(self):
+                return self._value
+
+        return lambda fn, *a, **kw: _Now(fn(*a, **kw))
+    global _BUILD_POOL
+    if _BUILD_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _BUILD_POOL = ThreadPoolExecutor(
+            max_workers=min(4, cores), thread_name_prefix="gbtpu-netbuild"
+        )
+    return _BUILD_POOL.submit
+
+
 def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_net=True):
     """Analyze a COO graph into an SpmvPlan (host-side, once per graph).
 
@@ -205,7 +234,14 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_
     rank_src = np.empty(e_pad, np.int64)
     rank_src[order_src] = np.arange(e_pad)
     middle_perm = rank_src[order_dst]
-    perm_plan = build_permutation_plan(middle_perm, validate=False)
+    # the 2-4 network builds are independent; on multi-core hosts they run
+    # in parallel threads (the native router releases the GIL, no shared
+    # state — router.cpp is re-entrant).  On this repo's 1-core dev host the
+    # builds serialize; the Euler-walk analysis there is DRAM-latency-bound
+    # at ~42-99 M random ops/s (measured), which no processor choice fixes —
+    # TPU XLA gathers sustain the same ~65-90 M elem/s for pointer chasing.
+    _nb = _network_builder()
+    perm_job = _nb(build_permutation_plan, middle_perm, validate=False)
 
     src_sorted = src_p[order_src]
     counts_src = np.bincount(src_p, minlength=n)
@@ -224,7 +260,10 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_
         # only reads flagged slots, so filler values never surface)
         perm0 = np.full(e_pad, -1, np.int64)
         perm0[starts_src[ne_src]] = np.flatnonzero(ne_src)
-        place_plan = build_permutation_plan(_complete_permutation(perm0, e_pad), validate=False)
+        place_job = _nb(
+            lambda p0: build_permutation_plan(_complete_permutation(p0, e_pad), validate=False),
+            perm0,
+        )
         ssrc = np.zeros(e_pad, bool)
         ssrc[starts_src[ne_src]] = True
         seg_start_src = ssrc
@@ -233,7 +272,10 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_
         ne_dst = counts_dst > 0
         perm2 = np.full(e_pad, -1, np.int64)
         perm2[np.flatnonzero(ne_dst)] = indptr_dst[1:].astype(np.int64)[ne_dst] - 1
-        collect_plan = build_permutation_plan(_complete_permutation(perm2, e_pad), validate=False)
+        collect_job = _nb(
+            lambda p2: build_permutation_plan(_complete_permutation(p2, e_pad), validate=False),
+            perm2,
+        )
         sdst = np.zeros(e_pad, bool)
         sdst[indptr_dst[:-1].astype(np.int64)[ne_dst]] = True
         seg_start_dst = sdst
@@ -251,7 +293,10 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_
             # DSL dispatch plans skip it (saves ~1/4 of the analysis)
             perm3 = np.full(e_pad, -1, np.int64)
             perm3[starts_src[both]] = last_dst[both]
-            loop_plan = build_permutation_plan(_complete_permutation(perm3, e_pad), validate=False)
+            loop_job = _nb(
+                lambda p3: build_permutation_plan(_complete_permutation(p3, e_pad), validate=False),
+                perm3,
+            )
         shs = np.zeros(e_pad, bool)
         shs[starts_src[both]] = True
         start_has_state = shs
@@ -273,6 +318,13 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_
         from .pallas_scan import build_fill_tables
 
         fill_j, fill_hp = build_fill_tables(seg_start_src)
+
+    perm_plan = perm_job.result()
+    if endpoints:
+        place_plan = place_job.result()
+        collect_plan = collect_job.result()
+        if loop_net:
+            loop_plan = loop_job.result()
 
     plan = SpmvPlan(
         n,
