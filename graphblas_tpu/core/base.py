@@ -130,6 +130,8 @@ class BaseType:
         # (e.g. a vector mask on C(vmask)[i, :] = v — GrB_Row_assign)
         mask = _check_mask(mask, None) if mask is not None else None
         if input_mask is not None:
+            if mask is not None:
+                raise TypeError("mask and input_mask arguments cannot both be given")
             input_mask = _check_mask(input_mask, None)
         if accum is not None:
             accum = get_typed_op(accum, self.dtype, kind="binary")
@@ -153,7 +155,11 @@ class BaseType:
         # -- normalize RHS to a BaseExpression or plain collection ---------
         if isinstance(expr, AmbiguousAssignOrExtract):
             if input_mask is not None:
-                expr = expr._with_input_mask(input_mask)
+                # translate to an ordinary output mask by extracting the
+                # mask at the same indices (reference: core/expr.py:335-379)
+                if mask is not None:
+                    raise TypeError("mask and input_mask arguments cannot both be given")
+                mask = expr._input_mask_to_mask(_check_mask(input_mask, None))
                 input_mask = None
             expr = expr._extract_delayed()
         elif input_mask is not None:
@@ -611,6 +617,39 @@ class BaseExpression(_InfixMixin):
                 )
             return getattr(self._get_value(), name)
         raise AttributeError(name)
+
+    # numeric dunders bypass __getattr__ (type-level lookup), so scalar
+    # expressions mirror them explicitly (reference: generated automethods,
+    # core/automethods.py:14-28 — TypeError with the autocompute hint when off)
+    def _scalar_dunder(self, kind, conv):
+        if self.output_type is None or self.output_type.__name__ != "Scalar":
+            raise TypeError(f"{kind} not defined for objects of type {type(self).__name__}")
+        if not _get_config().get("autocompute"):
+            raise TypeError(
+                f"{type(self).__name__} is not computed automatically (autocompute is "
+                f"off). Call .new() first to use {kind}."
+            )
+        return conv(self._get_value())
+
+    def __float__(self):
+        return self._scalar_dunder("__float__", float)
+
+    def __int__(self):
+        return self._scalar_dunder("__int__", int)
+
+    def __index__(self):
+        return self._scalar_dunder("__index__", lambda v: v.__index__())
+
+    def __complex__(self):
+        return self._scalar_dunder("__complex__", complex)
+
+    def __bool__(self):
+        if self.output_type is not None and self.output_type.__name__ == "Scalar":
+            return self._scalar_dunder("__bool__", bool)
+        raise TypeError(
+            f"__bool__ not defined for objects of type {type(self).__name__}; "
+            "materialize with .new() and compare explicitly"
+        )
 
     def _format_call_string(self):
         """Functional description of the delayed call, e.g.

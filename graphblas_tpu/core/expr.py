@@ -164,6 +164,56 @@ class AmbiguousAssignOrExtract:
         new._input_mask = input_mask
         return new
 
+    def _input_mask_to_mask(self, input_mask):
+        """Translate an extract ``input_mask`` into an ordinary OUTPUT mask
+        by extracting the mask collection at the same indices (exactly the
+        reference's mechanism, core/expr.py:335-379): a Vector mask on a
+        single-row/column Matrix extract applies along the free axis."""
+        from .matrix import Matrix, TransposedMatrix
+        from .vector import Vector
+
+        parent = self.parent
+        mp = input_mask.parent
+        if self.shape == ():
+            raise ValueError("`input_mask` is not allowed when extracting a single element")
+        if isinstance(mp, Vector) and parent.ndim == 2:
+            rows, cols = self.resolved_indexes.indices
+            if rows.kind == "int":
+                if parent.shape[1] != mp.shape[0]:
+                    raise ValueError(
+                        "Size of `input_mask` Vector does not match ncols of Matrix: "
+                        f"{parent.shape[1]} != {mp.shape[0]}"
+                    )
+                mask_value = mp[cols.index].new()
+            elif cols.kind == "int":
+                if parent.shape[0] != mp.shape[0]:
+                    raise ValueError(
+                        "Size of `input_mask` Vector does not match nrows of Matrix: "
+                        f"{parent.shape[0]} != {mp.shape[0]}"
+                    )
+                mask_value = mp[rows.index].new()
+            else:
+                raise TypeError(
+                    "Got Vector `input_mask` when extracting a submatrix from a Matrix.  "
+                    "Vector `input_mask` with a Matrix input is only valid when "
+                    "extracting from a single row or column."
+                )
+        elif parent.ndim == 1 and isinstance(mp, (Matrix, TransposedMatrix)):
+            raise TypeError("Mask object must be type Vector when extracting from a Vector")
+        elif mp.shape != parent.shape:
+            attr = "size" if parent.ndim == 1 else "shape"
+            raise ValueError(
+                f"{attr.capitalize()} of `input_mask` does not match {attr} of input: "
+                f"{parent.shape} != {mp.shape}"
+            )
+        elif parent.ndim == 1:
+            (ix,) = self.resolved_indexes.indices
+            mask_value = mp[ix.index].new()
+        else:
+            rows, cols = self.resolved_indexes.indices
+            mask_value = mp[rows.index, cols.index].new()
+        return type(input_mask)(mask_value)
+
     def _extract_delayed(self):
         """Return a BaseExpression computing the extraction
         (reference: Matrix._prep_for_extract core/matrix.py:3051-3087)."""
@@ -177,6 +227,9 @@ class AmbiguousAssignOrExtract:
         sp_parent = getattr(parent, "_sparse", None)
         if sp_parent is not None and input_mask is None:
             return self._extract_delayed_sparse(sp_parent)
+        # NOTE: input_mask at the USER surface is translated to an output
+        # mask in new()/_update (reference mechanism); the struct-AND path
+        # below serves only internal callers of _with_input_mask.
 
         def compute():
             import jax.numpy as jnp
@@ -312,8 +365,11 @@ class AmbiguousAssignOrExtract:
         )
 
     def new(self, dtype=None, *, mask=None, input_mask=None, name=None, **opts):
-        target = self if input_mask is None else self._with_input_mask(_check_mask(input_mask))
-        expr = target._extract_delayed()
+        if input_mask is not None:
+            if mask is not None:
+                raise TypeError("mask and input_mask arguments cannot both be given")
+            mask = self._input_mask_to_mask(_check_mask(input_mask))
+        expr = self._extract_delayed()
         return expr.new(dtype, mask=mask, name=name, **opts)
 
     dup = new

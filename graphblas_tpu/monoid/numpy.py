@@ -43,7 +43,13 @@ _monoid_identities = {
     "logaddexp2": dict.fromkeys(_FLOATS, -_np.inf),
     "gcd": dict.fromkeys(_INTS, 0),
     "hypot": dict.fromkeys(_FLOATS, 0.0),
-    "bitwise_and": {"BOOL": True, **{d: -1 for d in _INTS}},
+    # all-ones identity: -1 for signed, dtype max for unsigned (numpy 2
+    # rejects out-of-range python ints at the declared dtype)
+    "bitwise_and": {
+        "BOOL": True,
+        **{d: -1 for d in _INTS if not d.startswith("U")},
+        **_UNSIGNED_MAXS,
+    },
     "bitwise_or": dict.fromkeys(_BOOL_INTS, 0),
     "bitwise_xor": dict.fromkeys(_BOOL_INTS, 0),
     "equal": {"BOOL": True},

@@ -91,6 +91,14 @@ def _rowsel_shuffle_enabled():
     return os.environ.get("GRAPHBLAS_TPU_ROWSEL_SHUFFLE") == "1"
 
 
+def _rsel_kernel_enabled():
+    """Single-pass Pallas RSEL (default on; GRAPHBLAS_TPU_RSEL_KERNEL=0
+    restores the XLA m-way select)."""
+    import os
+
+    return os.environ.get("GRAPHBLAS_TPU_RSEL_KERNEL", "1") == "1"
+
+
 def padded_size(e):
     """Smallest admissible network size >= e.  Admissible: rows r = m * 128^L
     with 1 <= m <= 128, size = r * 128."""
@@ -466,6 +474,44 @@ def _pallas_shuffle_then_t(x, idx, level, n):
     return out.reshape(-1)
 
 
+def _pallas_rsel(x3, st, m):
+    """Single-pass m-way row select: out[g, s, l] = x[st[g, s, l], s, l].
+
+    The XLA lowering (m chained selects) streams the x block m+1 times; at
+    scale 20 the m=8 RSEL is the stage that makes per-edge cost grow 1.4x
+    over scale 19 (CLAUDE.md).  Here one kernel invocation reads ALL m group
+    rows of an s2-block into VMEM once and emits all m outputs: ~2 HBM
+    passes + table, independent of m."""
+    import jax
+    import jax.experimental.pallas as pl
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+
+    s2 = x3.shape[1]
+    # block the s2 axis; keep m resident (m <= 128, typically 4-16)
+    blk = max(1, min(s2, _S_BLK // m))
+    while s2 % blk:
+        blk -= 1
+
+    def kernel(x_ref, t_ref, o_ref):
+        with jax.enable_x64(False):
+            x = x_ref[:]  # (m, blk, 128)
+            t = t_ref[:]
+            out = x[0][None]
+            for j in range(1, m):
+                out = jnp.where(t == j, x[j][None], out)
+            o_ref[:] = out.astype(x.dtype)
+
+    spec = pl.BlockSpec((m, blk, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(s2 // blk,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(x3.shape, x3.dtype),
+    )(x3, st)
+
+
 def apply_plan(x, plan, *, pallas=None, postlude=None, post_aux=(), post_scalars=()):
     """Apply a PermutePlan to a flat device array (out[p] = in[perm[p]]).
     Adjacent S-then-T stages run as one fused Pallas pass.
@@ -520,7 +566,9 @@ def apply_plan(x, plan, *, pallas=None, postlude=None, post_aux=(), post_scalars
             s2 = src_top.shape[1]
             x3 = x.reshape(m, s2, 128)
             st = jnp.asarray(src_top)
-            if m <= 16:
+            if pallas and 1 < m <= 32 and _rsel_kernel_enabled():
+                x = _pallas_rsel(x3, st.astype(jnp.int32), m).reshape(-1)
+            elif m <= 16:
                 acc = jnp.zeros((m, s2, 128), x.dtype)
                 for j in range(m):
                     acc = jnp.where(st == j, x3[j][None, :, :], acc)
