@@ -63,6 +63,53 @@ def _xstart_fuse(default):
     return default
 
 
+def _xstart_mode(plan, donor_default):
+    """x_start strategy for the BFS/SSSP loop bodies.
+
+    - "select": route state through the loop network, then an XLA pass does
+      the start_has_state select + source inject (the r2-r4 path).
+    - "fused":  select + inject fused as a packed-aux epilogue in the loop
+      network's final kernel (measured SLOWER for BFS/SSSP — kept for A/B).
+    - "donor":  donor-routed plans only (plan.loop_donors): the routed array
+      IS x_start (no select — non-last state slots hold the mode identity and
+      no-state starts read them); the source inject stays an XLA pass.
+    - "donor_post": donor routing + the inject as a minimal iota-compare
+      epilogue inside the final kernel (zero extra HBM passes).
+    GRAPHBLAS_TPU_XSTART_MODE overrides globally for experiments."""
+    import os
+
+    v = os.environ.get("GRAPHBLAS_TPU_XSTART_MODE")
+    if v in ("select", "fused", "donor", "donor_post"):
+        if v.startswith("donor") and not plan.loop_donors:
+            return "select"
+        return v
+    if plan.loop_donors:
+        return donor_default
+    return "select"
+
+
+def _inject_post(value):
+    """Postlude for ``state_to_start_post``: overwrite ONE global slot (the
+    source vertex's start slot, -1 = none) with ``value``.  Runs inside the
+    final lane-shuffle kernel when the pallas path is active, or on the flat
+    array otherwise."""
+
+    def post(y, aux, s):
+        (se,) = s
+        if y.ndim == 1:  # non-pallas fallback: flat (e_pad,) array
+            gs = jax.lax.iota(jnp.int32, y.shape[0])
+        else:  # inside the kernel: (blk, 128) block of grid step pid
+            import jax.experimental.pallas as pl
+
+            blk = y.shape[0]
+            row = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (blk, 128), 1)
+            gs = (pl.program_id(0) * blk + row) * 128 + lane
+        return jnp.where(gs == se, value, y)
+
+    return post
+
+
 def _no_x64(fn):
     import functools as _ft
 
@@ -109,14 +156,15 @@ def _bfs_loop(plan, source, n):
     return levels
 
 
-@functools.partial(jax.jit, static_argnames=("n", "fuse"))
+@functools.partial(jax.jit, static_argnames=("n", "mode"))
 @_no_x64
-def _bfs_loop_v3(plan, source, n, fuse=True):
+def _bfs_loop_v3(plan, source, n, mode="select"):
     """Loop-layout BFS: levels state lives at dst-seg-last slots; each level
     is loop-network -> fill -> perm -> contrib-scan (two 11-stage networks
     instead of three).  The frontier rides f32: the shuffle stages are
     element-rate-bound (int8 measured NO faster per stage on v5e), and the
-    static-fill gather kernel lowers 6x faster on f32 than int8."""
+    static-fill gather kernel lowers 6x faster on f32 than int8.
+    ``mode`` picks the x_start strategy (see _xstart_mode)."""
     fdt = jnp.float32
     source = jnp.asarray(source, jnp.int32)
     is_last = plan.is_last_dst
@@ -126,6 +174,7 @@ def _bfs_loop_v3(plan, source, n, fuse=True):
     # already-discovered neighbors are filtered by levels < 0
     s_lo = plan.indptr_src[source]
     s_hi = plan.indptr_src[source + 1]
+    s_eff = jnp.where(s_hi > s_lo, s_lo, jnp.int32(-1))
     slot = jax.lax.iota(jnp.int32, e_pad)
     src_inject = ((slot == s_lo) & (s_hi > s_lo)).astype(fdt)
     frontier0 = jnp.zeros((e_pad,), fdt)
@@ -148,9 +197,20 @@ def _bfs_loop_v3(plan, source, n, fuse=True):
 
     def body(state):
         levels, frontier, depth, _ = state
-        if fuse:
+        if mode == "fused":
             # select + source-inject fused into the loop network's last kernel
             x_start = state_to_start_post(plan, frontier, post, aux=(packed,))
+        elif mode == "donor":
+            # donor-routed plan: routed IS x_start (frontier identity 0 at
+            # non-last slots); only the source inject remains, one XLA pass
+            from ..ops.permute import apply_plan
+
+            x_start = jnp.maximum(apply_plan(frontier, plan.loop_plan), src_inject)
+        elif mode == "donor_post":
+            # donor routing + inject as a minimal in-kernel epilogue
+            x_start = state_to_start_post(
+                plan, frontier, _inject_post(np.float32(1.0)), scalars=(s_eff,)
+            )
         else:
             x_start = state_to_start(plan, frontier, jnp.zeros((), fdt))
             x_start = jnp.maximum(x_start, src_inject)
@@ -166,7 +226,10 @@ def _bfs_loop_v3(plan, source, n, fuse=True):
 
 def bfs_level(plan, source, n):
     if plan.loop_plan is not None:
-        return _bfs_loop_v3(plan, int(source), n, fuse=_xstart_fuse(False))
+        mode = _xstart_mode(plan, "donor")
+        if mode == "fused" or (mode == "select" and _xstart_fuse(False)):
+            mode = "fused"
+        return _bfs_loop_v3(plan, int(source), n, mode=mode)
     return _bfs_loop(plan, int(source), n)
 
 
@@ -220,18 +283,21 @@ def _sssp_loop(plan, source, n):
     return dist
 
 
-@functools.partial(jax.jit, static_argnames=("n", "fuse"))
+@functools.partial(jax.jit, static_argnames=("n", "mode"))
 @_no_x64
-def _sssp_loop_v3(plan, source, n, fuse=True):
+def _sssp_loop_v3(plan, source, n, mode="select"):
     """Loop-layout Bellman-Ford: dist state at dst-seg-last slots; the source
     distance is injected into the expand inputs every round (covers sources
-    with no in-edges without a dynamic state scatter)."""
+    with no in-edges without a dynamic state scatter).  Non-last state slots
+    carry _BIG (the min identity, written by the scan-state kernel) so donor-
+    routed plans can skip the x_start select (``mode`` — see _xstart_mode)."""
     source = jnp.asarray(source, jnp.int32)
     is_last = plan.is_last_dst
     e_pad = plan.e_pad
-    dist0 = jnp.where(is_last, _BIG, jnp.float32(0))
+    dist0 = jnp.full((e_pad,), _BIG, jnp.float32)
     s_lo = plan.indptr_src[source]
     s_hi = plan.indptr_src[source + 1]
+    s_eff = jnp.where(s_hi > s_lo, s_lo, jnp.int32(-1))
     slot = jax.lax.iota(jnp.int32, e_pad)
     src_inject = (slot == s_lo) & (s_hi > s_lo)
 
@@ -251,9 +317,21 @@ def _sssp_loop_v3(plan, source, n, fuse=True):
 
     def body(state):
         dist, _, it = state
-        if fuse:
+        if mode == "fused":
             # select + source-inject fused into the loop network's last kernel
             x_start = state_to_start_post(plan, dist, post, aux=(packed,))
+        elif mode == "donor":
+            # donor-routed plan: routed IS x_start (non-last slots hold _BIG);
+            # only the source inject remains, one XLA pass
+            from ..ops.permute import apply_plan
+
+            routed = apply_plan(dist, plan.loop_plan)
+            x_start = jnp.where(src_inject, jnp.float32(0), routed)
+        elif mode == "donor_post":
+            # donor routing + inject as a minimal in-kernel epilogue
+            x_start = state_to_start_post(
+                plan, dist, _inject_post(np.float32(0.0)), scalars=(s_eff,)
+            )
         else:
             x_start = state_to_start(plan, dist, _BIG)
             x_start = jnp.where(src_inject, jnp.float32(0), x_start)
@@ -268,7 +346,10 @@ def _sssp_loop_v3(plan, source, n, fuse=True):
 def sssp(plan, source, n):
     """min_plus Bellman-Ford; the plan must carry edge weights."""
     if plan.loop_plan is not None and plan.w_dst_order is not None:
-        return _sssp_loop_v3(plan, int(source), n, fuse=_xstart_fuse(False))
+        mode = _xstart_mode(plan, "donor")
+        if mode == "fused" or (mode == "select" and _xstart_fuse(False)):
+            mode = "fused"
+        return _sssp_loop_v3(plan, int(source), n, mode=mode)
     return _sssp_loop(plan, int(source), n)
 
 

@@ -57,6 +57,7 @@ class SpmvPlan:
         fill_j=None,
         fill_hp=None,
         k_iso_dangling=0,
+        loop_donors=False,
     ):
         self.n = n
         self.e_pad = e_pad
@@ -100,6 +101,9 @@ class SpmvPlan:
         # within-row dynamic_gather (measured 6x on v5e)
         self.fill_j = fill_j  # device int8 (e_pad//128, 128) | None
         self.fill_hp = fill_hp  # device int8 (e_pad//128, 128) | None
+        # loop_plan routes no-state start slots from identity-valued donor
+        # slots (static: x_start = routed, no select) — see build_spmv_plan
+        self.loop_donors = loop_donors
 
 
 def _register_spmv_pytree():
@@ -127,10 +131,12 @@ def _register_spmv_pytree():
             p.fill_j,
             p.fill_hp,
         )
-        return children, (p.n, p.e_pad, p.k_iso_dangling)
+        return children, (p.n, p.e_pad, p.k_iso_dangling, p.loop_donors)
 
     def unflatten(aux, children):
-        return SpmvPlan(aux[0], aux[1], *children, k_iso_dangling=aux[2])
+        return SpmvPlan(
+            aux[0], aux[1], *children, k_iso_dangling=aux[2], loop_donors=aux[3]
+        )
 
     register_pytree_node(SpmvPlan, flatten, unflatten)
 
@@ -288,21 +294,34 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_
         last_dst = indptr_dst[1:].astype(np.int64) - 1
         has_state = counts_dst > 0  # incl. pad edges: slot existence only
         both = ne_src & has_state
-        if loop_net:
-            # only the model loop-layout algorithms use the loop network;
-            # DSL dispatch plans skip it (saves ~1/4 of the analysis)
-            perm3 = np.full(e_pad, -1, np.int64)
-            perm3[starts_src[both]] = last_dst[both]
-            loop_job = _nb(
-                lambda p3: build_permutation_plan(_complete_permutation(p3, e_pad), validate=False),
-                perm3,
-            )
         shs = np.zeros(e_pad, bool)
         shs[starts_src[both]] = True
         start_has_state = shs
         il = np.zeros(e_pad, bool)
         il[last_dst[has_state]] = True
         is_last_dst = il
+        if loop_net:
+            # only the model loop-layout algorithms use the loop network;
+            # DSL dispatch plans skip it (saves ~1/4 of the analysis)
+            perm3 = np.full(e_pad, -1, np.int64)
+            perm3[starts_src[both]] = last_dst[both]
+            # DONOR ROUTING: start slots whose vertex has NO state slot read
+            # a non-last slot.  The state kernels keep non-last slots at the
+            # mode identity (BFS frontier 0; SSSP STATE_BIG), so the routed
+            # array IS x_start — the start_has_state select (a full e_pad
+            # HBM pass per loop iteration) disappears.  Always feasible:
+            # #non-last slots = e_pad - #state slots >= #no-state starts,
+            # because #states + #no-state-starts <= #non-isolated <= n <= e_pad.
+            nostate = ne_src & ~has_state
+            k_ns = int(nostate.sum())
+            if k_ns:
+                donors = np.flatnonzero(~il)[:k_ns]
+                assert len(donors) == k_ns, "donor pool exhausted (impossible by counting)"
+                perm3[starts_src[nostate]] = donors
+            loop_job = _nb(
+                lambda p3: build_permutation_plan(_complete_permutation(p3, e_pad), validate=False),
+                perm3,
+            )
         true_outdeg = np.bincount(src, minlength=n)  # valid edges only
         od = np.ones(e_pad, np.float32)
         od[starts_src[ne_src]] = np.maximum(true_outdeg[ne_src], 1).astype(np.float32)
@@ -349,6 +368,7 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_
         jnp.asarray(fill_j) if fill_j is not None else None,
         jnp.asarray(fill_hp) if fill_hp is not None else None,
         k_iso_dangling=k_iso_dangling,
+        loop_donors=bool(endpoints and loop_net),
     )
     plan._order_dst = order_dst_np  # host-only (not a pytree leaf)
     return plan
@@ -510,6 +530,8 @@ def save_spmv_plan(plan, path):
         arrays["outdeg_start"] = np.asarray(plan.outdeg_start)
         arrays["last_dangling"] = np.asarray(plan.last_dangling)
         arrays["k_iso_dangling"] = np.asarray([plan.k_iso_dangling], np.int64)
+        # r5+: loop network routes no-state starts from identity donor slots
+        arrays["loop_donors"] = np.asarray([int(plan.loop_donors)], np.int64)
     if getattr(plan, "_order_dst", None) is not None:
         # lets the disk cache serve same-pattern matrices with different
         # values (load_spmv_plan(w=...) re-derives the weight channel)
@@ -566,6 +588,8 @@ def load_spmv_plan(path, w=None):
         jnp.asarray(fill_j) if fill_j is not None else None,
         jnp.asarray(fill_hp) if fill_hp is not None else None,
         k_iso_dangling=int(data["k_iso_dangling"][0]) if "k_iso_dangling" in data else 0,
+        # plans cached before r5 lack donor routing: keep the select path
+        loop_donors=bool(int(data["loop_donors"][0])) if "loop_donors" in data else False,
     )
 
 

@@ -26,6 +26,12 @@ import os
 
 _BLK = int(os.environ.get("GRAPHBLAS_SCAN_BLK", "1024"))  # rows per tile
 
+# The loop-layout algorithms' "unreached" distance.  Finite (not inf) so
+# BIG + w stays ordered and comparable; shared with models/fast.py.  The
+# sssp state kernel writes it at non-last slots so those slots are valid
+# DONORS for the loop network (see fastspmv.build_spmv_plan donor routing).
+STATE_BIG = np.float32(3.4e38) / 4
+
 
 def _combine(op, av, af, bv, bf):
     """Segmented-scan combine: b is later; flags (int32 0/1) mark segment
@@ -188,7 +194,11 @@ def _state_kernel(mode, blk, x_ref, w_ref, valid_ref, f_ref, il_ref, st_ref, d_r
         o_fr_ref[:, :] = nxt.astype(jnp.float32)
     else:  # sssp
         dist = st_ref[:, :]
-        new = jnp.where(il, jnp.minimum(dist, out_v), jnp.float32(0))
+        # non-last slots carry the min identity (STATE_BIG), NOT 0: they are
+        # the loop network's donor slots for start slots whose vertex has no
+        # state (donor routing deletes the x_start select — an e_pad HBM
+        # pass per iteration).  BFS already writes its identity (0) there.
+        new = jnp.where(il, jnp.minimum(dist, out_v), STATE_BIG)
         o_st_ref[:, :] = new
         o_fr_ref[:, :] = (new < dist).astype(jnp.float32)
 

@@ -92,11 +92,14 @@ def _rowsel_shuffle_enabled():
 
 
 def _rsel_kernel_enabled():
-    """Single-pass Pallas RSEL (default on; GRAPHBLAS_TPU_RSEL_KERNEL=0
-    restores the XLA m-way select)."""
+    """Single-pass Pallas RSEL (opt-in via GRAPHBLAS_TPU_RSEL_KERNEL=1).
+
+    Measured NEUTRAL vs the XLA m-way select at m=4 and m=8 on v5e (XLA
+    already fuses the where chain into ~2 HBM passes), so the default stays
+    the r4-verified XLA path."""
     import os
 
-    return os.environ.get("GRAPHBLAS_TPU_RSEL_KERNEL", "1") == "1"
+    return os.environ.get("GRAPHBLAS_TPU_RSEL_KERNEL", "0") == "1"
 
 
 def padded_size(e):

@@ -118,7 +118,10 @@ def test_segmented_scan_state_vs_composed(rng):
             jnp.asarray(x), jnp.asarray(w), jnp.asarray(valid), jnp.asarray(flags), "min", "plus", interpret=True
         )
     )
-    ref_new = np.where(il, np.minimum(dist, ref), 0.0)
+    # non-last slots carry the min identity (donor slots for the loop network)
+    from graphblas_tpu.ops.pallas_scan import STATE_BIG
+
+    ref_new = np.where(il, np.minimum(dist, ref), STATE_BIG)
     got_new, got_ch = segmented_scan_state(
         "sssp", jnp.asarray(x), jnp.asarray(w), jnp.asarray(valid), jnp.asarray(flags),
         jnp.asarray(il), jnp.asarray(dist), 0, interpret=True,

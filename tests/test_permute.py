@@ -165,6 +165,63 @@ def test_loop_sssp_matches_v1(rng):
         np.testing.assert_allclose(got, ref, rtol=1e-5, err_msg=f"source={source}")
 
 
+def test_loop_donor_modes_match(rng):
+    """Donor-routed x_start (no select) == the select path, for every mode.
+
+    Donor routing: no-state start slots read non-last slots, which the scan
+    state kernels keep at the mode identity (BFS 0 / SSSP STATE_BIG)."""
+    from graphblas_tpu.models import fast as mf
+
+    n = 150
+    src, dst, w = _nasty_graph(rng, n)
+    # guarantee out-only vertices (no-state starts): n-10..n-6 each have an
+    # out-edge and (src range < 0.8n) no in-edge
+    extra_src = np.arange(n - 10, n - 5, dtype=np.int32)
+    extra_dst = np.arange(5, dtype=np.int32)
+    src = np.concatenate([src, extra_src])
+    dst = np.concatenate([dst, extra_dst])
+    w = np.concatenate([w, np.full(5, 0.5, np.float32)])
+    plan = build_spmv_plan(src, dst, w, n=n)
+    assert plan.loop_donors
+    for source in [int(src[0]), n - 10, 0]:
+        ref_b = np.asarray(mf._bfs_loop_v3(plan, source, n, mode="select"))
+        ref_s = np.asarray(mf._sssp_loop_v3(plan, source, n, mode="select"))
+        for mode in ("donor", "donor_post"):
+            got_b = np.asarray(mf._bfs_loop_v3(plan, source, n, mode=mode))
+            np.testing.assert_array_equal(got_b, ref_b, err_msg=f"bfs {mode} source={source}")
+            got_s = np.asarray(mf._sssp_loop_v3(plan, source, n, mode=mode))
+            np.testing.assert_allclose(
+                got_s, ref_s, rtol=1e-6, err_msg=f"sssp {mode} source={source}"
+            )
+
+
+def test_loop_donor_after_roundtrip(rng, tmp_path):
+    """Cache round-trip preserves donor routing; pre-r5 caches (flag absent)
+    keep the select path."""
+    from graphblas_tpu.models import fast as mf
+    from graphblas_tpu.ops.fastspmv import load_spmv_plan, save_spmv_plan
+
+    n = 130
+    src, dst, w = _nasty_graph(rng, n, 400)
+    plan = build_spmv_plan(src, dst, w, n=n)
+    path = tmp_path / "plan_donor.npz"
+    save_spmv_plan(plan, str(path))
+    plan2 = load_spmv_plan(str(path))
+    assert plan2.loop_donors
+    s = int(src[0])
+    np.testing.assert_allclose(
+        np.asarray(mf._sssp_loop_v3(plan2, s, n, mode="donor")),
+        np.asarray(mf._sssp_loop_v3(plan, s, n, mode="select")),
+        rtol=1e-6,
+    )
+    # simulate a pre-r5 cache: strip the flag -> loader must disable donors
+    data = dict(np.load(str(path), allow_pickle=False))
+    data.pop("loop_donors")
+    np.savez(str(path), **data)
+    plan3 = load_spmv_plan(str(path))
+    assert not plan3.loop_donors
+
+
 def test_loop_pagerank_matches_v1(rng):
     import jax.numpy as jnp
 
