@@ -651,6 +651,17 @@ class BaseExpression(_InfixMixin):
             "materialize with .new() and compare explicitly"
         )
 
+    # container dunders also bypass __getattr__ (reference automethods mirror
+    # __iter__/__contains__/__array__ onto expression classes)
+    def __iter__(self):
+        return iter(self._autocompute_method("__iter__")())
+
+    def __contains__(self, item):
+        return self._autocompute_method("__contains__")(item)
+
+    def __array__(self, *args, **kwargs):
+        return self._autocompute_method("__array__")(*args, **kwargs)
+
     def _format_call_string(self):
         """Functional description of the delayed call, e.g.
         ``A.mxm(B, op=plus_times[FP64])`` (reference: expression reprs)."""
@@ -682,11 +693,21 @@ class BaseExpression(_InfixMixin):
                 return header
         return header
 
+    def _autocompute_method(self, name):
+        # reference gates EVERY value-bearing expression method through
+        # _get_value (core/automethods.py:14-28): TypeError when off
+        if not _get_config().get("autocompute"):
+            raise TypeError(
+                f"{type(self).__name__} is not computed automatically (autocompute is "
+                f"off). Call .new() first to access .{name}."
+            )
+        return getattr(self._get_value(), name)
+
     def isequal(self, other, **kwargs):
-        return self._get_value().isequal(other, **kwargs)
+        return self._autocompute_method("isequal")(other, **kwargs)
 
     def isclose(self, other, **kwargs):
-        return self._get_value().isclose(other, **kwargs)
+        return self._autocompute_method("isclose")(other, **kwargs)
 
     def __lshift__(self, other):
         raise TypeError(f"Cannot use << on an expression; did you mean to call .new()?")

@@ -376,10 +376,21 @@ class AmbiguousAssignOrExtract:
 
     @property
     def value(self):
-        """Scalar element access (reference: core/expr.py:377-383)."""
+        """Scalar element access (reference automethod: core/automethods.py:285,
+        gated on autocompute like every value-bearing expression attribute)."""
         if self.shape != ():
             raise AttributeError("Only Scalar extracts have .value")
-        return self.new().value
+        self._require_autocompute("value")
+        return self._get_value().value
+
+    def _require_autocompute(self, name):
+        import graphblas_tpu
+
+        if not graphblas_tpu.config.get("autocompute"):
+            raise TypeError(
+                "AmbiguousAssignOrExtract is not computed automatically (autocompute "
+                f"is off). Call .new() first to access .{name}."
+            )
 
     def _get_value(self):
         if self._value is None:
@@ -445,10 +456,24 @@ class AmbiguousAssignOrExtract:
         return f"{type(self).__name__} {self.parent.name or type(self.parent).__name__}[...]"
 
     def isequal(self, other, **kwargs):
+        self._require_autocompute("isequal")
         return self._get_value().isequal(other, **kwargs)
 
     def isclose(self, other, **kwargs):
+        self._require_autocompute("isclose")
         return self._get_value().isclose(other, **kwargs)
+
+    def __iter__(self):
+        self._require_autocompute("__iter__")
+        return iter(self._get_value())
+
+    def __contains__(self, item):
+        self._require_autocompute("__contains__")
+        return item in self._get_value()
+
+    def __array__(self, *args, **kwargs):
+        self._require_autocompute("__array__")
+        return self._get_value().__array__(*args, **kwargs)
 
 
 def _keys_of(resolved):

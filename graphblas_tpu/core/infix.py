@@ -60,19 +60,76 @@ class InfixExprBase(InfixMixin):
 
     def _out_cls(self):
         from .matrix import Matrix
+        from .scalar import Scalar
         from .vector import Vector
 
-        return Matrix if self.ndim == 2 else Vector
+        return (Scalar, Vector, Matrix)[self.ndim]
 
     @property
     def _output_type(self):
         return self._out_cls()
 
+    def _require_autocompute(self, name):
+        import graphblas_tpu
+
+        if not graphblas_tpu.config.get("autocompute"):
+            raise TypeError(
+                f"{type(self).__name__} is not computed automatically (autocompute is off). "
+                f"Call .new() first to access .{name}."
+            )
+
     def isequal(self, other, **kwargs):
+        self._require_autocompute("isequal")
         return self._get_value().isequal(other, **kwargs)
 
     def isclose(self, other, **kwargs):
+        self._require_autocompute("isclose")
         return self._get_value().isclose(other, **kwargs)
+
+    # numeric dunders bypass __getattr__ (type-level lookup); scalar-output
+    # infix expressions (v @ v) mirror them like BaseExpression does
+    # (reference: generated automethods on ScalarMatMulExpr)
+    def _scalar_dunder(self, kind, conv):
+        from .scalar import Scalar
+
+        if self._out_cls() is not Scalar:
+            raise TypeError(f"{kind} not defined for objects of type {type(self).__name__}")
+        self._require_autocompute(kind)
+        return conv(self._get_value())
+
+    def __float__(self):
+        return self._scalar_dunder("__float__", float)
+
+    def __int__(self):
+        return self._scalar_dunder("__int__", int)
+
+    def __index__(self):
+        return self._scalar_dunder("__index__", lambda v: v.__index__())
+
+    def __complex__(self):
+        return self._scalar_dunder("__complex__", complex)
+
+    def __bool__(self):
+        from .scalar import Scalar
+
+        if self._out_cls() is Scalar:
+            return self._scalar_dunder("__bool__", bool)
+        raise TypeError(
+            f"__bool__ not defined for objects of type {type(self).__name__}; "
+            "materialize with .new() and compare explicitly"
+        )
+
+    def __iter__(self):
+        self._require_autocompute("__iter__")
+        return iter(self._get_value())
+
+    def __contains__(self, item):
+        self._require_autocompute("__contains__")
+        return item in self._get_value()
+
+    def __array__(self, *args, **kwargs):
+        self._require_autocompute("__array__")
+        return self._get_value().__array__(*args, **kwargs)
 
     def __repr__(self):
         # reference-style: a one-line functional header naming the operands
@@ -185,6 +242,15 @@ def _normalize_operand(x):
     if isinstance(x, (BaseType, TransposedMatrix)):
         return x
     if isinstance(x, (BaseExpression, AmbiguousAssignOrExtract, InfixExprBase)):
+        # materializing an expression operand is an autocompute
+        # (reference automethods gate __or__/__and__/__matmul__ the same way)
+        import graphblas_tpu
+
+        if not graphblas_tpu.config.get("autocompute"):
+            raise TypeError(
+                f"{type(x).__name__} is not computed automatically (autocompute is off). "
+                "Call .new() first to use it as an infix operand."
+            )
         return x._get_value()
     raise TypeError(f"Bad operand type for infix expression: {type(x)}")
 
