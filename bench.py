@@ -373,12 +373,12 @@ def main():
 # The last independently-corroborated full-bench numbers (see BENCH_NOTES);
 # embedded in the failure JSON so an outage round still records the state.
 _LAST_GOOD = {
-    "pagerank_gteps_per_iter": 5.9109,
-    "bfs_gteps": 1.0377,
-    "sssp_gteps": 0.9149,
-    "masked_spgemm_gflops": 3.7748,
-    "tropical_mxm_tops": 3.2998,
-    "source": "BENCH_NOTES_r4 final (17:18 UTC run, /tmp/bench_r4b.log)",
+    "pagerank_gteps_per_iter": 5.7312,
+    "bfs_gteps": 0.9468,
+    "sssp_gteps": 0.8388,
+    "masked_spgemm_gflops": 3.9021,
+    "tropical_mxm_tops": 3.5188,
+    "source": "round-5 warm run (02:13 UTC 2026-08-19, /tmp/bench_r5b.log)",
 }
 
 

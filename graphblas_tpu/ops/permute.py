@@ -102,6 +102,18 @@ def _rsel_kernel_enabled():
     return os.environ.get("GRAPHBLAS_TPU_RSEL_KERNEL", "0") == "1"
 
 
+def _s_alias_enabled():
+    """In-place S stages (opt-in via GRAPHBLAS_TPU_S_ALIAS=1): alias the
+    value operand to the kernel output (input_output_aliases={0: 0}).  Safe
+    because each grid block's rows are fully loaded to VMEM before the
+    store and the shuffle is row-local.  Probe for the e_pad=2^24 in-context
+    cost cliff (CLAUDE.md round-5): halves the live-buffer footprint of
+    every network stage inside a compiled loop."""
+    import os
+
+    return os.environ.get("GRAPHBLAS_TPU_S_ALIAS", "0") == "1"
+
+
 def padded_size(e):
     """Smallest admissible network size >= e.  Admissible: rows r = m * 128^L
     with 1 <= m <= 128, size = r * 128."""
@@ -427,18 +439,22 @@ def _pallas_shuffle(x2d, idx, post=None, aux2d=(), scalars=()):
     sspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
     out_dtype = x2d.dtype
     if post is not None:
+        # dtype probe: use the FLAT (1-D) branch of ``post`` — the kernel
+        # branch may call pl.program_id, which only traces inside a grid
         out_dtype = jax.eval_shape(
             lambda x, a, s: post(x, a, s),
-            jax.ShapeDtypeStruct((blk, 128), x2d.dtype),
-            tuple(jax.ShapeDtypeStruct((blk, 128), a.dtype) for a in aux2d),
+            jax.ShapeDtypeStruct((blk * 128,), x2d.dtype),
+            tuple(jax.ShapeDtypeStruct((blk * 128,), a.dtype) for a in aux2d),
             tuple(jax.ShapeDtypeStruct((), jnp.asarray(s).dtype) for s in scalars),
         ).dtype
+    alias = {0: 0} if (_s_alias_enabled() and out_dtype == x2d.dtype) else {}
     return pl.pallas_call(
         kernel,
         grid=(r // blk,),
         in_specs=[vspec, vspec] + [vspec] * n_aux + [sspec] * n_s,
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct(x2d.shape, out_dtype),
+        input_output_aliases=alias,
     )(x2d, idx, *aux2d, *(jnp.asarray(s).reshape(1, 1) for s in scalars))
 
 
