@@ -41,9 +41,12 @@ def _spmv_state_update(plan, x_start, mode, state, depth):
     xe = _seg_fill(plan, x_start)
     xe_dst = apply_plan(xe, plan.perm_plan)
     w = plan.w_dst_order if mode == "sssp" else None
+    # sssp only tests ANY(changed): per-block reduced flags skip a full
+    # e_pad HBM write + read per round
     return segmented_scan_state(
         mode, xe_dst, w, plan.valid_dst_order, plan.seg_start_dst,
         plan.is_last_dst, state, depth, interpret=_interpret_scan(),
+        fr_reduce=(mode == "sssp"),
     )
 
 
@@ -79,7 +82,7 @@ def _xstart_mode(plan, donor_default):
     import os
 
     v = os.environ.get("GRAPHBLAS_TPU_XSTART_MODE")
-    if v in ("select", "fused", "donor", "donor_post"):
+    if v in ("select", "fused", "donor", "donor_where", "donor_state", "donor_post"):
         if v.startswith("donor") and not plan.loop_donors:
             return "select"
         return v
@@ -178,6 +181,14 @@ def _bfs_loop_v3(plan, source, n, mode="select"):
     slot = jax.lax.iota(jnp.int32, e_pad)
     src_inject = ((slot == s_lo) & (s_hi > s_lo)).astype(fdt)
     frontier0 = jnp.zeros((e_pad,), fdt)
+    # donor_state: seed the source frontier IN the state array (round 1
+    # routes it to the start slots; later frontiers never re-inject)
+    t_lo = plan.indptr_dst[source]
+    t_hi = plan.indptr_dst[source + 1]
+    has_state = t_hi > t_lo
+    if mode == "donor_state":
+        sslot = jnp.where(has_state, t_hi - 1, 0)
+        frontier0 = frontier0.at[sslot].set(jnp.where(has_state, fdt(1.0), fdt(0.0)))
 
     def cond(state):
         _, _, depth, active = state
@@ -200,12 +211,27 @@ def _bfs_loop_v3(plan, source, n, mode="select"):
         if mode == "fused":
             # select + source-inject fused into the loop network's last kernel
             x_start = state_to_start_post(plan, frontier, post, aux=(packed,))
-        elif mode == "donor":
+        elif mode in ("donor", "donor_where"):
             # donor-routed plan: routed IS x_start (frontier identity 0 at
-            # non-last slots); only the source inject remains, one XLA pass
+            # non-last slots); only the source inject remains, one XLA pass.
+            # (A one-element dynamic_update_slice inject measured SLOWER —
+            # XLA copies the routed buffer: +0.28 ms/round.)
             from ..ops.permute import apply_plan
 
             x_start = jnp.maximum(apply_plan(frontier, plan.loop_plan), src_inject)
+        elif mode == "donor_state":
+            # source seeded ONCE into the frontier state (its dst-seg-last
+            # slot); the body is pure routing.  No-state sources (no
+            # in-edges) fall back to the per-round inject via lax.cond.
+            from ..ops.permute import apply_plan
+
+            routed = apply_plan(frontier, plan.loop_plan)
+            x_start = jax.lax.cond(
+                has_state,
+                lambda r: r,
+                lambda r: jnp.maximum(r, src_inject),
+                routed,
+            )
         elif mode == "donor_post":
             # donor routing + inject as a minimal in-kernel epilogue
             x_start = state_to_start_post(
@@ -300,6 +326,15 @@ def _sssp_loop_v3(plan, source, n, mode="select"):
     s_eff = jnp.where(s_hi > s_lo, s_lo, jnp.int32(-1))
     slot = jax.lax.iota(jnp.int32, e_pad)
     src_inject = (slot == s_lo) & (s_hi > s_lo)
+    # donor_state: the source's distance-0 lives IN the state array (its
+    # dst-seg-last slot) from round 0 — the kernel's min keeps it 0 forever
+    t_lo = plan.indptr_dst[source]
+    t_hi = plan.indptr_dst[source + 1]
+    has_state = t_hi > t_lo
+    if mode == "donor_state":
+        sslot = jnp.where(has_state, t_hi - 1, 0)
+        sval = jnp.where(has_state, jnp.float32(0), _BIG)
+        dist0 = dist0.at[sslot].set(sval)
 
     def cond(state):
         _, changed, it = state
@@ -320,13 +355,29 @@ def _sssp_loop_v3(plan, source, n, mode="select"):
         if mode == "fused":
             # select + source-inject fused into the loop network's last kernel
             x_start = state_to_start_post(plan, dist, post, aux=(packed,))
-        elif mode == "donor":
+        elif mode in ("donor", "donor_where"):
             # donor-routed plan: routed IS x_start (non-last slots hold _BIG);
-            # only the source inject remains, one XLA pass
+            # only the source inject remains, one XLA pass.  (A one-element
+            # dynamic_update_slice inject measured SLOWER — XLA copies the
+            # routed buffer instead of updating in place: +0.28 ms/round.)
             from ..ops.permute import apply_plan
 
             routed = apply_plan(dist, plan.loop_plan)
             x_start = jnp.where(src_inject, jnp.float32(0), routed)
+        elif mode == "donor_state":
+            # source injected ONCE into the state array (its dst-seg-last
+            # slot) before the loop; the body is pure routing — zero inject
+            # passes.  Sources with no in-edge have no state slot: lax.cond
+            # falls back to the per-round inject only for those.
+            from ..ops.permute import apply_plan
+
+            routed = apply_plan(dist, plan.loop_plan)
+            x_start = jax.lax.cond(
+                has_state,
+                lambda r: r,
+                lambda r: jnp.where(src_inject, jnp.float32(0), r),
+                routed,
+            )
         elif mode == "donor_post":
             # donor routing + inject as a minimal in-kernel epilogue
             x_start = state_to_start_post(

@@ -173,7 +173,7 @@ def _no_x64(fn):
     return wrapper
 
 
-def _state_kernel(mode, blk, x_ref, w_ref, valid_ref, f_ref, il_ref, st_ref, d_ref, o_st_ref, o_fr_ref, cv_ref, cf_ref):
+def _state_kernel(mode, blk, x_ref, w_ref, valid_ref, f_ref, il_ref, st_ref, d_ref, o_st_ref, o_fr_ref, cv_ref, cf_ref, fr_reduce=False):
     """Fused SpMV-reduce + per-iteration state update (BFS / SSSP loop
     bodies): the contrib scan's epilogue applies the frontier/distance
     update in-VMEM instead of a separate full-HBM elementwise pass."""
@@ -200,17 +200,31 @@ def _state_kernel(mode, blk, x_ref, w_ref, valid_ref, f_ref, il_ref, st_ref, d_r
         # pass per iteration).  BFS already writes its identity (0) there.
         new = jnp.where(il, jnp.minimum(dist, out_v), STATE_BIG)
         o_st_ref[:, :] = new
-        o_fr_ref[:, :] = (new < dist).astype(jnp.float32)
+        ch = (new < dist).astype(jnp.float32)
+        if fr_reduce:
+            # the caller only needs ANY(changed): reduce in-VMEM to one
+            # scalar per grid block — skips a full e_pad write + read.
+            # The (n_blocks, 1) SMEM output is whole-array-blocked (Mosaic
+            # requires sub-blocks divisible by (8, 128)); each step writes
+            # its own row.
+            import jax.experimental.pallas as pl
+
+            o_fr_ref[pl.program_id(0), 0] = jnp.max(ch)
+        else:
+            o_fr_ref[:, :] = ch
 
 
-@functools.partial(jax.jit, static_argnames=("mode", "interpret"))
+@functools.partial(jax.jit, static_argnames=("mode", "interpret", "fr_reduce"))
 @_no_x64
-def segmented_scan_state(mode, xe, w, valid, flags, is_last, state, depth, interpret=False):
+def segmented_scan_state(mode, xe, w, valid, flags, is_last, state, depth, interpret=False, fr_reduce=False):
     """One fused pass: segmented reduce of dst-sorted contributions + the
     BFS/SSSP state update read at segment-last slots.
 
     mode="bfs": state is levels (int32); returns (new_levels, frontier f32).
-    mode="sssp": state is dist (f32); returns (new_dist, changed f32)."""
+    mode="sssp": state is dist (f32); returns (new_dist, changed f32).
+    fr_reduce=True (sssp only): the second output is a per-grid-block max of
+    the changed flags, shape (n_blocks, 1) — for callers that only test
+    ANY(changed), deleting a full e_pad HBM write + read per round."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -226,28 +240,37 @@ def segmented_scan_state(mode, xe, w, valid, flags, is_last, state, depth, inter
     d2 = jnp.asarray(depth, jnp.int32).reshape(1, 1)
     blockspec = pl.BlockSpec((blk, 128), lambda i: (i, 0), memory_space=pltpu.VMEM)
     smemspec = pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+    if fr_reduce and mode != "sssp":
+        raise ValueError("fr_reduce is an sssp-only contract")
     if w is not None:
-        kernel = functools.partial(_state_kernel, mode, blk)
+        kernel = functools.partial(_state_kernel, mode, blk, fr_reduce=fr_reduce)
         args = (x2, w.reshape(r, 128), v2, f2, il2, st2, d2)
         in_specs = [blockspec] * 6 + [smemspec]
     else:
         kernel = functools.partial(
-            lambda mode, blk, x_ref, valid_ref, f_ref, il_ref, st_ref, d_ref, o_st, o_fr, cv, cf: _state_kernel(
-                mode, blk, x_ref, None, valid_ref, f_ref, il_ref, st_ref, d_ref, o_st, o_fr, cv, cf
+            lambda mode, blk, x_ref, valid_ref, f_ref, il_ref, st_ref, d_ref, o_st, o_fr, cv, cf, _fr=fr_reduce: _state_kernel(
+                mode, blk, x_ref, None, valid_ref, f_ref, il_ref, st_ref, d_ref, o_st, o_fr, cv, cf, fr_reduce=_fr
             ),
             mode,
             blk,
         )
         args = (x2, v2, f2, il2, st2, d2)
         in_specs = [blockspec] * 5 + [smemspec]
+    n_blocks = r // blk
+    if fr_reduce:
+        fr_spec = pl.BlockSpec((n_blocks, 1), lambda i: (0, 0), memory_space=pltpu.SMEM)
+        fr_shape = jax.ShapeDtypeStruct((n_blocks, 1), jnp.float32)
+    else:
+        fr_spec = blockspec
+        fr_shape = jax.ShapeDtypeStruct((r, 128), jnp.float32)
     out_st, out_fr = pl.pallas_call(
         kernel,
         grid=(r // blk,),
         in_specs=in_specs,
-        out_specs=(blockspec, blockspec),
+        out_specs=(blockspec, fr_spec),
         out_shape=(
             jax.ShapeDtypeStruct((r, 128), state.dtype),
-            jax.ShapeDtypeStruct((r, 128), jnp.float32),
+            fr_shape,
         ),
         scratch_shapes=[
             pltpu.SMEM((1, 1), jnp.float32),

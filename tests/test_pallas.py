@@ -143,3 +143,39 @@ def test_segmented_scan_state_vs_composed(rng):
     )
     np.testing.assert_array_equal(np.asarray(got_lv), np.where(nxt, 8, lv))
     np.testing.assert_array_equal(np.asarray(got_fr), nxt.astype(np.float32))
+
+
+def test_segmented_scan_state_fr_reduce(rng):
+    """fr_reduce=True: per-block ANY(changed) flags match the full output."""
+    import jax.numpy as jnp
+
+    from graphblas_tpu.ops.pallas_scan import _BLK, segmented_scan_state
+
+    n = 128 * 64
+    flags = rng.random(n) < 0.05
+    valid = rng.random(n) < 0.8
+    il = np.zeros(n, bool)
+    il[np.flatnonzero(flags) - 1] = True
+    x = rng.random(n).astype(np.float32)
+    w = rng.random(n).astype(np.float32)
+    dist = (rng.random(n) * 2).astype(np.float32)
+    args = (
+        "sssp", jnp.asarray(x), jnp.asarray(w), jnp.asarray(valid), jnp.asarray(flags),
+        jnp.asarray(il), jnp.asarray(dist), 0,
+    )
+    new_full, ch_full = segmented_scan_state(*args, interpret=True)
+    new_red, ch_red = segmented_scan_state(*args, interpret=True, fr_reduce=True)
+    np.testing.assert_allclose(np.asarray(new_red), np.asarray(new_full), rtol=1e-6)
+    r = n // 128
+    blk = min(_BLK, r)
+    per_block = np.asarray(ch_full).reshape(r // blk, blk * 128).max(axis=1)
+    np.testing.assert_array_equal(np.asarray(ch_red).reshape(-1), per_block)
+
+    # bfs must reject the sssp-only contract
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        segmented_scan_state(
+            "bfs", jnp.asarray(x), None, jnp.asarray(valid), jnp.asarray(flags),
+            jnp.asarray(il), jnp.zeros(n, np.int32), 0, interpret=True, fr_reduce=True,
+        )
