@@ -34,6 +34,25 @@ def _gb():
     return gb
 
 
+def _seed_round():
+    """Bake round 1 into the initial state at build time (the runner already
+    binds the source/graph at build).  Round 1 of BFS/SSSP only propagates
+    from the source — O(deg) useful work — but a compiled-loop round costs a
+    full O(E) pass; connected components' round 1 is one host segment-min.
+    Deletes exactly one full round (same fixpoint — tests A/B this).
+    GRAPHBLAS_TPU_SEED_ROUND=0 disables."""
+    return os.environ.get("GRAPHBLAS_TPU_SEED_ROUND", "1") == "1"
+
+
+def _host_coo(AT):
+    """(rows, cols, vals) of a sparse-backed DSL Matrix, else None (the
+    build-time seed is skipped for dense-backed matrices)."""
+    sp = getattr(AT, "_sparse", None)
+    if sp is None:
+        return None
+    return np.asarray(sp.rows), np.asarray(sp.cols), np.asarray(sp.vals)
+
+
 def pagerank(AT, *, damping=0.85, max_iters=50, dtype=None):
     """PageRank via DSL statements in one compiled loop.
 
@@ -150,11 +169,25 @@ def bfs_level_dense_runner(AT, source, *, max_iters=None):
     from ..core.vector import Vector
 
     n = AT.nrows
-    v0 = Vector.from_scalar(-1, n, dtm.INT32, name="levels")
-    v0[int(source)] = 0
-    q0 = Vector.from_scalar(0.0, n, dtm.FP32, name="frontier")
-    q0[int(source)] = 1.0
-    lvl0 = Scalar.from_value(0, dtm.INT32)
+    source = int(source)
+    v0_np = np.full(n, -1, np.int32)
+    q0_np = np.zeros(n, np.float32)
+    lvl = 0
+    coo = _host_coo(AT) if _seed_round() else None
+    if coo is not None:
+        # build-time seed: level 1 = source's out-neighbors (round 1 on host)
+        r, c, _ = coo
+        nb = np.unique(r[c == source])
+        nb = nb[nb != source]
+        v0_np[nb] = 1
+        q0_np[nb] = 1.0
+        lvl = 1
+    else:
+        q0_np[source] = 1.0
+    v0_np[source] = 0
+    v0 = Vector.from_dense(v0_np, dtype=dtm.INT32, name="levels")
+    q0 = Vector.from_dense(q0_np, dtype=dtm.FP32, name="frontier")
+    lvl0 = Scalar.from_value(lvl, dtm.INT32)
     # closed-over dense zero: unioning with it keeps the frontier
     # structurally FULL every iteration (the mxv output pattern alone is
     # only the vertices with in-edges, which would break hoisting)
@@ -205,8 +238,17 @@ def sssp_runner(AT, source, *, max_iters=None):
     from ..core.vector import Vector
 
     n = AT.nrows
-    d0 = Vector.from_scalar(_BIG, n, dtm.FP32, name="dist")
-    d0[int(source)] = 0.0
+    source = int(source)
+    d0_np = np.full(n, _BIG, np.float32)
+    coo = _host_coo(AT) if _seed_round() else None
+    if coo is not None:
+        # build-time seed: relax the source's out-edges (round 1) on host —
+        # AT[i, j] is edge j -> i, so source's out-edges are cols == source
+        r, c, w = coo
+        m = c == source
+        np.minimum.at(d0_np, r[m], w[m].astype(np.float32))
+    d0_np[source] = 0.0
+    d0 = Vector.from_dense(d0_np, dtype=dtm.FP32, name="dist")
     ch0 = Scalar.from_value(True, dtm.BOOL)
 
     def cond(dist, changed):
@@ -231,21 +273,27 @@ def sssp_runner(AT, source, *, max_iters=None):
 
 
 def connected_components(AT, *, max_iters=None, dtype=None):
-    """Connected components via DSL statements in one compiled while-loop.
+    """(Weakly-)connected components via DSL statements in one compiled loop.
 
     The acceptance workload is FastSV (reference: notebooks/Connected
     Components -- FastSV.ipynb); its hooking/shortcutting steps are
     data-dependent gathers, which on TPU are the slow primitive (XLA gather
     ~90 M elem/s vs ~5 G elem/s network passes — CLAUDE.md measured facts).
-    The TPU-native recipe is min-label propagation: every vertex repeatedly
-    adopts the minimum label among itself and its neighbors — each round is
-    ONE ``min_second`` mxv + one accumulate, entirely on the O(E) plan
-    engine, converging in O(diameter) rounds.  Same fixed point (the
-    component minimum) as FastSV; models/fastsv.py keeps the pointer-jumping
-    variant for high-diameter graphs.
+    The TPU-native recipe is min-label propagation with ALTERNATING
+    direction passes: each super-iteration pulls the minimum label along
+    in-edges (``min_second`` mxv) and then pushes it along out-edges
+    (``min_first`` vxm), both on the O(E) plan engine.  Same fixed point
+    (the component minimum) as FastSV on the symmetrized graph, but the
+    directed adjacency is roughly HALF the edge slots of its
+    symmetrization — and network passes past ~2^23 elements lose VMEM
+    residency and cost ~1.5x more per element (the measured e_pad cliff),
+    so two directed passes beat one symmetric pass well before iteration
+    counts even matter.  ``AT`` may be ANY adjacency (weak connectivity ==
+    connectivity of the symmetrization); passing a symmetrized matrix still
+    works, it just runs the redundant second pass.  models/fastsv.py keeps
+    the pointer-jumping variant for high-diameter graphs.
 
-    ``AT`` must be structurally symmetric (undirected adjacency).  Labels
-    ride FP32 (exact for n < 2**24); pass ``dtype=INT64`` past that.
+    Labels ride FP32 (exact for n < 2**24); pass ``dtype=INT64`` past that.
     Returns a Vector where each vertex holds its component's minimum id.
     """
     return connected_components_runner(AT, max_iters=max_iters, dtype=dtype)()
@@ -260,16 +308,31 @@ def connected_components_runner(AT, *, max_iters=None, dtype=None):
 
     dtype = dtm.FP32 if dtype is None else dtype
     n = AT.nrows
-    p0 = Vector.from_dense(np.arange(n, dtype=np.int64), dtype=dtype, name="labels")
+    p0_np = np.arange(n, dtype=np.int64)
+    coo = _host_coo(AT) if _seed_round() else None
+    if coo is not None:
+        # build-time seed: one alternating super-round on host (two
+        # segment-min passes) — deletes one full compiled super-iteration
+        r, c, _ = coo
+        m = np.full(n, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(m, r, p0_np[c])
+        p0_np = np.minimum(p0_np, m)
+        m = np.full(n, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(m, c, p0_np[r])
+        p0_np = np.minimum(p0_np, m)
+    p0 = Vector.from_dense(p0_np, dtype=dtype, name="labels")
     ch0 = Scalar.from_value(True, dtm.BOOL)
 
     def cond(p, changed):
         return changed
 
     def body(p, changed):
-        m = AT.mxv(p, semiring.min_second).new(dtype)
-        new = p.dup()
-        new(accum=binary.min) << m
+        m1 = AT.mxv(p, semiring.min_second).new(dtype)  # pull along in-edges
+        p1 = p.dup()
+        p1(accum=binary.min) << m1
+        m2 = p1.vxm(AT, semiring.min_first).new(dtype)  # push along out-edges
+        new = p1.dup()
+        new(accum=binary.min) << m2
         ch = new.ewise_mult(p, binary.lt).reduce(monoid.lor).new(dtm.BOOL)
         return new, ch
 

@@ -50,6 +50,54 @@ def _spmv_state_update(plan, x_start, mode, state, depth):
     )
 
 
+def _seed_round():
+    """Relax the source's own out-edges at initialization (BFS/SSSP).
+
+    Bellman-Ford/BFS round 1 only propagates from the source, but a network
+    round costs full O(E) regardless of frontier size.  The seed computes
+    round 1's entire effect as ONE fused segmented-scan pass (no networks):
+    the source's out-edges are identified in dst order by the static
+    ``src_dst_order`` channel, so the contribution array is a single
+    elementwise select.  Exactly one full round is deleted (measured on the
+    bench RMAT graphs: SSSP 7 -> 6 passes, BFS 6 -> 5, same fixpoint) —
+    the standard "initialize distances from the source adjacency" opening
+    move, done device-side so ``source`` stays a traced argument.
+    GRAPHBLAS_TPU_SEED_ROUND=0 disables (A/B)."""
+    import os
+
+    return os.environ.get("GRAPHBLAS_TPU_SEED_ROUND", "1") == "1"
+
+
+def _seed_ok(plan):
+    """Seeding needs the static src-id channel and the state-slot tables."""
+    return (
+        _seed_round()
+        and plan.src_dst_order is not None
+        and plan.seg_start_dst is not None
+        and plan.is_last_dst is not None
+    )
+
+
+def _seed_state(plan, mode, source, state0):
+    """One-pass device seed: state after round 1, from all-unreached state0.
+
+    mode="sssp": contributions are w(source->d); mode="bfs": frontier bit 1.
+    Returns (state, frontier/changed) like segmented_scan_state."""
+    from ..ops.fastspmv import _interpret_scan
+    from ..ops.pallas_scan import segmented_scan_state
+
+    src_eq = plan.src_dst_order == source
+    if mode == "sssp":
+        x_seed = jnp.where(src_eq, jnp.float32(0), _BIG)
+    else:
+        x_seed = src_eq.astype(jnp.float32)
+    w = plan.w_dst_order if mode == "sssp" else None
+    return segmented_scan_state(
+        mode, x_seed, w, plan.valid_dst_order, plan.seg_start_dst,
+        plan.is_last_dst, state0, 0, interpret=_interpret_scan(),
+    )
+
+
 def _xstart_fuse(default):
     """Fuse the x_start selects into the loop network's final kernel.
     Measured per-algorithm on v5e (scale 19, in-process A/B, floor-
@@ -159,9 +207,9 @@ def _bfs_loop(plan, source, n):
     return levels
 
 
-@functools.partial(jax.jit, static_argnames=("n", "mode"))
+@functools.partial(jax.jit, static_argnames=("n", "mode", "seed"))
 @_no_x64
-def _bfs_loop_v3(plan, source, n, mode="select"):
+def _bfs_loop_v3(plan, source, n, mode="select", seed=True):
     """Loop-layout BFS: levels state lives at dst-seg-last slots; each level
     is loop-network -> fill -> perm -> contrib-scan (two 11-stage networks
     instead of three).  The frontier rides f32: the shuffle stages are
@@ -181,6 +229,12 @@ def _bfs_loop_v3(plan, source, n, mode="select"):
     slot = jax.lax.iota(jnp.int32, e_pad)
     src_inject = ((slot == s_lo) & (s_hi > s_lo)).astype(fdt)
     frontier0 = jnp.zeros((e_pad,), fdt)
+    depth0 = 0
+    if seed:
+        # round 1 (relax the source's out-edges) as ONE scan pass at init:
+        # deletes a full network round — see _seed_round
+        levels0, frontier0 = _seed_state(plan, "bfs", source, levels0)
+        depth0 = 1
     # donor_state: seed the source frontier IN the state array (round 1
     # routes it to the start slots; later frontiers never re-inject)
     t_lo = plan.indptr_dst[source]
@@ -188,7 +242,8 @@ def _bfs_loop_v3(plan, source, n, mode="select"):
     has_state = t_hi > t_lo
     if mode == "donor_state":
         sslot = jnp.where(has_state, t_hi - 1, 0)
-        frontier0 = frontier0.at[sslot].set(jnp.where(has_state, fdt(1.0), fdt(0.0)))
+        # .max: never clobber a level-1 frontier bit seeded at slot 0
+        frontier0 = frontier0.at[sslot].max(jnp.where(has_state, fdt(1.0), fdt(0.0)))
 
     def cond(state):
         _, _, depth, active = state
@@ -244,7 +299,7 @@ def _bfs_loop_v3(plan, source, n, mode="select"):
         return levels, frontier, depth + 1, frontier.max() > 0
 
     levels, _, _, _ = jax.lax.while_loop(
-        cond, body, (levels0, frontier0, jnp.int32(0), jnp.asarray(True))
+        cond, body, (levels0, frontier0, jnp.int32(depth0), jnp.asarray(True))
     )
     out = state_to_n(plan, levels, jnp.int32(-1))
     return out.at[source].set(0)
@@ -255,7 +310,7 @@ def bfs_level(plan, source, n):
         mode = _xstart_mode(plan, "donor")
         if mode == "fused" or (mode == "select" and _xstart_fuse(False)):
             mode = "fused"
-        return _bfs_loop_v3(plan, int(source), n, mode=mode)
+        return _bfs_loop_v3(plan, int(source), n, mode=mode, seed=_seed_ok(plan))
     return _bfs_loop(plan, int(source), n)
 
 
@@ -309,9 +364,9 @@ def _sssp_loop(plan, source, n):
     return dist
 
 
-@functools.partial(jax.jit, static_argnames=("n", "mode"))
+@functools.partial(jax.jit, static_argnames=("n", "mode", "seed"))
 @_no_x64
-def _sssp_loop_v3(plan, source, n, mode="select"):
+def _sssp_loop_v3(plan, source, n, mode="select", seed=True):
     """Loop-layout Bellman-Ford: dist state at dst-seg-last slots; the source
     distance is injected into the expand inputs every round (covers sources
     with no in-edges without a dynamic state scatter).  Non-last state slots
@@ -326,6 +381,10 @@ def _sssp_loop_v3(plan, source, n, mode="select"):
     s_eff = jnp.where(s_hi > s_lo, s_lo, jnp.int32(-1))
     slot = jax.lax.iota(jnp.int32, e_pad)
     src_inject = (slot == s_lo) & (s_hi > s_lo)
+    if seed:
+        # round 1 (relax the source's out-edges) as ONE scan pass at init:
+        # deletes a full network round — see _seed_round
+        dist0, _ = _seed_state(plan, "sssp", source, dist0)
     # donor_state: the source's distance-0 lives IN the state array (its
     # dst-seg-last slot) from round 0 — the kernel's min keeps it 0 forever
     t_lo = plan.indptr_dst[source]
@@ -334,7 +393,8 @@ def _sssp_loop_v3(plan, source, n, mode="select"):
     if mode == "donor_state":
         sslot = jnp.where(has_state, t_hi - 1, 0)
         sval = jnp.where(has_state, jnp.float32(0), _BIG)
-        dist0 = dist0.at[sslot].set(sval)
+        # .min: never clobber a seeded 1-hop distance at slot 0
+        dist0 = dist0.at[sslot].min(sval)
 
     def cond(state):
         _, changed, it = state
@@ -400,7 +460,7 @@ def sssp(plan, source, n):
         mode = _xstart_mode(plan, "donor")
         if mode == "fused" or (mode == "select" and _xstart_fuse(False)):
             mode = "fused"
-        return _sssp_loop_v3(plan, int(source), n, mode=mode)
+        return _sssp_loop_v3(plan, int(source), n, mode=mode, seed=_seed_ok(plan))
     return _sssp_loop(plan, int(source), n)
 
 

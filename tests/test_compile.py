@@ -515,3 +515,56 @@ def test_compiled_loop_consts_all_committed():
                 assert isinstance(v, jax.Array)
             for s in cl._structs_dev:
                 assert s is None or isinstance(s, jax.Array)
+
+
+@pytest.mark.parametrize("sparse", [False, True])
+def test_dsl_cc_directed_wcc(sparse):
+    """connected_components on a NON-symmetric adjacency computes weakly-
+    connected components (the alternating pull/push recipe's contract —
+    the symmetrization is never materialized)."""
+    src, dst, _ = _rand_graph(n=100, e=150, seed=9)
+    n = 100
+    AT = _pull_matrix(dst, src, None, n, sparse, None)
+    pv = dsl.connected_components(AT).to_dense(fill_value=-1).astype(np.int64)
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, t in zip(src, dst):
+        rs, rt = find(int(s)), find(int(t))
+        if rs != rt:
+            parent[rs] = rt
+    roots = np.array([find(i) for i in range(n)])
+    minlab = {}
+    for i in range(n):
+        minlab.setdefault(roots[i], i)
+    expect = np.array([minlab[roots[i]] for i in range(n)])
+    assert np.array_equal(pv, expect)
+
+
+def test_dsl_seed_round_ab(monkeypatch):
+    """The build-time seed (round 1 baked into the initial state) must not
+    change any DSL result: bfs_level_dense / sssp / connected_components
+    with GRAPHBLAS_TPU_SEED_ROUND=0 and =1 agree, including corner sources
+    (sink, no in-edges, isolated)."""
+    src, dst, w = _rand_graph(n=90, e=300, seed=12, weighted=True)
+    keep = ~np.isin(src, [80, 83]) & ~np.isin(dst, [81, 83])
+    src, dst, w = src[keep], dst[keep], w[keep]
+    n = 90
+    AT = _pull_matrix(dst, src, w, n, True, None)
+    got = {}
+    for flag in ("0", "1"):
+        monkeypatch.setenv("GRAPHBLAS_TPU_SEED_ROUND", flag)
+        res = {}
+        for s in (0, 80, 81, 83):
+            res[("bfs", s)] = np.asarray(dsl.bfs_level_dense(AT, s).to_dense(fill_value=-1))
+            res[("sssp", s)] = np.asarray(dsl.sssp(AT, s).to_dense())
+        res["cc"] = np.asarray(dsl.connected_components(AT).to_dense(fill_value=-1))
+        got[flag] = res
+    for k in got["0"]:
+        np.testing.assert_allclose(got["1"][k], got["0"][k], rtol=1e-5, err_msg=str(k))

@@ -362,3 +362,39 @@ def test_maximal_matching():
         used[md] = True
         live = valid & (s != d)
         assert (used[s[live]] | used[d[live]]).all()
+
+
+def test_seed_round_ab_and_edge_sources(monkeypatch):
+    """The init-seed (relax the source's out-edges as one scan pass,
+    models/fast._seed_state) must be a pure round-count optimization:
+    identical levels/distances with GRAPHBLAS_TPU_SEED_ROUND=0/1 across
+    every x_start mode, including sources with no out-edges, no in-edges
+    (no state slot), self-loops, and isolated vertices."""
+    from graphblas_tpu.models import fast as mf
+
+    rng = np.random.default_rng(11)
+    n, e = 90, 400
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    # engineered corners: vertex 80 sink (no out), 81 source-only (no in),
+    # 82 self-loop only, 83 isolated
+    keep = ~np.isin(src, [80, 82, 83]) & ~np.isin(dst, [81, 82, 83])
+    src, dst = src[keep], dst[keep]
+    src = np.concatenate([src, [82]]).astype(np.int32)
+    dst = np.concatenate([dst, [82]]).astype(np.int32)
+    w = (rng.random(len(src)) * 9 + 1).astype(np.float32)
+    g = Graph.from_arrays(src, dst, w, n=n)
+    plan = mf.analyze(g)
+    sources = [int(np.bincount(src, minlength=n).argmax()), 80, 81, 82, 83]
+
+    ref = {}
+    monkeypatch.setenv("GRAPHBLAS_TPU_SEED_ROUND", "0")
+    for s in sources:
+        ref[s] = (np.asarray(mf.bfs_level(plan, s, n)), np.asarray(mf.sssp(plan, s, n)))
+        np.testing.assert_array_equal(ref[s][0], np.asarray(bfs_level(g, s)))
+    monkeypatch.setenv("GRAPHBLAS_TPU_SEED_ROUND", "1")
+    for mode in ("select", "donor", "donor_state", "fused", "donor_post"):
+        monkeypatch.setenv("GRAPHBLAS_TPU_XSTART_MODE", mode)
+        for s in sources:
+            np.testing.assert_array_equal(np.asarray(mf.bfs_level(plan, s, n)), ref[s][0], err_msg=f"bfs {mode} {s}")
+            np.testing.assert_allclose(np.asarray(mf.sssp(plan, s, n)), ref[s][1], rtol=1e-5, err_msg=f"sssp {mode} {s}")
