@@ -99,7 +99,7 @@ def _burble_call(opname, args):
 
 
 class BaseType:
-    __slots__ = "_values", "_struct", "_dtype", "name", "__weakref__"
+    __slots__ = "_values", "_struct", "_dtype", "name", "_nvals_cache", "__weakref__"
     _is_scalar = False
 
     # ------------------------------------------------------------------
@@ -296,10 +296,25 @@ class BaseType:
 
     @property
     def nvals(self):
-        """Number of stored values (reference: e.g. core/matrix.py:489)."""
+        """Number of stored values (reference: e.g. core/matrix.py:489).
+
+        Host-concrete structure counts on the host; device structure sums
+        once and caches keyed on the struct array's identity (every mutation
+        funnels through ``_update``/``_set_arrays`` and produces a NEW struct
+        array, so identity equality is a sound cache key).  Without the
+        cache, every ``.nvals`` in user code is a device sync — ~25 ms per
+        read over the remote TPU tunnel."""
+        s = self._struct
+        if isinstance(s, np.ndarray):
+            return int(np.count_nonzero(s))
+        cache = getattr(self, "_nvals_cache", None)
+        if cache is not None and cache[0] is s:
+            return cache[1]
         import jax.numpy as jnp
 
-        return int(jnp.sum(self._struct))
+        n = int(jnp.sum(s))
+        self._nvals_cache = (s, n)
+        return n
 
     def clear(self):
         """Remove all stored values (reference: core/matrix.py:505)."""

@@ -195,3 +195,19 @@ def test_vxm_mask_accum_loop():
                 heapq.heappush(pq, (d[nbr], nbr))
     expected = {i: d[i] for i in range(7) if d[i] < INF}
     orc.assert_equal_dicts(got, expected)
+
+
+def test_nvals_cache_invalidation():
+    # device-struct nvals is cached keyed on struct-array identity; any
+    # mutation produces a new struct array and must recount (VERDICT r4
+    # weak #8: .nvals used to device-sync on every read)
+    import jax.numpy as jnp
+
+    v = Vector.from_coo([0, 2, 5], [1.0, 2.0, 3.0], size=8)
+    v._set_arrays(jnp.asarray(np.asarray(v._values)), jnp.asarray(np.asarray(v._struct)))
+    assert v.nvals == 3
+    assert v.nvals == 3  # cache hit path
+    v[7] = 9.0
+    assert v.nvals == 4
+    del v[0]
+    assert v.nvals == 3
