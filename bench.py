@@ -72,11 +72,11 @@ def main():
         os.path.exists(plan_path)
         and os.path.exists(graph_path)
         and os.path.exists(dsl_graph_path)
-        and os.path.exists(os.path.join(dsl_cache, "plans_v2.done"))
+        and os.path.exists(os.path.join(dsl_cache, "plans_v3.done"))
     ):
-        # the marker guards the plan SET (v2 added the pagerank push plan
-        # for alternating-direction cc); pattern-keyed plans already in the
-        # cache are reused, so a v1->v2 upgrade only builds the push plan
+        # the marker guards the plan SET (v3: loop-capable total plans for
+        # the compiled loops' edge-layout lowering); pattern-keyed plans
+        # already in the cache are reused across marker upgrades
         _build_plan_subprocess(scale, ef, seed, plan_path, graph_path, dsl_cache)
     # DSL matrices load their (pre-built) plans from this on-disk cache
     os.environ["GRAPHBLAS_TPU_PLAN_CACHE"] = dsl_cache
@@ -279,7 +279,7 @@ def main():
             t = measure(lambda: pr_run()._values, iters)
             out["dsl_pagerank_gteps_per_iter"] = round(e / t / 1e9, 4)
             out["dsl_pagerank_iter_ms"] = round(t * 1e3, 3)
-            out["dsl_pagerank_mode"] = pr_run.mode
+            out["dsl_pagerank_mode"] = f"{pr_run.mode}/{pr_run.layout}"
             out["dsl_vs_model_iter_ratio"] = round(t / pr_time, 3)
 
             # BFS (same sources as the model metric); amortize 4 runs past
@@ -305,7 +305,7 @@ def main():
 
             t = measure(run_dsl_bfs_dense, 4)
             out["dsl_bfs_dense_gteps"] = round(e / t / 1e9, 4)
-            out["dsl_bfs_dense_mode"] = bfsd_runs[0].mode
+            out["dsl_bfs_dense_mode"] = f"{bfsd_runs[0].mode}/{bfsd_runs[0].runner.layout}"
 
             # SSSP (min-folded duplicate edges: identical relaxations)
             ATw = mk("ss")
@@ -318,7 +318,7 @@ def main():
 
             t = measure(run_dsl_sssp, 4)
             out["dsl_sssp_gteps"] = round(e / t / 1e9, 4)
-            out["dsl_sssp_mode"] = sssp_runs[0].mode
+            out["dsl_sssp_mode"] = f"{sssp_runs[0].mode}/{sssp_runs[0].runner.layout}"
 
             # Connected components (acceptance workload #4): alternating
             # pull/push min-label on the DIRECTED adjacency (weak
@@ -341,7 +341,7 @@ def main():
             out["cc_iters"] = int(cc_run.runner.last_iters)
             out["cc_passes"] = 2 * out["cc_iters"]
             out["cc_edges_sym"] = e_sym
-            out["cc_mode"] = cc_run.mode
+            out["cc_mode"] = f"{cc_run.mode}/{cc_run.runner.layout}"
         return out
 
     try:

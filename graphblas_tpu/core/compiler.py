@@ -347,10 +347,12 @@ class CompiledLoop:
         self._max_iters = max_iters
         self._unroll = max(1, int(unroll))
         self.mode = None
+        self.layout = "n"  # "edge" when the edge-layout lowering applied
         self.last_iters = None  # while-loops: iteration count of the last run
         self._jit = None
         self._consts = ()
         self._structs = None
+        self._edge = None  # (ctx, device slot table) in edge layout
         self._build()
         # post-build: commit initial-state leaves to the device once (host
         # leaves would re-upload per call — see _hoist_constants note)
@@ -430,16 +432,29 @@ class CompiledLoop:
             return self._cond_value(st)
 
         run_h = self._wrap(self._kind, lbody_hoisted, lcond_hoisted if self._kind == "while" else None)
+        from . import looplayout as _ll
+
+        probe = _ll._ProbeScope() if self._edge_layout_enabled() else None
         try:
             # hoist captured device arrays (graph plans, operand vectors)
             # into ARGUMENTS — as closed-over constants they would embed in
-            # the HLO as literals (hundreds of MB for a scale-19 graph)
-            conv, consts = _hoist_constants(run_h, (tuple(values0),))
+            # the HLO as literals (hundreds of MB for a scale-19 graph).
+            # The probe records every plan-engine SpMV dispatch so the
+            # edge-layout upgrade below knows its eligibility.
+            if probe is not None:
+                with probe:
+                    conv, consts = _hoist_constants(run_h, (tuple(values0),))
+            else:
+                conv, consts = _hoist_constants(run_h, (tuple(values0),))
         except _StructureDiverged:
             conv = None
         if conv is not None:
             import jax.numpy as jnp
 
+            if probe is not None and self._try_edge_layout(probe, values0, captured):
+                # edge-layout lowering succeeded: 2 permutation networks per
+                # SpMV instead of 3 (core/looplayout.py) — model-speed loops
+                return
             self.mode = "hoisted"
             self._jit = jax.jit(conv)
             self._consts = consts
@@ -470,6 +485,151 @@ class CompiledLoop:
         self._jit = jax.jit(conv)
         self._consts = consts
 
+    # -- edge-layout upgrade (core/looplayout.py) -----------------------------
+
+    @staticmethod
+    def _edge_layout_enabled():
+        import os
+
+        if os.environ.get("GRAPHBLAS_TPU_DSL_EDGE_LAYOUT", "1") != "1":
+            return False
+        from .sparse import _mxv_strategy
+
+        # the test matrix's "generic" axis must keep exercising the generic
+        # lowering; edge layout is a plan-engine feature
+        return _mxv_strategy() != "generic"
+
+    def _try_edge_layout(self, probe, values0, structs0):
+        """Re-trace the body with state carried in the EDGE layout (values at
+        dst-seg-last slots of a total plan): every SpMV routes through the
+        composed loop network — 2 permutation networks instead of 3.  Any
+        failure keeps the n-space hoisted build; the upgrade is strictly
+        performance-only (same results bit-for-bit for the supported ops)."""
+        import jax
+
+        from . import looplayout as _ll
+        from .vector import Vector
+
+        elig = probe.eligible()
+        if elig is None:
+            return False
+        sp, pull = elig
+        specs = self._specs
+        for spec, s in zip(specs, structs0):
+            if spec.kind == "scalar":
+                continue
+            if spec.cls is not Vector or spec.fields is not None:
+                return False
+            if _is_tracer(s):
+                return False
+        try:
+            plan = sp.plan("pull" if pull else "push", loop=True)
+            ctx = _ll.EdgeLayoutCtx(sp, plan, pull)
+        except Exception:
+            return False
+        # all dense state must be n-sized (the virtual vertex space)
+        for spec, s in zip(specs, structs0):
+            if spec.kind != "scalar" and np.asarray(s).shape != (ctx.n,):
+                return False
+
+        # -- convert the initial state (host-side; leaves are concrete) -----
+        edge_values0, edge_structs, pos = [], [], 0
+        for spec, s in zip(specs, structs0):
+            if spec.kind == "scalar":
+                for _ in range(_n_leaves(spec)):
+                    edge_values0.append(values0[pos])
+                    pos += 1
+                edge_structs.append(None)
+                continue
+            v = values0[pos]
+            pos += 1
+            if _is_tracer(v):
+                return False
+            es = ctx.lift_struct_np(np.asarray(s))
+            ev = ctx.lift_values_np(np.asarray(v)).copy()
+            ev[~es] = 0  # canonical: values outside the pattern are zero
+            edge_values0.append(ev)
+            edge_structs.append(es)
+
+        captured_e = list(edge_structs)
+
+        def lbody_edge(vals):
+            st = _rebuild_state(specs, list(vals), structs=captured_e)
+            with ctx:
+                out = _check_body_out(self._body(*st), specs, "loop body")
+            out_values, out_structs = _split_values_structs(out)
+            for s_in, s_out in zip(captured_e, out_structs):
+                if s_in is None:
+                    continue
+                if _is_tracer(s_out) or not np.array_equal(np.asarray(s_in), np.asarray(s_out)):
+                    raise _StructureDiverged
+            return tuple(_cast_like(out_values, list(vals)))
+
+        def lcond_edge(vals):
+            st = _rebuild_state(specs, list(vals), structs=captured_e)
+            with ctx:
+                return self._cond_value(st)
+
+        run_core = self._wrap(
+            self._kind, lbody_edge, lcond_edge if self._kind == "while" else None
+        )
+
+        def run_edge(vals):
+            out = run_core(vals)
+            if self._kind == "while":
+                final, it = out
+            else:
+                final = out
+            # exit: lower each vector's values back to the vertex space (one
+            # collect network per state vector, once per EXECUTION)
+            lowered, p = [], 0
+            for spec in specs:
+                if spec.kind == "scalar":
+                    for _ in range(_n_leaves(spec)):
+                        lowered.append(final[p])
+                        p += 1
+                else:
+                    lowered.append(_ll.state_to_n_total(plan, final[p]))
+                    p += 1
+            return (tuple(lowered), it) if self._kind == "while" else tuple(lowered)
+
+        try:
+            conv, consts = _hoist_constants(run_edge, (tuple(edge_values0),))
+        except Exception:
+            # anything the layout can't express (LayoutUnsupported, shape
+            # mismatches, structure divergence): keep the n-space build
+            return False
+        self.mode = "hoisted"
+        self.layout = "edge"
+        self._jit = jax.jit(conv)
+        self._consts = consts
+        # rebuild/validation still speak the ORIGINAL n-space structures
+        self._structs = structs0
+        self._structs_dev = [
+            None if s is None else _commit_leaf(np.asarray(s)) for s in structs0
+        ]
+        self._values0 = edge_values0
+        self._edge = (ctx, _commit_leaf(ctx.slot_of_v.astype(np.int32)))
+        return True
+
+    def _edge_lift_values(self, values, structs):
+        """Device-side n->edge conversion for runner(*new_state) calls."""
+        import jax.numpy as jnp
+
+        ctx, slots = self._edge
+        out, p = [], 0
+        for spec, s in zip(self._specs, structs):
+            if spec.kind == "scalar":
+                for _ in range(_n_leaves(spec)):
+                    out.append(values[p])
+                    p += 1
+                continue
+            v = values[p]
+            p += 1
+            ev = jnp.zeros((ctx.e_pad,), v.dtype).at[slots].set(v)
+            out.append(ev)
+        return out
+
     # -- execute ------------------------------------------------------------
 
     def __call__(self, *state):
@@ -495,6 +655,8 @@ class CompiledLoop:
                             "compiled loop was specialized to a fixed structure; "
                             "input structure differs — rebuild with loop_runner"
                         )
+                if self.layout == "edge":
+                    values = self._edge_lift_values(values, structs)
             else:
                 values = self._values0
             final_values = self._jit(tuple(values), self._consts)

@@ -45,9 +45,18 @@ class Mask:
         """Resolve to a dense bool array on device."""
         from ..ops import densemasked as _dm
 
-        return _dm.mask_to_bits(
+        bits = _dm.mask_to_bits(
             self.parent._values, self.parent._struct, self.complement, self.structure
         )
+        if self.complement:
+            # edge-layout loop body: a complemented mask's universe is the
+            # state slots, never the garbage slots (core/looplayout.py)
+            from . import looplayout as _ll
+
+            ctx = _ll.active()
+            if ctx is not None and getattr(bits, "ndim", 0) == 1 and bits.shape[0] == ctx.e_pad:
+                bits = ctx.guard_universe_np(bits)
+        return bits
 
     def new(self, dtype=None, *, complement=False, mask=None, name=None, **opts):
         """Materialize the mask pattern as a collection of True values
@@ -59,6 +68,11 @@ class Mask:
         bits = self._bits()
         if complement:
             bits = ~bits
+            from . import looplayout as _ll
+
+            ctx = _ll.active()
+            if ctx is not None and getattr(bits, "ndim", 0) == 1 and bits.shape[0] == ctx.e_pad:
+                bits = ctx.guard_universe_np(bits)
         if mask is not None:
             if not isinstance(mask, Mask):
                 raise TypeError("Mask must be a Mask object")

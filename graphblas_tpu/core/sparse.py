@@ -216,21 +216,28 @@ class SparseMatrixData:
             self._sharded_plans[key] = build_sharded_spmv_plan(src, dst, w, n=n, mesh=mesh)
         return self._sharded_plans[key]
 
-    def plan(self, direction):
+    def plan(self, direction, loop=False):
         """SpmvPlan for 'pull' (dst=rows, src=cols) or 'push' (dst=cols).
 
         Built once per direction (the pattern-analysis step — the analogue of
         SuiteSparse picking Gustavson/hash/dot per matrix); cached in memory
         and, when GRAPHBLAS_TPU_PLAN_CACHE points at a directory, on disk.
+
+        ``loop=True`` requests the loop-capable variant (total + loop
+        network — build_spmv_plan total=True): compiled DSL loops need it for
+        the edge-layout lowering (core/looplayout.py).  It serves every
+        n-space dispatch identically, so it REPLACES the plain plan in the
+        cache — at most one analysis per (pattern, direction) per process.
         """
-        if direction not in self._plans:
+        cached = self._plans.get(direction)
+        if cached is None or (loop and not (cached.total and cached.loop_plan is not None)):
             import jax
 
             from ..ops import fastspmv as _fs
 
             with jax.ensure_compile_time_eval():
-                return self._plan_build(direction, _fs)
-        return self._plans[direction]
+                return self._plan_build(direction, _fs, loop=loop)
+        return cached
 
     def plan_ready(self, direction):
         return direction in self._plans
@@ -265,8 +272,12 @@ class SparseMatrixData:
         self._bg_builds[direction] = (t, done)
         t.start()
 
-    def _plan_build(self, direction, _fs):
-        if direction not in self._plans:
+    def _plan_build(self, direction, _fs, loop=False):
+        cached = self._plans.get(direction)
+        needs_build = cached is None or (
+            loop and not (cached.total and cached.loop_plan is not None)
+        )
+        if needs_build:
             n = max(self.nrows, self.ncols)
             src, dst = (self.cols, self.rows) if direction == "pull" else (self.rows, self.cols)
             w = _channel_weights(self.vals)
@@ -285,16 +296,20 @@ class SparseMatrixData:
                 h.update(self.cols.tobytes())
                 if w is None:
                     h.update(b"noW")
-                path = os.path.join(cache_dir, f"gbtpu_plan3_{direction}_{h.hexdigest()}.npz")
+                variant = "loopT_" if loop else ""
+                path = os.path.join(
+                    cache_dir, f"gbtpu_plan3_{variant}{direction}_{h.hexdigest()}.npz"
+                )
                 if os.path.exists(path):
                     try:
                         self._plans[direction] = _fs.load_spmv_plan(path, w=w)
                         return self._plans[direction]
                     except Exception:
                         pass  # unreadable/stale cache entry: rebuild below
-            # DSL dispatch never touches the loop-layout network (models
-            # build their own plans); skipping it saves ~1/4 of the analysis
-            plan = _fs.build_spmv_plan(src, dst, w, n=n, loop_net=False)
+            # eager DSL dispatch never touches the loop-layout network;
+            # skipping it saves ~1/4 of the analysis.  Compiled loops request
+            # loop=True (total + loop network) for the edge-layout lowering.
+            plan = _fs.build_spmv_plan(src, dst, w, n=n, loop_net=loop, total=loop)
             if path is not None:
                 os.makedirs(cache_dir, exist_ok=True)
                 _fs.save_spmv_plan(plan, path)
@@ -479,6 +494,19 @@ def sparse_mxv(sp, pull, a_first, xv, xs, sr, out_dtype):
     pos = mul.positional
     strategy = _mxv_strategy()
 
+    from . import looplayout as _ll
+
+    probe = _ll.probing()
+    if probe is not None:
+        # compiled-loop probe trace: record the dispatch so the compiler can
+        # decide edge-layout eligibility (core/looplayout.py)
+        probe.record(sp, pull, a_first, sr)
+    lctx = _ll.active()
+    if lctx is not None and getattr(xv, "ndim", 0) == 1 and xv.shape[0] == lctx.e_pad:
+        # edge-layout body trace: the input is loop state in the edge space —
+        # 2 networks/SpMV through the composed loop network (vs 3 in n-space)
+        return _ll.edge_mxv(lctx, sp, pull, a_first, xv, xs, sr, out_dtype)
+
     plan_mul = _plan_mul_name(mul, a_first, pos)
     use_plan = _plan_allowed(sp, strategy, add_name, plan_mul, out_np, pos, xv)
     if use_plan and strategy != "plan":
@@ -660,8 +688,12 @@ def _plan_mxv(sp, pull, xv, xs, add_name, plan_mul, pos, out_np, channel):
     import jax.numpy as jnp
 
     from ..ops import fastspmv as _fs
+    from . import looplayout as _ll
 
-    plan = sp.plan("pull" if pull else "push")
+    # under a compiled-loop trace, build the loop-capable (total) plan once —
+    # it serves this n-space dispatch identically AND the edge-layout attempt
+    loop_variant = _ll.probing() is not None or _ll.active() is not None
+    plan = sp.plan("pull" if pull else "push", loop=loop_variant)
     n = plan.n
     ch = jnp.int32 if channel == np.int32 else jnp.float32
     # narrow integer outputs: contributions wrap to the output width

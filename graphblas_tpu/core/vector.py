@@ -112,6 +112,16 @@ class Vector(InfixMixin, BaseType):
         self._dtype = _dt.lookup_dtype(dtype)
         size = ensure_int(size, "size")
         self._sparse = None
+        from . import looplayout as _ll
+
+        _llctx = _ll.active()
+        if _llctx is not None and size == _llctx.n and not self._dtype._is_udt:
+            # edge-layout loop body: empty n-sized vectors created inside the
+            # body live in the edge layout (core/looplayout.py)
+            self._values = device_asarray(np.zeros((_llctx.e_pad,), self._dtype.np_type))
+            self._struct = _dm.s_zeros((_llctx.e_pad,))
+            self.name = name
+            return
         if not self._dtype._is_udt and size > _vec_sparse_limit():
             from .sparse import SparseVectorData
 
@@ -331,6 +341,19 @@ class Vector(InfixMixin, BaseType):
         sc = _as_scalar(value, dtype)
         dtype = _dt.lookup_dtype(dtype) if dtype is not None else sc.dtype
         size = ensure_int(size, "size")
+        from . import looplayout as _ll
+
+        ctx = _ll.active()
+        if ctx is not None and size == ctx.n and not dtype._is_udt:
+            # edge-layout loop body: an n-sized iso vector created inside the
+            # body is state-adjacent — build it directly in the edge layout
+            # (present exactly at the state slots)
+            return cls._from_arrays(
+                jnp.full((ctx.e_pad,), sc._device_value(dtype.np_type)),
+                ctx.is_last.copy(),
+                dtype,
+                name=name,
+            )
         return cls._from_arrays(
             jnp.full((size,), sc._device_value(dtype.np_type)), _dm.s_ones((size,)), dtype, name=name
         )

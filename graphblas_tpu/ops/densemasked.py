@@ -222,6 +222,31 @@ def s_where(c, a, b):
             if ab is not None and np.array_equal(ab, bb):
                 shape = np.broadcast_shapes(np.shape(c), ab.shape)
                 return np.broadcast_to(ab, shape).copy()
+            # edge-layout invariant rule (core/looplayout.py): in-context,
+            # every traced mask is a subset of the state universe U
+            # (is_last); when both branches are true throughout U and the
+            # false branch has nothing outside U, where(c, a, b) == U for
+            # ANY c ⊆ U.  This is the edge-space analogue of the n-space
+            # "cs is all-True" short-circuit that keeps structure hoisting
+            # alive for masked assigns on full states.
+            if ab is not None:
+                from ..core import looplayout as _ll
+
+                ctx = _ll.active()
+                if ctx is not None and np.shape(c) == (ctx.e_pad,):
+                    U = ctx.is_last
+                    try:
+                        aU = np.broadcast_to(an, (ctx.e_pad,))
+                        bU = np.broadcast_to(bn, (ctx.e_pad,))
+                    except ValueError:
+                        aU = None
+                    if (
+                        aU is not None
+                        and aU[U].all()
+                        and bU[U].all()
+                        and not bU[~U].any()
+                    ):
+                        return U.copy()
     return jnp.where(c, a, b)
 
 

@@ -58,6 +58,7 @@ class SpmvPlan:
         fill_hp=None,
         k_iso_dangling=0,
         loop_donors=False,
+        total=False,
     ):
         self.n = n
         self.e_pad = e_pad
@@ -104,6 +105,10 @@ class SpmvPlan:
         # loop_plan routes no-state start slots from identity-valued donor
         # slots (static: x_start = routed, no select) — see build_spmv_plan
         self.loop_donors = loop_donors
+        # every vertex owns a state slot (see build_spmv_plan total=True);
+        # required by the compiled DSL loop's edge-layout lowering
+        self.total = total
+        self._host = {}  # lazy host-side tables (never pytree leaves)
 
 
 def _register_spmv_pytree():
@@ -131,11 +136,12 @@ def _register_spmv_pytree():
             p.fill_j,
             p.fill_hp,
         )
-        return children, (p.n, p.e_pad, p.k_iso_dangling, p.loop_donors)
+        return children, (p.n, p.e_pad, p.k_iso_dangling, p.loop_donors, p.total)
 
     def unflatten(aux, children):
         return SpmvPlan(
-            aux[0], aux[1], *children, k_iso_dangling=aux[2], loop_donors=aux[3]
+            aux[0], aux[1], *children,
+            k_iso_dangling=aux[2], loop_donors=aux[3], total=aux[4],
         )
 
     register_pytree_node(SpmvPlan, flatten, unflatten)
@@ -191,7 +197,7 @@ def _network_builder():
     return _BUILD_POOL.submit
 
 
-def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_net=True):
+def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_net=True, total=False):
     """Analyze a COO graph into an SpmvPlan (host-side, once per graph).
 
     ``endpoints=True`` additionally builds the place/collect networks that
@@ -200,6 +206,14 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_
     the pipeline otherwise).  ``pad_to`` forces a minimum network size —
     used by the multi-chip build to give every device partition identical
     static shapes (parallel/fastspmv.py stacks the per-device plans).
+
+    ``total=True`` gives EVERY vertex a dst segment by pointing one invalid
+    pad edge at each in-degree-0 vertex: in the edge/loop layout every vertex
+    then owns a state slot (its dst-seg-last slot), which makes the layout
+    lossless for arbitrary per-vertex state — the requirement of the compiled
+    DSL loop's edge-layout lowering (core/looplayout.py).  Semantics of every
+    other path are unchanged (the extra pad edges are invalid, so they
+    contribute nothing and ``dst_nonempty`` still reflects VALID in-edges).
     """
     src = np.asarray(src, np.int32)
     dst = np.asarray(dst, np.int32)
@@ -215,11 +229,19 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_
         raise _exc_index_out_of_bounds(n, src, dst)
     # the place/collect endpoints embed n-vectors in the edge space
     e_pad = padded_size(max(e, n, pad_to))
+    stateless = None
+    if total:
+        stateless = np.flatnonzero(np.bincount(dst, minlength=n) == 0)
+        if e + len(stateless) > e_pad:
+            e_pad = padded_size(max(e + len(stateless), n, pad_to))
     # pad with edges (n-1 -> n-1) marked invalid; they sort to the end-ish but
     # validity masks them out of the reduce
     pad = e_pad - e
     src_p = np.concatenate([src, np.full(pad, n - 1, np.int32)])
     dst_p = np.concatenate([dst, np.full(pad, n - 1, np.int32)])
+    if stateless is not None and len(stateless):
+        # one invalid pad edge per in-degree-0 vertex -> a state slot each
+        dst_p[e : e + len(stateless)] = stateless.astype(np.int32)
     valid_p = np.zeros(e_pad, bool)
     valid_p[:e] = True
     w_p = None
@@ -369,9 +391,29 @@ def build_spmv_plan(src, dst, w=None, *, n=None, endpoints=True, pad_to=0, loop_
         jnp.asarray(fill_hp) if fill_hp is not None else None,
         k_iso_dangling=k_iso_dangling,
         loop_donors=bool(endpoints and loop_net),
+        total=bool(total),
     )
     plan._order_dst = order_dst_np  # host-only (not a pytree leaf)
     return plan
+
+
+def host_tables(plan):
+    """Lazy host-side lookup tables for the edge/loop layout (trace-time
+    conversions in core/looplayout.py; derived once per plan, cached).
+
+    - ``v_of_slot`` int64 (e_pad,): the dst vertex owning each dst-order slot
+    - ``is_last`` bool (e_pad,): dst-seg-last slots (the state slots)
+    - ``slot_of_v`` int64 (n,): each vertex's state slot (total plans only)
+    - ``dst_nonempty`` bool (n,)
+    """
+    h = plan._host
+    if not h:
+        ipd = np.asarray(plan.indptr_dst).astype(np.int64)
+        h["v_of_slot"] = np.repeat(np.arange(plan.n, dtype=np.int64), np.diff(ipd))
+        h["is_last"] = np.asarray(plan.is_last_dst)
+        h["slot_of_v"] = ipd[1:] - 1
+        h["dst_nonempty"] = np.asarray(plan.dst_nonempty)
+    return h
 
 
 def _interpret_scan():
@@ -532,6 +574,7 @@ def save_spmv_plan(plan, path):
         arrays["k_iso_dangling"] = np.asarray([plan.k_iso_dangling], np.int64)
         # r5+: loop network routes no-state starts from identity donor slots
         arrays["loop_donors"] = np.asarray([int(plan.loop_donors)], np.int64)
+    arrays["total"] = np.asarray([int(plan.total)], np.int64)
     if getattr(plan, "_order_dst", None) is not None:
         # lets the disk cache serve same-pattern matrices with different
         # values (load_spmv_plan(w=...) re-derives the weight channel)
@@ -590,6 +633,7 @@ def load_spmv_plan(path, w=None):
         k_iso_dangling=int(data["k_iso_dangling"][0]) if "k_iso_dangling" in data else 0,
         # plans cached before r5 lack donor routing: keep the select path
         loop_donors=bool(int(data["loop_donors"][0])) if "loop_donors" in data else False,
+        total=bool(int(data["total"][0])) if "total" in data else False,
     )
 
 

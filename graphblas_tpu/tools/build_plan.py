@@ -75,14 +75,14 @@ def _build_dsl_plans(src, dst, w, n, cache_dir, graph_out):
         # pagerank/bfs matrix: AT[dst, src]; duplicate edges fold into the
         # value (plus) so plus_times pagerank matches the raw multigraph
         AT = Matrix.from_coo(dst, src, np.ones(len(src), np.float32), dtm.FP32, nrows=n, ncols=n, dup_op=binary.plus)
-        AT._sparse.plan("pull")
+        AT._sparse.plan("pull", loop=True)
         arrays.update(pr_rows=AT._sparse.rows, pr_cols=AT._sparse.cols, pr_vals=AT._sparse.vals)
         print(f"dsl pagerank plan: {time.perf_counter() - t0:.1f}s nvals={AT._sparse.nvals}")
 
         t0 = time.perf_counter()
         # sssp matrix: weighted, duplicates fold with min (equivalent relax)
         ATw = Matrix.from_coo(dst, src, w.astype(np.float32), dtm.FP32, nrows=n, ncols=n, dup_op=binary.min)
-        ATw._sparse.plan("pull")
+        ATw._sparse.plan("pull", loop=True)
         arrays.update(ss_rows=ATw._sparse.rows, ss_cols=ATw._sparse.cols, ss_vals=ATw._sparse.vals)
         print(f"dsl sssp plan: {time.perf_counter() - t0:.1f}s nvals={ATw._sparse.nvals}")
 
@@ -91,7 +91,7 @@ def _build_dsl_plans(src, dst, w, n, cache_dir, graph_out):
         # matrix (models/dsl.connected_components) — build its push plan;
         # the symmetrized COO is saved only for the bench's workload-size
         # accounting (no 2^24-e_pad plan needed anymore)
-        AT._sparse.plan("push")
+        AT._sparse.plan("push", loop=True)
         print(f"dsl cc (pagerank push) plan: {time.perf_counter() - t0:.1f}s")
         us = np.concatenate([src, dst])
         vs = np.concatenate([dst, src])
@@ -102,8 +102,8 @@ def _build_dsl_plans(src, dst, w, n, cache_dir, graph_out):
     np.savez(out, n=np.asarray([n]), **arrays)
     print(f"dsl COOs saved: {out}")
     # marker consumed by bench.py: which plan set this cache contains
-    with open(os.path.join(cache_dir, "plans_v2.done"), "w") as fh:
-        fh.write("pull:pr,ss + push:pr\n")
+    with open(os.path.join(cache_dir, "plans_v3.done"), "w") as fh:
+        fh.write("loopT pull:pr,ss + loopT push:pr\n")
 
 
 if __name__ == "__main__":
